@@ -1,0 +1,65 @@
+"""Shared deterministic constants.
+
+Everything here is derived from fixed seeds so the Spark operators and the
+DuckDB oracle SQL (oracles.py) compute bit-identical results. Do not change
+values without regenerating both sides.
+"""
+
+from __future__ import annotations
+
+import random
+
+# ---- universal hashing (minhash) -------------------------------------------
+# h_j(x) = (A[j] * (x mod P) + B[j]) mod P, P Mersenne prime 2^31-1.
+# x is the 60-bit md5-prefix hash of a shingle; all arithmetic stays < 2^63.
+MERSENNE_P = 2_147_483_647
+MINHASH_K = 16
+_rnd = random.Random(42)
+MINHASH_A = [_rnd.randrange(1, MERSENNE_P) for _ in range(MINHASH_K)]
+MINHASH_B = [_rnd.randrange(0, MERSENNE_P) for _ in range(MINHASH_K)]
+MINHASH_BAND_ROWS = 4  # 16 sigs -> 4 bands of 4
+MINHASH_JACCARD_TAU = 0.8
+
+# ---- simhash ----------------------------------------------------------------
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_BANDS = 4  # pigeonhole: <=3 flipped bits leave >=1 of 4 bands intact
+
+# ---- char n-gram jaccard join ----------------------------------------------
+NGRAM_N = 4
+NGRAM_JACCARD_TAU = 0.8
+
+# ---- LSH / ANN (reference parity: aknn_create defaults scaled down) ---------
+# Reference default was nb_tables=16/64, nb_bits=16; hash space must stay
+# well-populated at our test scales, so 4 tables x 8 bits.
+LSH_TABLES = 4
+LSH_BITS = 8
+ANN_K1 = 100  # candidates from hash-table term match
+ANN_K2 = 10  # final neighbors after exact re-rank
+KNN_K = 10
+N_QUERIES = 8  # vec_id < 8 is the canonical query set for test entries
+COSINE_JOIN_TAU = 0.42
+DIST_ROUND = 6  # decimal places for distance rounding at output/rank edges
+
+# ---- text ops ---------------------------------------------------------------
+FINGERPRINT_BASE = 131
+TOKEN_REGEX = "[a-z0-9]+"
+# marker-word lists for the language-ID heuristic; tiebreak order is list order
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "is", "and", "of", "to", "in"]),
+    ("es", ["el", "la", "de", "que", "y", "los"]),
+    ("de", ["der", "die", "das", "und", "ist", "ein"]),
+    ("fr", ["le", "la", "les", "et", "est", "une"]),
+    ("zh", ["de5", "shi4", "le5"]),  # romanized placeholders
+]
+STOPWORDS_EN = LANG_MARKERS[0][1]
+
+# ---- analytics --------------------------------------------------------------
+DEC = "decimal(18,6)"  # exact money arithmetic; sums are order-insensitive
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+Q6_YEAR = 1997
+Q6_DISC_LO = 0.03
+Q6_DISC_HI = 0.07
+Q6_QTY = 24
+SESSION_GAP_MS = 30 * 60 * 1000

@@ -1,0 +1,59 @@
+"""Text column functions shared by the dedup / text-analysis operators.
+
+The hashing contract (mirrored exactly in oracles.py, DuckDB side):
+
+- base hash  h(s)  = int(md5(s)[:15 hex], 16)  -- 60 bits, fits bigint
+- universal  h_j(x) = (A[j] * (x mod P) + B[j]) mod P,  P = 2^31 - 1
+- shingles   word 3-grams joined by a single space
+- fingerprint: left fold  acc = (acc * 131 + (h(tok) mod 10^9+7)) mod P
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..constants import (
+    FINGERPRINT_BASE,
+    MERSENNE_P,
+    MINHASH_A,
+    MINHASH_B,
+)
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def md5_hash60(s: Column) -> Column:
+    """Deterministic 60-bit content hash, identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def universal_hash(h: Column, j: int) -> Column:
+    a, b = MINHASH_A[j], MINHASH_B[j]
+    return (F.lit(a) * (h % F.lit(MERSENNE_P)) + F.lit(b)) % F.lit(MERSENNE_P)
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles: requires size(toks) >= n (filter upstream)."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)])
+    )
+
+
+def char_ngrams(text: Column, n: int) -> Column:
+    """Character n-gram array (positions 1..len-n+1)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: text.substr(i, F.lit(n)))
+
+
+def fingerprint(toks: Column) -> Column:
+    """Polynomial rolling hash over token hashes (order-sensitive)."""
+    tok_h = F.transform(toks, lambda t: md5_hash60(t) % F.lit(1_000_000_007))
+    return F.aggregate(
+        tok_h,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(FINGERPRINT_BASE) + h) % F.lit(MERSENNE_P),
+    )

@@ -1,0 +1,140 @@
+"""Generic analytics operators (SURVEY §2 #20-24).
+
+The engine stays a full DataFrame engine: TPC-H-style aggregations/joins over
+the star schema and window analytics over `events`. All money math goes
+through decimal(18,6) (exact, order-insensitive — deterministic on any
+partitioning) and is cast back to double only at the output edge. Timestamps
+are formatted to strings at the output edge so oracle hashing is
+representation-stable.
+
+Scale notes:
+- q1/q6: single scan, partial aggregation map-side; filters/pruning reach the
+  parquet scan (verify via .explain: PushedFilters, ReadSchema).
+- q3: orders⋈customer is dim-filtered (broadcast customer-side after the
+  segment filter); lineitem join shuffles on orderkey only.
+- events windows: per-user session windows shuffle once on user_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+from ..constants import (
+    DEC,
+    Q3_DATE,
+    Q3_SEGMENT,
+    Q6_DISC_HI,
+    Q6_DISC_LO,
+    Q6_QTY,
+    Q6_YEAR,
+    SESSION_GAP_MS,
+)
+from ..session import configure
+
+
+def _dec(c) -> F.Column:
+    return F.col(c).cast(DEC) if isinstance(c, str) else c.cast(DEC)
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    li = io.table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(DEC)
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    charge = disc_price.cast(DEC) * (one + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    cust = io.table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == Q3_SEGMENT)
+    orders = io.table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp"))
+    li = io.table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
+    one = F.lit(1).cast(DEC)
+    revenue = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue.alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    li = io.table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.year("l_shipdate") == Q6_YEAR)
+            & (F.col("l_discount") >= Q6_DISC_LO)
+            & (F.col("l_discount") <= Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_QTY)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows: a new session starts after a >30min gap per user.
+
+    Batch twin of the streaming sessionizer; single shuffle on user_id.
+    """
+    from pyspark.sql.window import Window
+
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_millis("ts").alias("ms"), _dec("value").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "ts")
+    new_sess = F.when(
+        F.lag("ms").over(w).isNull() | ((F.col("ms") - F.lag("ms").over(w)) > SESSION_GAP_MS), 1
+    ).otherwise(0)
+    sess = ev.withColumn("sess_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .select("user_id", "sess_id", "session_start", "n_events", "sum_value")
+    )

@@ -1,0 +1,102 @@
+"""DuckDB oracle SQL — the ANSI-SQL twins of every Spark operator.
+
+Each builder returns a SQL string runnable by DuckDB against the
+pre-registered views (region nation customer supplier part orders lineitem
+events documents embeddings). The Spark operator and its oracle share the
+exact determinism contract (constants.py / functions/text.py docstrings):
+decimal money math, md5-prefix base hashes, rounded distances, id tie-breaks,
+UTC timestamp formatting.
+"""
+
+from __future__ import annotations
+
+from .constants import (
+    Q3_DATE,
+    Q3_SEGMENT,
+    Q6_DISC_HI,
+    Q6_DISC_LO,
+    Q6_QTY,
+    Q6_YEAR,
+    SESSION_GAP_MS,
+)
+
+DEC = "DECIMAL(18,6)"
+
+
+def q1_pricing_summary() -> str:
+    return f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC})) AS {DEC})
+           * (CAST(1 AS {DEC}) + CAST(l_tax AS {DEC}))) AS DOUBLE) AS sum_charge,
+  CAST(COUNT(*) AS BIGINT) AS count_order,
+  CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_price
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority() -> str:
+    return f"""
+SELECT l_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+
+def q6_revenue_delta() -> str:
+    return f"""
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC})) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE year(l_shipdate) = {Q6_YEAR}
+  AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
+  AND l_quantity < {Q6_QTY}
+"""
+
+
+def events_hourly() -> str:
+    return f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize() -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, epoch_ms(ts) AS ms, CAST(value AS {DEC}) AS v FROM events
+), flagged AS (
+  SELECT user_id, ts, v,
+    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, ts)
+), sess AS (
+  SELECT user_id, ts, v,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, ts ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM (SELECT *, epoch_ms(ts) AS ms FROM flagged)
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, sess_id
+"""

@@ -1,0 +1,51 @@
+"""SparkSession factory tuned for this engine.
+
+Defaults chosen for the 100 TB design point (AQE on, skew-join handling,
+Arrow for the vectorized UDF path) while remaining correct on local[N].
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "elastik-nearest-neighbors-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or max(cpus, 32)
+    return configure(
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs safe to set on an existing session (e.g. the
+    driver's). Timestamp semantics must be UTC for oracle parity."""
+    conf = {
+        "spark.sql.session.timeZone": "UTC",
+        # testdata parquet stores TIMESTAMP(NANOS) which Spark rejects;
+        # read as long and convert (io.table) — floor(ns/1000) matches
+        # DuckDB's nanos->micros truncation exactly
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # vector columns are wide; keep Arrow batches modest so Python
+        # workers never hold more than a few MB per batch
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    }
+    for k, v in conf.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable on some builds; defaults are acceptable
+    return spark
