@@ -1,0 +1,208 @@
+"""Deduplication operators over the `documents` table (SURVEY §2 #10-14).
+
+All hashing follows the cross-engine contract in functions/text.py (md5-prefix
+base hash, universal hashes mod 2^31−1) so every operator has an exact DuckDB
+oracle twin.
+
+Scale shapes (100 TB):
+- minhash: explode shingles → groupBy(doc) relies on map-side partial `min`,
+  so the shuffle carries O(docs · K) rows, not O(shingles).
+- banded LSH self-join shuffles on (band, signature); AQE skew-join splits
+  hot buckets.
+- n-gram Jaccard join uses lossless prefix filtering (PPJoin-style): only
+  the globally-rarest prefix grams of each doc participate in the candidate
+  join, shrinking candidates by orders of magnitude at equal results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import io
+from ..constants import (
+    MINHASH_BAND_ROWS,
+    MINHASH_JACCARD_TAU,
+    MINHASH_K,
+    NGRAM_JACCARD_TAU,
+    NGRAM_N,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+)
+from ..functions.text import char_ngrams, md5_hash60, universal_hash, word_shingles
+from ..session import configure
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    return io.table(spark, sf_dir, "documents")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash; canonical = min doc_id."""
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy(F.md5("text").alias("content_md5")).agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ---- minhash ----------------------------------------------------------------
+
+
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h) — one row per word-3-shingle occurrence, h = 60-bit hash."""
+    toks = F.split(F.col("text"), " ")
+    with_sh = docs.where(F.size(toks) >= 3).select(
+        "doc_id", F.explode(word_shingles(toks)).alias("s")
+    )
+    return with_sh.select("doc_id", md5_hash60(F.col("s")).alias("h"))
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=16 minhash signature per doc, one column per hash function."""
+    sh = _shingle_hashes(_docs(spark, sf_dir))
+    aggs = [
+        F.min(universal_hash(F.col("h"), j)).alias(f"mh_{j}") for j in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _jaccard_on(cand: DataFrame, ds: DataFrame, tau: float, a="doc_a", b="doc_b") -> DataFrame:
+    """Exact Jaccard verification of candidate pairs against distinct-element
+    sets ds(doc_id, g). Returns (doc_a, doc_b, jaccard) filtered to >= tau."""
+    sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = ds.select(F.col("doc_id").alias(a), F.col("g").alias("ga"))
+    gb = ds.select(F.col("doc_id").alias(b), F.col("g").alias("gb"))
+    inter = (
+        cand.join(ga, a)
+        .join(gb, b)
+        .where(F.col("ga") == F.col("gb"))
+        .groupBy(a, b)
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sz.select(F.col("doc_id").alias(a), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias(b), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, a)
+        .join(sb, b)
+        .select(
+            a,
+            b,
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= tau)
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded minhash LSH candidates → exact Jaccard verify ≥ τ.
+
+    Output: (doc_a, doc_b, jaccard)."""
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir)
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    bands = None
+    for bi in range(n_bands):
+        cols = [f"mh_{bi * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)]
+        one = sig.select(
+            "doc_id", F.lit(bi).alias("band"), F.concat_ws("_", *cols).alias("bval")
+        )
+        bands = one if bands is None else bands.unionAll(one)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bval")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ds = _shingle_hashes(docs).select("doc_id", F.col("h").alias("g")).distinct()
+    return _jaccard_on(cand, ds, MINHASH_JACCARD_TAU)
+
+
+# ---- simhash ----------------------------------------------------------------
+
+
+def _simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 32-bit simhash over word unigrams (with
+    multiplicity): bit i set iff sum over tokens of ±1 (by token-hash bit i)
+    is positive. Pure integer math — deterministic on any partitioning."""
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    h = md5_hash60(F.col("t"))
+    tok = tok.select("doc_id", h.alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    g = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return g.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming ≤ 3 via 4-byte-band blocking (pigeonhole:
+    ≤3 flipped bits leave ≥1 of 4 bands intact → blocking is lossless, so
+    the brute-force oracle returns the identical pair set).
+
+    Output: (doc_a, doc_b, hamming)."""
+    sims = _simhash(_docs(spark, sf_dir))
+    bands = None
+    for i in range(4):
+        one = sims.select(
+            "doc_id",
+            "simhash",
+            F.lit(i).alias("band"),
+            F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("bval"),
+        )
+        bands = one if bands is None else bands.unionAll(one)
+    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bval")
+    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bval")
+    return (
+        a.join(b, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+# ---- char n-gram jaccard join ----------------------------------------------
+
+
+def ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-4-gram Jaccard join ≥ τ with lossless prefix filtering.
+
+    Each doc keeps only its |A| − ceil(τ·|A|) + 1 globally-rarest grams as
+    join keys (prefix-filter lemma: any pair with jaccard ≥ τ must collide
+    on those). Verification computes exact Jaccard on full distinct-gram
+    sets, so results equal the brute-force oracle exactly.
+
+    Output: (doc_a, doc_b, jaccard)."""
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(F.array_distinct(char_ngrams(F.col("text"), NGRAM_N))).alias("g")
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ordered = (
+        grams.join(dfreq, "g")
+        .withColumn("pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "g")))
+        .join(sized, "doc_id")
+    )
+    prefix = ordered.where(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(NGRAM_JACCARD_TAU) * F.col("n")) + 1
+    ).select("doc_id", "g")
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "g")
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "g")
+    cand = (
+        pa.join(pb, "g").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+    )
+    return _jaccard_on(cand, grams, NGRAM_JACCARD_TAU)

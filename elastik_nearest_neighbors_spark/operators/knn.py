@@ -1,0 +1,265 @@
+"""kNN operators: exact brute-force and LSH-accelerated ANN search.
+
+`ann_search_lsh` is the reference's `GET .../_aknn_search?k1&k2` re-expressed
+as a batch of queries:
+1. candidates = index entries sharing ≥1 (table, hash) bucket with the query;
+   ranked by number of matching tables (ES term-match score), top-k1,
+   tie-broken by neighbor id;
+2. exact euclidean re-rank of the k1 candidates, top-k2.
+
+Scale shape (100 TB): the query side is small → broadcast; candidate
+generation is a broadcast hash join against the exploded index (index never
+shuffles); match counts partial-aggregate map-side; re-rank touches ≤ Q·k1
+rows. Exact kNN avoids the Q×N shuffle entirely via per-partition top-k
+(mapInPandas) before a tiny global top-k.
+
+Determinism: distances rounded to DIST_ROUND decimals before ranking; all
+ties broken by neighbor id. Self-matches are excluded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import io
+from ..constants import ANN_K1, ANN_K2, DIST_ROUND, KNN_K, N_QUERIES
+from ..functions.vector import as_double, cosine, euclidean
+from ..session import configure
+from .lsh import LshModel, build_index, explode_hashes
+
+
+def _partial_topk(scored: DataFrame, val_col: str, k: int, ascending: bool) -> DataFrame:
+    """Per-partition top-k — shrinks N·Q rows to ≤ Q·k per partition before
+    any shuffle. Keeps the exact global top-k because the final window uses
+    the same (val, id) ordering."""
+    import pandas as pd
+
+    schema = scored.schema
+
+    def fold(batches):
+        acc = None
+        for pdf in batches:
+            cur = pd.concat([acc, pdf]) if acc is not None else pdf
+            cur = cur.sort_values(
+                ["query_id", val_col, "neighbor_id"], ascending=[True, ascending, True]
+            )
+            acc = cur.groupby("query_id", sort=False).head(k)
+        if acc is not None:
+            yield acc
+
+    return scored.mapInPandas(fold, schema)
+
+
+def knn_exact(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    k: int = KNN_K,
+    metric: str = "euclidean",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact kNN of each query against the index (self excluded).
+
+    Output: (query_id, neighbor_id, distance|cosine) — top-k per query.
+    """
+    q = query_df.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    idx = index_df.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv")
+    )
+    if metric == "euclidean":
+        val, val_col, asc = euclidean(F.col("qv"), F.col("nv")), "distance", True
+    elif metric == "cosine":
+        val, val_col, asc = cosine(F.col("qv"), F.col("nv")), "cosine", False
+    else:
+        raise ValueError(metric)
+    scored = (
+        idx.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", F.round(val, DIST_ROUND).alias(val_col))
+    )
+    local = _partial_topk(scored, val_col, k, asc)
+    order = [F.col(val_col).asc() if asc else F.col(val_col).desc(), F.col("neighbor_id").asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def ann_search_lsh(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    model: LshModel,
+    k1: int = ANN_K1,
+    k2: int = ANN_K2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reference `_aknn_search`: bucket term-match top-k1 → exact re-rank top-k2.
+
+    Output: (query_id, neighbor_id, n_match, distance).
+    """
+    idx_hashed = build_index(index_df, model, vec_col, id_col)
+    q_hashed = build_index(query_df, model, vec_col, id_col)
+
+    idx_exp = explode_hashes(idx_hashed, id_col, "neighbor_id")
+    q_exp = explode_hashes(q_hashed, id_col, "query_id")
+
+    counts = (
+        idx_exp.join(F.broadcast(q_exp), ["tbl", "hash"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("n_match"), F.asc("neighbor_id"))
+    k1_sel = counts.withColumn("rn", F.row_number().over(w1)).where(F.col("rn") <= k1).drop("rn")
+
+    nvec = index_df.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
+    qvec = query_df.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        k1_sel.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "n_match",
+            F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k2)
+        .drop("rn")
+    )
+
+
+# ---- registry entries (spark, sf_dir) → DataFrame ---------------------------
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    return io.table(spark, sf_dir, "embeddings")
+
+
+def lsh_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #1: the index itself — per-vector table hashes, exploded."""
+    emb = _emb(spark, sf_dir)
+    model = LshModel.fit_df(emb)
+    return explode_hashes(build_index(emb, model), "vec_id", "vec_id").select(
+        "vec_id", F.col("tbl").cast("int").alias("tbl"), "hash"
+    )
+
+
+def ann_search_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    model = LshModel.fit_df(emb)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ann_search_lsh(emb, queries, model)
+
+
+def knn_exact_euclidean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="euclidean")
+
+
+def knn_exact_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="cosine")
+
+
+def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k2 of LSH ANN vs exact kNN, per query (quality metric the
+    reference's benchmarks report)."""
+    ann = ann_search_lsh_q(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = knn_exact_euclidean_q(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = ann.intersect(exact).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )
+
+
+def _lsh_pairs(emb: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (vec_a < vec_b) sharing ≥1 LSH bucket.
+
+    At scale: self-join shuffles on (tbl, hash); AQE skew-join splits hot
+    buckets. A production bucket-size cap (drop pathological mega-buckets)
+    is available via MAX_BUCKET-style pre-filtering; left off here so the
+    operator stays exactly oracle-mirrorable.
+    """
+    model = LshModel.fit_df(emb)
+    exp = explode_hashes(build_index(emb, model), "vec_id", "vec_id")
+    a = exp.select(F.col("vec_id").alias("vec_a"), "tbl", "hash")
+    b = exp.select(F.col("vec_id").alias("vec_b"), "tbl", "hash")
+    return (
+        a.join(b, ["tbl", "hash"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
+def _pairs_with_cosine(emb: DataFrame, pairs: DataFrame) -> DataFrame:
+    ea = emb.select(F.col("vec_id").alias("vec_a"), as_double(F.col("embedding")).alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), as_double(F.col("embedding")).alias("vb"))
+    return (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), DIST_ROUND).alias("cosine"),
+        )
+    )
+
+
+def similarity_join_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #6: all-pairs near-neighbor join via shared LSH buckets."""
+    from ..constants import COSINE_JOIN_TAU
+
+    emb = _emb(spark, sf_dir)
+    scored = _pairs_with_cosine(emb, _lsh_pairs(emb))
+    return scored.where(F.col("cosine") >= COSINE_JOIN_TAU)
+
+
+def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #15: canonical representative per vector = min id over its
+    cosine-near-duplicates (single-hop, deterministic)."""
+    from ..constants import COSINE_JOIN_TAU
+
+    emb = _emb(spark, sf_dir)
+    near = _pairs_with_cosine(emb, _lsh_pairs(emb)).where(
+        F.col("cosine") >= COSINE_JOIN_TAU
+    )
+    sym = (
+        near.select(F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("other"))
+        .unionAll(near.select(F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("other")))
+        .unionAll(emb.select("vec_id", F.col("vec_id").alias("other")))
+    )
+    return sym.groupBy("vec_id").agg(F.min("other").alias("canonical_id"))
+
+
+def vector_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #5: the vector function family over the embeddings table."""
+    from ..functions.vector import dot, l2_norm
+
+    emb = _emb(spark, sf_dir)
+    v = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(v), DIST_ROUND).alias("l2_norm"),
+        F.round(dot(v, v), DIST_ROUND).alias("self_dot"),
+        F.size("embedding").alias("dim"),
+    )

@@ -1,0 +1,95 @@
+"""Text-analysis operators over `documents` (SURVEY §2 #16-19).
+
+Everything is a pure Catalyst expression (JVM, codegen) — no Python in the
+hot path — and every float output is rounded at the edge so the DuckDB
+oracles match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+from ..constants import LANG_MARKERS, STOPWORDS_EN, TOKEN_REGEX
+from ..functions.text import fingerprint
+from ..session import configure
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    return io.table(spark, sf_dir, "documents")
+
+
+def _count_in(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language heuristic; ties break in LANG_MARKERS order.
+
+    Output: (doc_id, lang_pred, best_score)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    scores = {lang: _count_in(toks, words) for lang, words in LANG_MARKERS}
+    best = F.greatest(*scores.values())
+    pred = None
+    for lang, _ in reversed(LANG_MARKERS):
+        cond = F.when(scores[lang] == best, F.lit(lang))
+        pred = cond.otherwise(pred) if pred is not None else cond
+    return docs.select(
+        "doc_id", pred.alias("lang_pred"), best.cast("int").alias("best_score")
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc quality features + a blended score in [0,1].
+
+    Output: (doc_id, n_tokens, stop_ratio, punct_ratio, mean_tok_len, quality)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    stop_ratio = F.round(_count_in(toks, STOPWORDS_EN) / n_tok, 6)
+    punct_ratio = F.round(F.regexp_count("text", F.lit("[^a-z0-9 ]")) / n_chars, 6)
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    mean_tok_len = F.round(tok_len_sum / n_tok, 6)
+    quality = F.round(
+        F.lit(0.4) * stop_ratio
+        + F.lit(0.3) * F.least(F.lit(1.0), n_tok / F.lit(100.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("int").alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_tok_len.alias("mean_tok_len"),
+        quality.alias("quality"),
+    )
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace, regex (BPE-ish word/symbol) and distinct token counts.
+
+    Output: (doc_id, ws_tokens, re_tokens, uniq_tokens)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(TOKEN_REGEX)).cast("int").alias("re_tokens"),
+        F.size(F.array_distinct(toks)).cast("int").alias("uniq_tokens"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive polynomial rolling hash of the token stream.
+
+    Output: (doc_id, fingerprint)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return docs.select("doc_id", fingerprint(toks).alias("fingerprint"))

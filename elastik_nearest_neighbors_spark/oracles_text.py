@@ -1,0 +1,213 @@
+"""DuckDB oracle SQL for dedup + text-analysis operators.
+
+Mirrors operators/dedup.py and operators/textops.py expression-for-expression
+(see functions/text.py for the cross-engine hashing contract). Where the
+Spark side uses a lossless optimization (prefix filter, band blocking) the
+oracle uses the equivalent brute-force formulation — same result set.
+"""
+
+from __future__ import annotations
+
+from .constants import (
+    LANG_MARKERS,
+    MERSENNE_P,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BAND_ROWS,
+    MINHASH_JACCARD_TAU,
+    MINHASH_K,
+    NGRAM_JACCARD_TAU,
+    NGRAM_N,
+    SIMHASH_BITS,
+    SIMHASH_MAX_HAMMING,
+    STOPWORDS_EN,
+    TOKEN_REGEX,
+)
+
+H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _h60(x: str) -> str:
+    return H60.format(x=x)
+
+
+def dedup_exact(sf_dir: str) -> str:
+    return """
+SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+SHINGLES_CTE = """
+shingles AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+  WHERE len(t) >= 3
+), sh AS (
+  SELECT doc_id, {h} AS h FROM shingles
+)""".format(h=_h60("s"))
+
+
+def _mh_cols() -> str:
+    return ",\n  ".join(
+        f"MIN(({MINHASH_A[j]} * (h % {MERSENNE_P}) + {MINHASH_B[j]}) % {MERSENNE_P}) AS mh_{j}"
+        for j in range(MINHASH_K)
+    )
+
+
+def minhash_signatures(sf_dir: str) -> str:
+    return f"""
+WITH {SHINGLES_CTE}
+SELECT doc_id,
+  {_mh_cols()}
+FROM sh GROUP BY doc_id
+"""
+
+
+def dedup_minhash_lsh(sf_dir: str) -> str:
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_selects = []
+    for bi in range(n_bands):
+        cols = [f"mh_{bi * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)]
+        concat = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(f"SELECT doc_id, {bi} AS band, {concat} AS bval FROM sig")
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {SHINGLES_CTE}, sig AS (
+  SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id
+), bands AS (
+{bands}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+), ds AS (
+  SELECT DISTINCT doc_id, h AS g FROM sh
+), sz AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY 1
+), inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c JOIN ds a ON a.doc_id = c.doc_a JOIN ds b ON b.doc_id = c.doc_b AND a.g = b.g
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE round(i.i / (sa.n + sb.n - i.i), 6) >= {MINHASH_JACCARD_TAU}
+"""
+
+
+def _simhash_cte() -> str:
+    sums = ",\n    ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), th AS (
+  SELECT doc_id, {_h60("t")} AS h FROM tok
+), sums AS (
+  SELECT doc_id,
+    {sums}
+  FROM th GROUP BY doc_id
+), sims AS (
+  SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM sums
+)"""
+
+
+def dedup_simhash(sf_dir: str) -> str:
+    # brute-force pair scan — equivalent to the Spark band blocking
+    # (pigeonhole guarantees no pair with hamming <= 3 is missed there)
+    return f"""
+WITH {_simhash_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+def ngram_jaccard_join(sf_dir: str) -> str:
+    # brute force — prefix filtering on the Spark side is lossless
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, substr(text, i, {NGRAM_N}) AS g
+  FROM documents, LATERAL (SELECT unnest(range(1, len(text) - {NGRAM_N - 2})) AS i) r
+  WHERE len(text) >= {NGRAM_N}
+), sz AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
+WHERE round(i.i / (sa.n + sb.n - i.i), 6) >= {NGRAM_JACCARD_TAU}
+"""
+
+
+# ---- text analysis ----------------------------------------------------------
+
+
+def _score(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({lst})))"
+
+
+def lang_id(sf_dir: str) -> str:
+    scores = {lang: _score(words) for lang, words in LANG_MARKERS}
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {scores[lang]} = {greatest} THEN '{lang}'" for lang, _ in LANG_MARKERS
+    ) + " END"
+    return f"""
+SELECT doc_id, {case} AS lang_pred, CAST({greatest} AS INT) AS best_score
+FROM documents
+"""
+
+
+def quality_score(sf_dir: str) -> str:
+    stop = _score(STOPWORDS_EN)
+    n_tok = "len(string_split(text, ' '))"
+    punct = f"len(regexp_extract_all(text, '[^a-z0-9 ]'))"
+    tok_len_sum = "list_sum(list_transform(string_split(text, ' '), t -> length(t)))"
+    return f"""
+SELECT doc_id,
+  CAST({n_tok} AS INT) AS n_tokens,
+  round({stop} / {n_tok}, 6) AS stop_ratio,
+  round({punct} / length(text), 6) AS punct_ratio,
+  round({tok_len_sum} / {n_tok}, 6) AS mean_tok_len,
+  round(0.4 * round({stop} / {n_tok}, 6)
+      + 0.3 * least(1.0, {n_tok} / 100.0)
+      + 0.3 * (1.0 - round({punct} / length(text), 6)), 6) AS quality
+FROM documents
+"""
+
+
+def token_count(sf_dir: str) -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS INT) AS re_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS uniq_tokens
+FROM documents
+"""
+
+
+def doc_fingerprint(sf_dir: str) -> str:
+    h = _h60("t")
+    return f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(string_split(text, ' '), t -> {h} % 1000000007)),
+    (acc, h) -> (acc * 131 + h) % {MERSENNE_P}
+  ) AS fingerprint
+FROM documents
+"""

@@ -1,0 +1,190 @@
+"""DuckDB oracle SQL for the vector engine (LSH / kNN / ANN / sim-join).
+
+The LSH model is refit here from the same parquet with the same deterministic
+sample rule (first 2·T·B rows by vec_id, float64), so the hyperplane literals
+inlined into the SQL are bit-identical to what the Spark operators use. The
+margin sign test is round(dot − offset, 6) > 0 on both sides, making hash
+bits immune to float summation-order noise.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from .constants import (
+    ANN_K1,
+    ANN_K2,
+    COSINE_JOIN_TAU,
+    KNN_K,
+    LSH_BITS,
+    LSH_TABLES,
+    N_QUERIES,
+)
+
+
+@lru_cache(maxsize=8)
+def lsh_model_for(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from .operators.lsh import LshModel
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = tbl.to_pandas()
+    n = 2 * LSH_TABLES * LSH_BITS
+    pdf = pdf[pdf.vec_id < n].sort_values("vec_id")
+    return LshModel.from_sample(np.array(pdf["embedding"].tolist(), dtype=np.float64))
+
+
+def _hash_sql(model, t: int, vec: str = "embedding") -> str:
+    terms = []
+    for b in range(model.bits):
+        i = t * model.bits + b
+        lit = "[" + ",".join(repr(float(x)) for x in model.normals[i]) + "]"
+        c = repr(float(model.offsets[i]))
+        terms.append(
+            f"(CASE WHEN round(list_dot_product({vec}::DOUBLE[], CAST({lit} AS DOUBLE[]))"
+            f" - ({c}), 6) > 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _hashes_cte(model) -> str:
+    parts = [
+        f"SELECT vec_id, CAST({t} AS INT) AS tbl, {_hash_sql(model, t)} AS hash FROM embeddings"
+        for t in range(model.tables)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def lsh_index(sf_dir: str) -> str:
+    return _hashes_cte(lsh_model_for(sf_dir))
+
+
+def _ann_core(model, k1: int, k2: int, nq: int) -> str:
+    """Shared CTE chain ending in view `ann(query_id, neighbor_id, n_match, distance)`."""
+    return f"""
+hashes AS (
+{_hashes_cte(model)}
+), cand AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id, CAST(COUNT(*) AS BIGINT) AS n_match
+  FROM hashes i JOIN hashes q ON i.tbl = q.tbl AND i.hash = q.hash
+  WHERE q.vec_id < {nq} AND i.vec_id <> q.vec_id
+  GROUP BY 1, 2
+), k1_sel AS (
+  SELECT query_id, neighbor_id, n_match,
+         row_number() OVER (PARTITION BY query_id ORDER BY n_match DESC, neighbor_id) AS rn
+  FROM cand
+), scored AS (
+  SELECT k.query_id, k.neighbor_id, k.n_match,
+         round(list_distance(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS distance
+  FROM k1_sel k
+  JOIN embeddings qe ON qe.vec_id = k.query_id
+  JOIN embeddings ne ON ne.vec_id = k.neighbor_id
+  WHERE k.rn <= {k1}
+), ann AS (
+  SELECT query_id, neighbor_id, n_match, distance
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rn2
+        FROM scored)
+  WHERE rn2 <= {k2}
+)"""
+
+
+def ann_search_lsh(sf_dir: str) -> str:
+    model = lsh_model_for(sf_dir)
+    return f"WITH {_ann_core(model, ANN_K1, ANN_K2, N_QUERIES)}\nSELECT * FROM ann"
+
+
+def _knn_sql(metric: str, k: int, nq: int) -> str:
+    if metric == "euclidean":
+        val = "round(list_distance(q.qv, i.nv), 6)"
+        col, order = "distance", "ASC"
+    else:
+        val = "round(list_cosine_similarity(q.qv, i.nv), 6)"
+        col, order = "cosine", "DESC"
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {nq}),
+     i AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv FROM embeddings)
+SELECT query_id, neighbor_id, {col} FROM (
+  SELECT q.qid AS query_id, i.nid AS neighbor_id, {val} AS {col},
+         row_number() OVER (PARTITION BY q.qid ORDER BY {val} {order}, i.nid) AS rn
+  FROM q JOIN i ON i.nid <> q.qid)
+WHERE rn <= {k}
+"""
+
+
+def knn_exact_euclidean(sf_dir: str) -> str:
+    return _knn_sql("euclidean", KNN_K, N_QUERIES)
+
+
+def knn_exact_cosine(sf_dir: str) -> str:
+    return _knn_sql("cosine", KNN_K, N_QUERIES)
+
+
+def ann_recall(sf_dir: str) -> str:
+    model = lsh_model_for(sf_dir)
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    return f"""
+WITH {_ann_core(model, ANN_K1, ANN_K2, N_QUERIES)},
+exact AS ({exact}),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+)
+SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
+FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+"""
+
+
+def similarity_join_lsh(sf_dir: str) -> str:
+    model = lsh_model_for(sf_dir)
+    return f"""
+WITH hashes AS (
+{_hashes_cte(model)}
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM hashes a JOIN hashes b ON a.tbl = b.tbl AND a.hash = b.hash AND a.vec_id < b.vec_id
+)
+SELECT p.vec_a, p.vec_b,
+       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
+FROM pairs p
+JOIN embeddings ea ON ea.vec_id = p.vec_a
+JOIN embeddings eb ON eb.vec_id = p.vec_b
+WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= {COSINE_JOIN_TAU}
+"""
+
+
+def dedup_embedding_cosine(sf_dir: str) -> str:
+    model = lsh_model_for(sf_dir)
+    return f"""
+WITH hashes AS (
+{_hashes_cte(model)}
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM hashes a JOIN hashes b ON a.tbl = b.tbl AND a.hash = b.hash AND a.vec_id < b.vec_id
+), near AS (
+  SELECT vec_a, vec_b FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b
+  WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= {COSINE_JOIN_TAU}
+), sym AS (
+  SELECT vec_a AS vec_id, vec_b AS other FROM near
+  UNION ALL SELECT vec_b, vec_a FROM near
+  UNION ALL SELECT vec_id, vec_id FROM embeddings
+)
+SELECT vec_id, MIN(other) AS canonical_id FROM sym GROUP BY vec_id
+"""
+
+
+def vector_stats(sf_dir: str) -> str:
+    return """
+SELECT vec_id,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+       round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS self_dot,
+       CAST(len(embedding) AS INT) AS dim
+FROM embeddings
+"""

@@ -1,5 +1,10 @@
 """Query registry: the single source of truth wiring SURVEY §2 keys to
-(Spark callable, DuckDB oracle SQL). `__spark_entry__.py` re-exports this."""
+(Spark callable, DuckDB oracle SQL). `__spark_entry__.py` re-exports this.
+
+Oracle builders take the sf_dir because some oracles (LSH family) inline
+model constants refit deterministically from that scale's parquet; the
+driver's gate runs at sf0.01, which is the default.
+"""
 
 from __future__ import annotations
 
@@ -7,12 +12,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import oracles
-from .operators import analytics
+from . import oracles, oracles_text, oracles_vector
+from .io import ORACLE_SF_DIR
+from .operators import analytics, dedup, knn, textops
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _QUERIES: dict[str, QueryFn] = {
+    # core vector engine (reference parity)
+    "lsh_index": knn.lsh_index,
+    "ann_search_lsh": knn.ann_search_lsh_q,
+    "knn_exact_euclidean": knn.knn_exact_euclidean_q,
+    "knn_exact_cosine": knn.knn_exact_cosine_q,
+    "ann_recall": knn.ann_recall_q,
+    "similarity_join_lsh": knn.similarity_join_lsh_q,
+    "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
+    "vector_stats": knn.vector_stats_q,
+    # LLM-pipeline dedup + text analysis
+    "dedup_exact": dedup.dedup_exact,
+    "minhash_signatures": dedup.minhash_signatures,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "dedup_simhash": dedup.dedup_simhash,
+    "ngram_jaccard_join": dedup.ngram_jaccard_join,
+    "lang_id": textops.lang_id,
+    "quality_score": textops.quality_score,
+    "token_count": textops.token_count,
+    "doc_fingerprint": textops.doc_fingerprint,
+    # generic analytics
     "q1_pricing_summary": analytics.q1_pricing_summary,
     "q3_shipping_priority": analytics.q3_shipping_priority,
     "q6_revenue_delta": analytics.q6_revenue_delta,
@@ -20,12 +46,30 @@ _QUERIES: dict[str, QueryFn] = {
     "events_sessionize": analytics.events_sessionize,
 }
 
-_ORACLES: dict[str, Callable[[], str]] = {
-    "q1_pricing_summary": oracles.q1_pricing_summary,
-    "q3_shipping_priority": oracles.q3_shipping_priority,
-    "q6_revenue_delta": oracles.q6_revenue_delta,
-    "events_hourly": oracles.events_hourly,
-    "events_sessionize": oracles.events_sessionize,
+# oracle builders: sf_dir -> SQL
+_ORACLES: dict[str, Callable[[str], str]] = {
+    "lsh_index": oracles_vector.lsh_index,
+    "ann_search_lsh": oracles_vector.ann_search_lsh,
+    "knn_exact_euclidean": oracles_vector.knn_exact_euclidean,
+    "knn_exact_cosine": oracles_vector.knn_exact_cosine,
+    "ann_recall": oracles_vector.ann_recall,
+    "similarity_join_lsh": oracles_vector.similarity_join_lsh,
+    "dedup_embedding_cosine": oracles_vector.dedup_embedding_cosine,
+    "vector_stats": oracles_vector.vector_stats,
+    "dedup_exact": oracles_text.dedup_exact,
+    "minhash_signatures": oracles_text.minhash_signatures,
+    "dedup_minhash_lsh": oracles_text.dedup_minhash_lsh,
+    "dedup_simhash": oracles_text.dedup_simhash,
+    "ngram_jaccard_join": oracles_text.ngram_jaccard_join,
+    "lang_id": oracles_text.lang_id,
+    "quality_score": oracles_text.quality_score,
+    "token_count": oracles_text.token_count,
+    "doc_fingerprint": oracles_text.doc_fingerprint,
+    "q1_pricing_summary": lambda sf: oracles.q1_pricing_summary(),
+    "q3_shipping_priority": lambda sf: oracles.q3_shipping_priority(),
+    "q6_revenue_delta": lambda sf: oracles.q6_revenue_delta(),
+    "events_hourly": lambda sf: oracles.events_hourly(),
+    "events_sessionize": lambda sf: oracles.events_sessionize(),
 }
 
 
@@ -33,5 +77,5 @@ def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
 
-def oracle_sql() -> dict[str, str]:
-    return {k: fn() for k, fn in _ORACLES.items()}
+def oracle_sql(sf_dir: str = ORACLE_SF_DIR) -> dict[str, str]:
+    return {k: fn(sf_dir) for k, fn in _ORACLES.items()}

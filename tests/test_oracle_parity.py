@@ -30,3 +30,4 @@ def test_parity(spark, con, key):
     odf = con.sql(oracles[key]).df()
     errs = compare(sdf, odf)
     assert not errs, f"{key}: {errs[:5]}"
+    assert len(odf) > 0, f"{key}: oracle returned 0 rows — entry proves nothing"
