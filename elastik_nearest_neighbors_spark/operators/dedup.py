@@ -30,7 +30,7 @@ from ..constants import (
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
 )
-from ..functions.text import char_ngrams, md5_hash60, universal_hash, word_shingles
+from ..functions.text import md5_hash60, universal_hash, word_shingles
 from ..session import configure
 
 
@@ -72,12 +72,13 @@ def _jaccard_on(cand: DataFrame, ds: DataFrame, tau: float, a="doc_a", b="doc_b"
     """Exact Jaccard verification of candidate pairs against distinct-element
     sets ds(doc_id, g). Returns (doc_a, doc_b, jaccard) filtered to >= tau."""
     sz = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ga = ds.select(F.col("doc_id").alias(a), F.col("g").alias("ga"))
-    gb = ds.select(F.col("doc_id").alias(b), F.col("g").alias("gb"))
+    ga = ds.select(F.col("doc_id").alias(a), "g")
+    gb = ds.select(F.col("doc_id").alias(b), "g")
+    # join gb on (doc, gram) TOGETHER: keeps it a hash join on both keys;
+    # joining on doc alone would explode to |cand|·|A|·|B| rows first
     inter = (
         cand.join(ga, a)
-        .join(gb, b)
-        .where(F.col("ga") == F.col("gb"))
+        .join(gb, [b, "g"])
         .groupBy(a, b)
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -178,17 +179,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-4-gram Jaccard join ≥ τ with lossless prefix filtering.
+    """Exact word-4-gram Jaccard set-similarity join ≥ τ (PPJoin-lite).
 
-    Each doc keeps only its |A| − ceil(τ·|A|) + 1 globally-rarest grams as
-    join keys (prefix-filter lemma: any pair with jaccard ≥ τ must collide
-    on those). Verification computes exact Jaccard on full distinct-gram
-    sets, so results equal the brute-force oracle exactly.
+    Two lossless prunes before verification:
+    - prefix filter: each doc keeps only its |A| − ceil(τ·|A|) + 1
+      globally-rarest grams as join keys (any pair with jaccard ≥ τ must
+      collide on those);
+    - length filter: jaccard ≥ τ forces τ·|A| ≤ |B| ≤ |A|/τ.
+    Verification computes exact Jaccard on full distinct-gram sets, so
+    results equal the brute-force oracle exactly.
+
+    Word grams (not char grams) keep the key space sparse/zipfian — prefix
+    filtering collapses when the gram vocabulary is small.
 
     Output: (doc_a, doc_b, jaccard)."""
     docs = _docs(spark, sf_dir)
-    grams = docs.select(
-        "doc_id", F.explode(F.array_distinct(char_ngrams(F.col("text"), NGRAM_N))).alias("g")
+    toks = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(toks) >= NGRAM_N).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(toks, NGRAM_N))).alias("g"),
     )
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -199,10 +208,17 @@ def ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ordered.where(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(NGRAM_JACCARD_TAU) * F.col("n")) + 1
-    ).select("doc_id", "g")
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "g")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), "g")
+    ).select("doc_id", "g", "n")
+    pa = prefix.select(F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("na"))
+    pb = prefix.select(F.col("doc_id").alias("doc_b"), "g", F.col("n").alias("nb"))
     cand = (
-        pa.join(pb, "g").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+        pa.join(pb, "g")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("nb") >= F.ceil(F.lit(NGRAM_JACCARD_TAU) * F.col("na")))
+            & (F.col("nb") <= F.floor(F.col("na") / F.lit(NGRAM_JACCARD_TAU)))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
     return _jaccard_on(cand, grams, NGRAM_JACCARD_TAU)

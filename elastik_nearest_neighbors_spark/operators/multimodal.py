@@ -1,0 +1,78 @@
+"""Multimodal column plumbing (SURVEY §2 #9).
+
+The reference's pipeline decodes images and extracts MobileNet feature
+vectors before indexing. This container has no image/audio libraries, so the
+DECODE STEP IS STUBBED (`decode_image` raises NotImplementedError; the
+featurizer falls back to a deterministic digest-based fake). Everything
+Spark-side is real and tested: the opaque `binary` payload column with a
+typed metadata struct, Arrow-batched `mapInPandas` with a stable output
+schema, and the downstream hand-off into the LSH indexer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import io
+from ..session import configure
+
+FEATURE_DIM = 8
+FEATURIZE_SCHEMA = "doc_id bigint, n_bytes int, mime string, features array<double>"
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real decode path — requires an image library not present here.
+
+    STUB: replace with PIL/cv2 decode + model inference in production."""
+    raise NotImplementedError("image decoding requires PIL/cv2; not available in this container")
+
+
+def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic digest-based stand-in features in [0, 1)."""
+    d = hashlib.md5(payload).digest()
+    return [int.from_bytes(d[2 * i : 2 * i + 2], "big") / 65536.0 for i in range(dim)]
+
+
+def featurize_binary(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """binary payload → feature vector via Arrow-batched mapInPandas.
+
+    Batch shape: each pandas batch holds ≤ arrow.maxRecordsPerBatch rows;
+    per-batch numpy work, no per-row Python overhead beyond the decode call.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            feats = []
+            for b in payloads:
+                try:
+                    decode_image(bytes(b))  # real path, stubbed in this container
+                except NotImplementedError:
+                    feats.append(fake_features(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": [len(bytes(b)) for b in payloads],
+                    "mime": pdf["mime"],
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, FEATURIZE_SCHEMA)
+
+
+def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: documents' text bytes stand in for image payloads."""
+    configure(spark)
+    docs = io.table(spark, sf_dir, "documents")
+    payload = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/plain").alias("mime"),
+    )
+    return featurize_binary(payload)

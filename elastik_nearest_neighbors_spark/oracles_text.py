@@ -133,12 +133,13 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 
 
 def ngram_jaccard_join(sf_dir: str) -> str:
-    # brute force — prefix filtering on the Spark side is lossless
+    # brute force — prefix/length filtering on the Spark side is lossless
     return f"""
 WITH grams AS (
-  SELECT DISTINCT doc_id, substr(text, i, {NGRAM_N}) AS g
-  FROM documents, LATERAL (SELECT unnest(range(1, len(text) - {NGRAM_N - 2})) AS i) r
-  WHERE len(text) >= {NGRAM_N}
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r
+  WHERE len(t) >= {NGRAM_N}
 ), sz AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY 1
 ), inter AS (

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import oracles, oracles_text, oracles_vector
 from .io import ORACLE_SF_DIR
-from .operators import analytics, dedup, knn, textops
+from .operators import analytics, dedup, knn, multimodal, textops
+from .streaming import ingest
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -44,6 +45,10 @@ _QUERIES: dict[str, QueryFn] = {
     "q6_revenue_delta": analytics.q6_revenue_delta,
     "events_hourly": analytics.events_hourly,
     "events_sessionize": analytics.events_sessionize,
+    # streaming + multimodal (rows-only: no oracle SQL by design)
+    "streaming_index": ingest.streaming_index,
+    "streaming_events_hourly": ingest.streaming_events_hourly,
+    "multimodal_featurize": multimodal.multimodal_featurize,
 }
 
 # oracle builders: sf_dir -> SQL

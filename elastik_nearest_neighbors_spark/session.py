@@ -38,6 +38,10 @@ def configure(spark: SparkSession) -> SparkSession:
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
+        # structured streaming stages don't get AQE coalescing; keep the
+        # default shuffle width sane for local/small runs (AQE re-plans
+        # batch stages anyway, so this is safe at any scale)
+        "spark.sql.shuffle.partitions": "32",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # vector columns are wide; keep Arrow batches modest so Python
         # workers never hold more than a few MB per batch
