@@ -47,6 +47,15 @@ def main() -> None:
     spark = get_spark(app_name="enn-bench", cpus=cpus, shuffle_partitions=max(cpus, 32))
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
+    # warm up the JVM, Python UDF workers, and the parquet footer cache so
+    # per-query timings measure the queries, not session startup
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda x: x * 1.0, "double")
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        _warm("vec_id")
+    ).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name in HEADLINE:

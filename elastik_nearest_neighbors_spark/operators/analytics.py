@@ -83,9 +83,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     li = io.table(spark, sf_dir, "lineitem")
+    # range predicate, not year(): function calls on the column defeat
+    # parquet filter pushdown (verified via explain: PushedFilters)
     return (
         li.where(
-            (F.year("l_shipdate") == Q6_YEAR)
+            (F.col("l_shipdate") >= F.lit(f"{Q6_YEAR}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{Q6_YEAR + 1}-01-01").cast("timestamp"))
             & (F.col("l_discount") >= Q6_DISC_LO)
             & (F.col("l_discount") <= Q6_DISC_HI)
             & (F.col("l_quantity") < Q6_QTY)

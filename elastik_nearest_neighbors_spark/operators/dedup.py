@@ -103,7 +103,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_a, doc_b, jaccard)."""
     docs = _docs(spark, sf_dir)
-    sig = minhash_signatures(spark, sf_dir)
+    # shingle hashes feed both the signatures and the verify sets — persist
+    # so the explode+hash pass over the corpus runs once
+    sh = _shingle_hashes(docs).persist()
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(universal_hash(F.col("h"), j)).alias(f"mh_{j}") for j in range(MINHASH_K)]
+    )
     n_bands = MINHASH_K // MINHASH_BAND_ROWS
     bands = None
     for bi in range(n_bands):
@@ -120,7 +125,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ds = _shingle_hashes(docs).select("doc_id", F.col("h").alias("g")).distinct()
+    ds = sh.select("doc_id", F.col("h").alias("g")).distinct()
     return _jaccard_on(cand, ds, MINHASH_JACCARD_TAU)
 
 
@@ -198,7 +203,7 @@ def ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.where(F.size(toks) >= NGRAM_N).select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(toks, NGRAM_N))).alias("g"),
-    )
+    ).persist()  # reused by dfreq, prefix ordering, and the verify join
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ordered = (

@@ -62,7 +62,8 @@ SELECT
   CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC})) AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem
-WHERE year(l_shipdate) = {Q6_YEAR}
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '{Q6_YEAR + 1}-01-01 00:00:00'
   AND l_discount >= {Q6_DISC_LO} AND l_discount <= {Q6_DISC_HI}
   AND l_quantity < {Q6_QTY}
 """
