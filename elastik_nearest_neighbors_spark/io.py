@@ -17,15 +17,38 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ORACLE_SF_DIR = "/root/testdata/sf0.01"
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# below this input size the table is at most a few row groups, so the scan
+# cannot split and every downstream narrow op runs on one core
+_WIDEN_BYTES = 128 << 20
+
+
+def _input_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    return sum(
+        os.path.getsize(os.path.join(r, f)) for r, _, fs in os.walk(path) for f in fs
+    )
+
+
+def table(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> DataFrame:
+    """Load a table. `widen=True` round-robin-repartitions SMALL inputs to
+    the session's core count: parquet splits at row-group granularity, so a
+    single-row-group file pins the whole scan→project pipeline to one task.
+    Only full-scan compute-heavy operators ask for it — a repartition is an
+    Exchange, which would block predicate pushdown for filtered queries —
+    and above _WIDEN_BYTES the scan splits naturally, so at real scale this
+    is a no-op."""
     configure(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     # TIMESTAMP(NANOS) columns arrive as long (see session.configure);
     # convert to micro-precision timestamps, matching DuckDB truncation.
     for field, col in (("ts", "ts"), ("o_orderdate", "o_orderdate"), ("l_shipdate", "l_shipdate")):
         if field in df.columns and isinstance(df.schema[field].dataType, LongType):
             # integer `div`, not `/` — float division loses precision at 1e18 ns
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{field} div 1000")))
+    if widen and _input_bytes(path) < _WIDEN_BYTES:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

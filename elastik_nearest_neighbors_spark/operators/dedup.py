@@ -36,7 +36,10 @@ from ..session import configure
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
-    return io.table(spark, sf_dir, "documents")
+    # widen: every operator here full-scans and then does heavy per-row
+    # expression work (shingle explode + hashing) — parallelize it even
+    # when the input is one row group
+    return io.table(spark, sf_dir, "documents", widen=True)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,10 +54,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, h) — one row per word-3-shingle occurrence, h = 60-bit hash."""
+    """(doc_id, h) — one row per distinct word-3-shingle, h = 60-bit hash.
+
+    Minhash is a set signature (min over duplicates is the min), and the
+    Jaccard verify sets are distinct-ified anyway, so deduping shingles
+    *inside the array* before explode is semantics-free and cuts the
+    explode + md5 volume by the per-doc repeat factor."""
     toks = F.split(F.col("text"), " ")
     with_sh = docs.where(F.size(toks) >= 3).select(
-        "doc_id", F.explode(word_shingles(toks)).alias("s")
+        "doc_id", F.explode(F.array_distinct(word_shingles(toks))).alias("s")
     )
     return with_sh.select("doc_id", md5_hash60(F.col("s")).alias("h"))
 
@@ -103,9 +111,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_a, doc_b, jaccard)."""
     docs = _docs(spark, sf_dir)
-    # shingle hashes feed both the signatures and the verify sets — persist
-    # so the explode+hash pass over the corpus runs once
-    sh = _shingle_hashes(docs).persist()
+    # the shingle pass feeds both the signatures and the verify sets; with
+    # the zip_with shingle expression it is cheap enough that re-running it
+    # beats a cache round-trip (persist leaks across lazy query results)
+    sh = _shingle_hashes(docs)
     sig = sh.groupBy("doc_id").agg(
         *[F.min(universal_hash(F.col("h"), j)).alias(f"mh_{j}") for j in range(MINHASH_K)]
     )
@@ -203,7 +212,7 @@ def ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = docs.where(F.size(toks) >= NGRAM_N).select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(toks, NGRAM_N))).alias("g"),
-    ).persist()  # reused by dfreq, prefix ordering, and the verify join
+    )
     dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ordered = (

@@ -69,7 +69,7 @@ def featurize_binary(df: DataFrame, payload_col: str = "payload", id_col: str = 
 def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry: documents' text bytes stand in for image payloads."""
     configure(spark)
-    docs = io.table(spark, sf_dir, "documents")
+    docs = io.table(spark, sf_dir, "documents", widen=True)
     payload = docs.select(
         "doc_id",
         F.encode("text", "utf-8").alias("payload"),

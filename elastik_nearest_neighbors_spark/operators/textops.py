@@ -18,7 +18,8 @@ from ..session import configure
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
-    return io.table(spark, sf_dir, "documents")
+    # widen: full-scan + heavy per-row expression work (see io.table)
+    return io.table(spark, sf_dir, "documents", widen=True)
 
 
 def _count_in(toks: Column, words: list[str]) -> Column:
