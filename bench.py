@@ -23,6 +23,8 @@ HEADLINE = [
     "knn_exact_cosine",
     "similarity_join_lsh",
     "ann_recall",
+    "ivf_index",
+    "ann_search_ivf",
     "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",

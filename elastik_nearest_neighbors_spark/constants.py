@@ -38,6 +38,11 @@ LSH_TABLES = 16
 LSH_BITS = 6
 ANN_K1 = 100  # candidates from hash-table term match
 ANN_K2 = 10  # final neighbors after exact re-rank
+# IVF coarse quantizer (scale-path ANN; FAISS-style inverted lists)
+IVF_NLIST = 16  # centroids / inverted lists
+IVF_NPROBE = 4  # lists probed per query
+IVF_SAMPLE = 256  # deterministic fit sample: first N vectors by id
+IVF_ITERS = 5  # Lloyd iterations
 KNN_K = 10
 N_QUERIES = 8  # vec_id < 8 is the canonical query set for test entries
 COSINE_JOIN_TAU = 0.42

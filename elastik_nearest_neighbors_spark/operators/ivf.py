@@ -1,0 +1,204 @@
+"""IVF (inverted-file) ANN — the scale-path alternative to the reference's
+multi-table LSH (EsAknn `_aknn_search`; see operators/lsh.py for the parity
+implementation). Same query contract — approximate candidate retrieval, exact
+euclidean re-rank — but candidates come from a coarse k-means quantizer
+instead of hash tables, which is how billion-vector systems (FAISS-style IVF)
+bound candidate counts predictably.
+
+Spark-first shape:
+- the coarse quantizer is tiny (NLIST × D float64 ≈ KB): fit once on a
+  deterministic sample on the driver, closed over by Arrow-batched
+  pandas_udfs (one numpy distance matrix per batch — no per-row Python).
+- `ivf_index` is a narrow, shuffle-free pass: vec → nearest-centroid list.
+  At 100 TB the index is written partitioned by list_id, so a search that
+  probes NPROBE lists partition-prunes the scan to NPROBE/NLIST of the data.
+- `ann_search_ivf`: the query side is tiny → broadcast join on list_id
+  against the index; re-rank touches only the probed lists' vectors.
+
+Determinism contract (mirrored in oracles_vector.py DuckDB SQL): the fit
+reads the parquet directly (pyarrow, driver-side) so the Spark operator and
+the oracle builder run the *same* numpy code on the same bytes; assignment
+distances are rounded to DIST_ROUND before argmin; all ties break on the
+smaller list_id / neighbor id.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from .. import io
+from ..constants import (
+    ANN_K2,
+    DIST_ROUND,
+    IVF_ITERS,
+    IVF_NLIST,
+    IVF_NPROBE,
+    IVF_SAMPLE,
+    N_QUERIES,
+)
+from ..functions.vector import as_double, euclidean
+from ..session import configure
+
+
+class IvfModel:
+    """Coarse quantizer: NLIST centroids from deterministic Lloyd k-means."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+
+    @classmethod
+    def fit_path(
+        cls,
+        sf_dir: str,
+        nlist: int = IVF_NLIST,
+        sample_n: int = IVF_SAMPLE,
+        iters: int = IVF_ITERS,
+    ) -> "IvfModel":
+        """Deterministic fit from the embeddings parquet.
+
+        Reads the file directly (pyarrow) rather than through Spark so the
+        oracle builder can run the identical code path — bit-identical
+        centroids on both sides. The sample is the first `sample_n` rows by
+        vec_id; init is the first `nlist` of those; `iters` full Lloyd
+        steps, empty clusters keep their previous centroid. At real scale
+        the sample would come from a Spark `.limit(sample_n)` collect — the
+        model stays KB-sized either way.
+        """
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        df = t.to_pandas().sort_values("vec_id").head(sample_n)
+        x = np.array(df["embedding"].tolist(), dtype=np.float64)
+        cent = x[:nlist].copy()
+        for _ in range(iters):
+            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(nlist):
+                members = x[assign == j]
+                if len(members):
+                    cent[j] = members.mean(axis=0)
+        return cls(cent)
+
+    # -- assignment ----------------------------------------------------------
+    def _dists(self, vecs: pd.Series) -> np.ndarray:
+        v = np.array(vecs.tolist(), dtype=np.float64)
+        # sqrt(sum((v-c)^2)) computed directly (not the matmul expansion) so
+        # the float ops line up with DuckDB's list_distance; rounded before
+        # any argmin/rank so last-ulp noise can't flip an assignment
+        d = np.sqrt(((v[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2))
+        return np.round(d, DIST_ROUND)
+
+    def assign_udf(self):
+        model = self
+
+        @pandas_udf("struct<list_id:int, center_dist:double>")
+        def _assign(vecs: pd.Series) -> pd.DataFrame:
+            d = model._dists(vecs)
+            lid = d.argmin(axis=1)  # first min == smallest list_id on ties
+            return pd.DataFrame(
+                {"list_id": lid.astype(np.int32), "center_dist": d[np.arange(len(d)), lid]}
+            )
+
+        return _assign
+
+    def probe_udf(self, nprobe: int = IVF_NPROBE):
+        model = self
+
+        @pandas_udf("array<int>")
+        def _probe(vecs: pd.Series) -> pd.Series:
+            d = model._dists(vecs)
+            # stable argsort: equal rounded distances order by list_id
+            order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+            return pd.Series(list(order.astype(np.int32)))
+
+        return _probe
+
+
+_MODEL_CACHE: dict[str, IvfModel] = {}
+
+
+def model_for(sf_dir: str) -> IvfModel:
+    m = _MODEL_CACHE.get(sf_dir)
+    if m is None:
+        m = _MODEL_CACHE[sf_dir] = IvfModel.fit_path(sf_dir)
+    return m
+
+
+def build_ivf_index(
+    df: DataFrame, model: IvfModel, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, list_id, center_dist) — narrow pass; write partitioned by
+    list_id at scale for probe-time partition pruning."""
+    a = model.assign_udf()(F.col(vec_col))
+    return df.select(F.col(id_col), a.alias("a")).select(
+        id_col, F.col("a.list_id").alias("list_id"), F.col("a.center_dist").alias("center_dist")
+    )
+
+
+def ann_search_ivf(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    model: IvfModel,
+    nprobe: int = IVF_NPROBE,
+    k: int = ANN_K2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the `nprobe` nearest lists per query, exact-euclidean re-rank
+    the vectors in those lists, return top-k.
+
+    Output: (query_id, neighbor_id, list_id, distance).
+    """
+    assigned = build_ivf_index(index_df, model, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), "list_id"
+    )
+    probes = query_df.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(model.probe_udf(nprobe)(F.col(vec_col))).alias("list_id"),
+    )
+    cand = assigned.join(F.broadcast(probes), "list_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    nvec = index_df.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
+    qvec = query_df.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        cand.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "list_id",
+            F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+# ---- registry entries (spark, sf_dir) → DataFrame ---------------------------
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    return io.table(spark, sf_dir, "embeddings", widen=True)
+
+
+def ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #25: coarse-quantizer assignment of every vector."""
+    return build_ivf_index(_emb(spark, sf_dir), model_for(sf_dir))
+
+
+def ann_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #26: IVF ANN for the canonical query set."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ann_search_ivf(emb, queries, model_for(sf_dir))

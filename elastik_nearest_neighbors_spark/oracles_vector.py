@@ -188,3 +188,67 @@ SELECT vec_id,
        CAST(len(embedding) AS INT) AS dim
 FROM embeddings
 """
+
+
+# ---- IVF (coarse-quantizer ANN; operators/ivf.py) ---------------------------
+
+
+def _ivf_cent_cte(sf_dir: str) -> str:
+    """Centroid literals from the same deterministic driver-side fit the
+    Spark operator uses (IvfModel.fit_path) — bit-identical by construction."""
+    from .operators.ivf import model_for
+
+    cent = model_for(sf_dir).centroids
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS list_id, [{','.join(repr(float(x)) for x in cent[i])}]::DOUBLE[] AS c"
+        for i in range(len(cent))
+    )
+    return f"cent AS ({rows})"
+
+
+def ivf_index(sf_dir: str) -> str:
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+d AS (
+  SELECT e.vec_id, c.list_id,
+         round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS center_dist
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, CAST(list_id AS INT) AS list_id, center_dist
+FROM d
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY center_dist, list_id) = 1
+"""
+
+
+def ann_search_ivf(sf_dir: str) -> str:
+    from .constants import ANN_K2, IVF_NPROBE, N_QUERIES
+
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERIES}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, CAST(a.list_id AS INT) AS list_id,
+         round(list_distance(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS distance
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings en ON en.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, list_id, distance
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+"""

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import oracles, oracles_text, oracles_vector
 from .io import ORACLE_SF_DIR
-from .operators import analytics, dedup, knn, multimodal, textops
+from .operators import analytics, dedup, ivf, knn, multimodal, textops
 from .streaming import ingest
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -29,6 +29,8 @@ _QUERIES: dict[str, QueryFn] = {
     "similarity_join_lsh": knn.similarity_join_lsh_q,
     "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
     "vector_stats": knn.vector_stats_q,
+    "ivf_index": ivf.ivf_index,
+    "ann_search_ivf": ivf.ann_search_ivf_q,
     # LLM-pipeline dedup + text analysis
     "dedup_exact": dedup.dedup_exact,
     "minhash_signatures": dedup.minhash_signatures,
@@ -61,6 +63,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "similarity_join_lsh": oracles_vector.similarity_join_lsh,
     "dedup_embedding_cosine": oracles_vector.dedup_embedding_cosine,
     "vector_stats": oracles_vector.vector_stats,
+    "ivf_index": oracles_vector.ivf_index,
+    "ann_search_ivf": oracles_vector.ann_search_ivf,
     "dedup_exact": oracles_text.dedup_exact,
     "minhash_signatures": oracles_text.minhash_signatures,
     "dedup_minhash_lsh": oracles_text.dedup_minhash_lsh,
