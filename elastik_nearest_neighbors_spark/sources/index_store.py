@@ -1,0 +1,69 @@
+"""Persisted index layout — the storage half of the 100 TB design.
+
+The reference keeps its index inside Elasticsearch (hash terms as keyword
+fields, pruned by ES's inverted index). The Spark-native equivalent is a
+parquet layout whose *directory partitioning* carries the pruning:
+
+- LSH: exploded (vec_id, tbl, hash) written partitioned by
+  (tbl, bucket = pmod(hash, n_buckets)). A search that term-matches one
+  (tbl, hash) pair touches exactly one directory — the scan's
+  PartitionFilters prune everything else without reading a footer.
+- IVF: (vec_id, list_id) partitioned by list_id; probing nprobe of nlist
+  lists reads nprobe/nlist of the data.
+
+`bucket` is a *directory-count cap*, not a hash table: at nlist/n_buckets
+directories the layout stays listable at 100 TB while still pruning ~1/n of
+the index per lookup. Hash equality is still checked in the scan filter —
+bucketing is lossless.
+
+The loaders take plain predicates so Catalyst sees literal partition
+filters; tests assert the pruning shows up in the physical plan
+(tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_HASH_BUCKETS = 64
+
+
+def save_lsh_index(exploded: DataFrame, path: str, n_buckets: int = DEFAULT_HASH_BUCKETS) -> None:
+    """Persist an exploded LSH index (vec_id, tbl, hash) partitioned by
+    (tbl, bucket). Narrow pass + write — no shuffle beyond the writer's
+    own file split."""
+    (
+        exploded.withColumn("bucket", F.pmod(F.col("hash"), F.lit(n_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("tbl", "bucket")
+        .parquet(path)
+    )
+
+
+def load_lsh_bucket(
+    spark: SparkSession, path: str, tbl: int, hash_val: int, n_buckets: int = DEFAULT_HASH_BUCKETS
+) -> DataFrame:
+    """Candidates for one (tbl, hash) term — partition-pruned to a single
+    (tbl, bucket) directory, then exact hash-matched inside it."""
+    return (
+        spark.read.parquet(path)
+        .where(
+            (F.col("tbl") == tbl)
+            & (F.col("bucket") == hash_val % n_buckets)
+            & (F.col("hash") == hash_val)
+        )
+        .select("vec_id", "tbl", "hash")
+    )
+
+
+def save_ivf_index(assigned: DataFrame, path: str) -> None:
+    """Persist an IVF index (vec_id, list_id, center_dist) partitioned by
+    list_id."""
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def load_ivf_lists(spark: SparkSession, path: str, list_ids: list[int]) -> DataFrame:
+    """Vectors in the probed lists — scan prunes to len(list_ids) of nlist
+    directories."""
+    return spark.read.parquet(path).where(F.col("list_id").isin(list_ids))

@@ -1,0 +1,67 @@
+"""Physical-plan contracts: the scale properties each operator is designed
+around must be visible in the plan, not just claimed in docstrings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from elastik_nearest_neighbors_spark import io, plans, sources
+from elastik_nearest_neighbors_spark.operators import analytics, ivf, knn
+from tests.conftest import SF_SMALL
+
+
+def test_q6_filters_reach_scan(spark):
+    pf = plans.pushed_filters(analytics.q6_revenue_delta(spark, SF_SMALL))
+    s = " ".join(pf)
+    assert "l_shipdate" in s and "l_discount" in s and "l_quantity" in s, pf
+
+
+def test_q3_broadcasts_small_dims(spark):
+    df = analytics.q3_shipping_priority(spark, SF_SMALL)
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+
+
+def test_ann_search_broadcasts_query_side(spark):
+    from elastik_nearest_neighbors_spark.operators.lsh import LshModel
+
+    emb = io.table(spark, SF_SMALL, "embeddings")
+    model = LshModel.fit_df(emb)
+    df = knn.ann_search_lsh(emb, emb.where(F.col("vec_id") < 8), model)
+    # both the candidate join and the re-rank gather broadcast the query side
+    assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
+
+
+def test_lsh_index_store_partition_prunes(spark, tmp_path):
+    from elastik_nearest_neighbors_spark.operators import knn as knn_ops
+
+    path = str(tmp_path / "lsh_idx")
+    exploded = knn_ops.lsh_index(spark, SF_SMALL)
+    sources.save_lsh_index(exploded, path)
+    row = exploded.limit(1).collect()[0]
+    one = sources.load_lsh_bucket(spark, path, row.tbl, row.hash)
+    assert plans.partition_filters(one), plans.formatted_plan(one)
+    # pruned read returns exactly the full-scan answer
+    expect = exploded.where((F.col("tbl") == row.tbl) & (F.col("hash") == row.hash)).count()
+    assert one.count() == expect > 0
+
+
+def test_ivf_index_store_partition_prunes(spark, tmp_path):
+    path = str(tmp_path / "ivf_idx")
+    assigned = ivf.ivf_index(spark, SF_SMALL)
+    sources.save_ivf_index(assigned, path)
+    probes = [0, 1, 2, 3]
+    sub = sources.load_ivf_lists(spark, path, probes)
+    assert plans.partition_filters(sub), plans.formatted_plan(sub)
+    assert sub.count() == assigned.where(F.col("list_id").isin(probes)).count() > 0
+
+
+def test_knn_exact_has_no_cartesian_shuffle(spark):
+    # the Q×N score pass must stay narrow: query side broadcast, partial
+    # top-k before the only shuffle (the final per-query window)
+    emb = io.table(spark, SF_SMALL, "embeddings")
+    df = knn.knn_exact(emb, emb.where(F.col("vec_id") < 8))
+    plan = plans.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # the != self-match predicate makes this a broadcast NESTED-LOOP join —
+    # still the right shape: tiny query side broadcast, index never shuffles
+    assert "BroadcastNestedLoopJoin" in plan or plans.broadcast_join_count(df) >= 1, plan
