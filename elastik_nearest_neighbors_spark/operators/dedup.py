@@ -27,6 +27,7 @@ from ..constants import (
     MINHASH_K,
     NGRAM_JACCARD_TAU,
     NGRAM_N,
+    SIMHASH_BANDS,
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
 )
@@ -119,13 +120,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.min(universal_hash(F.col("h"), j)).alias(f"mh_{j}") for j in range(MINHASH_K)]
     )
     n_bands = MINHASH_K // MINHASH_BAND_ROWS
-    bands = None
-    for bi in range(n_bands):
-        cols = [f"mh_{bi * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)]
-        one = sig.select(
-            "doc_id", F.lit(bi).alias("band"), F.concat_ws("_", *cols).alias("bval")
+    # one posexplode pass, not a 4-way union: union branches re-evaluate the
+    # signature subtree (or at best hit a reused exchange) — measured ~2×
+    band_vals = [
+        F.concat_ws(
+            "_", *[F.col(f"mh_{bi * MINHASH_BAND_ROWS + r}") for r in range(MINHASH_BAND_ROWS)]
         )
-        bands = one if bands is None else bands.unionAll(one)
+        for bi in range(n_bands)
+    ]
+    bands = sig.select("doc_id", F.posexplode(F.array(*band_vals)).alias("band", "bval"))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bval")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bval")
     cand = (
@@ -169,23 +172,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_a, doc_b, hamming)."""
     sims = _simhash(_docs(spark, sf_dir))
-    bands = None
-    for i in range(4):
-        one = sims.select(
-            "doc_id",
-            "simhash",
-            F.lit(i).alias("band"),
-            F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255)).alias("bval"),
-        )
-        bands = one if bands is None else bands.unionAll(one)
+    # one posexplode pass over the 4 byte-bands (see dedup_minhash_lsh)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "bval"),
+    )
     a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bval")
     b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bval")
     return (
         a.join(b, ["band", "bval"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
-        .distinct()
+        # hamming filter BEFORE the distinct: the band join emits every
+        # co-bucketed pair (quadratic in bucket size) but almost none pass
+        # ≤3 bits — dedup the survivors, not the candidates
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
     )
 
 
