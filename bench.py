@@ -25,6 +25,7 @@ HEADLINE = [
     "ann_recall",
     "ivf_index",
     "ann_search_ivf",
+    "ann_recall_ivf",
     "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",
@@ -36,6 +37,8 @@ HEADLINE = [
     "doc_fingerprint",
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
     "q6_revenue_delta",
     "events_hourly",
     "events_sessionize",

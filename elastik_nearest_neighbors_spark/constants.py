@@ -70,3 +70,8 @@ Q6_DISC_LO = 0.03
 Q6_DISC_HI = 0.07
 Q6_QTY = 24
 SESSION_GAP_MS = 30 * 60 * 1000
+Q4_DATE_LO = "1997-01-01"
+Q4_DATE_HI = "1998-01-01"
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1997-01-01"
+Q5_DATE_HI = "1998-01-01"

@@ -25,6 +25,11 @@ from ..constants import (
     DEC,
     Q3_DATE,
     Q3_SEGMENT,
+    Q4_DATE_HI,
+    Q4_DATE_LO,
+    Q5_DATE_HI,
+    Q5_DATE_LO,
+    Q5_REGION,
     Q6_DISC_HI,
     Q6_DISC_LO,
     Q6_QTY,
@@ -96,6 +101,68 @@ def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders in a date range with ≥1 late-shipped lineitem
+    (l_shipdate > o_orderdate), counted by priority.
+
+    The EXISTS becomes a LEFT SEMI join — at scale it shuffles both sides on
+    orderkey once and never materializes the multiplicity of matching
+    lineitems (no post-join distinct)."""
+    configure(spark)
+    orders = io.table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q4_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q4_DATE_HI).cast("timestamp"))
+    )
+    li = io.table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation where customer and supplier share
+    the nation, restricted to one region and one order year.
+
+    Join shape at scale: nation⋈region is tiny and broadcast into both dim
+    paths; customer and supplier are dims broadcast into the fact joins, so
+    the only real shuffles are lineitem⋈orders on orderkey."""
+    configure(spark)
+    region = io.table(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    nation = io.table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = io.table(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey", "n_name")
+    supp = io.table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = io.table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q5_DATE_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = io.table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    one = F.lit(1).cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # "local" supplier: same nation as the customer
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
         )
     )
 

@@ -13,6 +13,11 @@ from __future__ import annotations
 from .constants import (
     Q3_DATE,
     Q3_SEGMENT,
+    Q4_DATE_HI,
+    Q4_DATE_LO,
+    Q5_DATE_HI,
+    Q5_DATE_LO,
+    Q5_REGION,
     Q6_DISC_HI,
     Q6_DISC_LO,
     Q6_QTY,
@@ -100,4 +105,35 @@ SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
        CAST(SUM(v) AS DOUBLE) AS sum_value
 FROM sess
 GROUP BY user_id, sess_id
+"""
+
+
+def q4_order_priority() -> str:
+    return f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_DATE_LO} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q4_DATE_HI} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q5_local_supplier_volume() -> str:
+    return f"""
+SELECT n.n_name,
+  CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE s.s_nationkey = c.c_nationkey
+  AND r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_LO} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI} 00:00:00'
+GROUP BY n.n_name
 """

@@ -252,3 +252,47 @@ SELECT query_id, neighbor_id, list_id, distance
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
 """
+
+
+def ann_recall_ivf(sf_dir: str) -> str:
+    from .constants import IVF_NPROBE, KNN_K
+
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERIES}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) <= {IVF_NPROBE}
+),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(list_distance(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS distance
+    FROM probes p
+    JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+    JOIN embeddings eq ON eq.vec_id = p.query_id
+    JOIN embeddings en ON en.vec_id = a.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+),
+exact AS ({exact}),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+)
+SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
+FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+"""

@@ -31,6 +31,7 @@ _QUERIES: dict[str, QueryFn] = {
     "vector_stats": knn.vector_stats_q,
     "ivf_index": ivf.ivf_index,
     "ann_search_ivf": ivf.ann_search_ivf_q,
+    "ann_recall_ivf": ivf.ann_recall_ivf_q,
     # LLM-pipeline dedup + text analysis
     "dedup_exact": dedup.dedup_exact,
     "minhash_signatures": dedup.minhash_signatures,
@@ -44,12 +45,16 @@ _QUERIES: dict[str, QueryFn] = {
     # generic analytics
     "q1_pricing_summary": analytics.q1_pricing_summary,
     "q3_shipping_priority": analytics.q3_shipping_priority,
+    "q4_order_priority": analytics.q4_order_priority,
+    "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
     "q6_revenue_delta": analytics.q6_revenue_delta,
     "events_hourly": analytics.events_hourly,
     "events_sessionize": analytics.events_sessionize,
     # streaming + multimodal (rows-only: no oracle SQL by design)
     "streaming_index": ingest.streaming_index,
     "streaming_events_hourly": ingest.streaming_events_hourly,
+    "streaming_sessionize": ingest.streaming_sessionize,
+    "streaming_dedup_state": ingest.streaming_dedup_state,
     "multimodal_featurize": multimodal.multimodal_featurize,
 }
 
@@ -65,6 +70,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "vector_stats": oracles_vector.vector_stats,
     "ivf_index": oracles_vector.ivf_index,
     "ann_search_ivf": oracles_vector.ann_search_ivf,
+    "ann_recall_ivf": oracles_vector.ann_recall_ivf,
     "dedup_exact": oracles_text.dedup_exact,
     "minhash_signatures": oracles_text.minhash_signatures,
     "dedup_minhash_lsh": oracles_text.dedup_minhash_lsh,
@@ -76,6 +82,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "doc_fingerprint": oracles_text.doc_fingerprint,
     "q1_pricing_summary": lambda sf: oracles.q1_pricing_summary(),
     "q3_shipping_priority": lambda sf: oracles.q3_shipping_priority(),
+    "q4_order_priority": lambda sf: oracles.q4_order_priority(),
+    "q5_local_supplier_volume": lambda sf: oracles.q5_local_supplier_volume(),
     "q6_revenue_delta": lambda sf: oracles.q6_revenue_delta(),
     "events_hourly": lambda sf: oracles.events_hourly(),
     "events_sessionize": lambda sf: oracles.events_sessionize(),

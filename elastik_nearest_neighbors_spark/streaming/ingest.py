@@ -84,3 +84,88 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    event_type, n_events, sum_value
             FROM {name}"""
     )
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap) per user — the streaming twin
+    of analytics.events_sessionize, using the built-in session_window state
+    store. Complete mode + availableNow here; at scale this runs append mode
+    with a watermark so closed sessions emit incrementally and state stays
+    bounded by the open-session count."""
+    configure(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+    )
+    name = f"enn_stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""SELECT user_id,
+                   date_format(win.start, 'yyyy-MM-dd HH:mm:ss') AS session_start,
+                   n_events, sum_value
+            FROM {name}"""
+    )
+
+
+def streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with explicit state (applyInPandasWithState):
+    keyed by content hash, state = canonical (min) doc_id seen so far; each
+    hash is emitted once, on first sight. The custom-stateful-operator path
+    for semantics the built-in streaming aggregates can't express (emit-once
+    with arbitrary per-key state). State size = one bigint per distinct
+    content hash — at 100 TB this is RocksDB-backed and sharded by the
+    groupBy hash partitioning."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    configure(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    keyed = src.select(F.md5("text").alias("content_md5"), "doc_id").groupBy("content_md5")
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        first = not state.exists
+        best = None if first else state.get[0]
+        for pdf in pdfs:
+            m = int(pdf.doc_id.min())
+            best = m if best is None or m < best else best
+        state.update((best,))
+        if first:
+            yield pd.DataFrame({"content_md5": [key[0]], "canonical_id": [best]})
+
+    out = keyed.applyInPandasWithState(
+        dedup_fn,
+        "content_md5 string, canonical_id bigint",
+        "canonical_id bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = f"enn_stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT content_md5, canonical_id FROM {name}")

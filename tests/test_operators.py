@@ -114,3 +114,26 @@ def test_ivf_recall_vs_exact(spark):
     # nprobe=4 of 16 lists on weakly-clustered vectors; guard against
     # assignment/probe wiring regressions rather than asserting high recall
     assert hits.sum() / len(exact) >= 0.2
+
+
+def test_streaming_sessionize_matches_batch(spark):
+    from elastik_nearest_neighbors_spark.operators.analytics import events_sessionize
+    from elastik_nearest_neighbors_spark.streaming.ingest import streaming_sessionize
+
+    stream = streaming_sessionize(spark, SF_SMALL).toPandas()
+    batch = events_sessionize(spark, SF_SMALL).toPandas()
+    assert len(stream) == len(batch)
+    a = stream.groupby("user_id").n_events.sum().sort_index()
+    b = batch.groupby("user_id").n_events.sum().sort_index()
+    assert (a == b).all()
+
+
+def test_streaming_dedup_state_matches_batch(spark):
+    from elastik_nearest_neighbors_spark.operators.dedup import dedup_exact
+    from elastik_nearest_neighbors_spark.streaming.ingest import streaming_dedup_state
+
+    stream = streaming_dedup_state(spark, SF_SMALL).toPandas()
+    batch = dedup_exact(spark, SF_SMALL).toPandas()
+    m = stream.merge(batch, on="content_md5", how="outer")
+    assert len(m) == len(batch) == len(stream)
+    assert (m.canonical_id_x == m.canonical_id_y).all()
