@@ -38,6 +38,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
+    "q14_promo_revenue",
     "q5_local_supplier_volume",
     "q6_revenue_delta",
     "events_hourly",

@@ -167,6 +167,37 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: share of revenue from PROMO parts in one ship-year.
+
+    part is a dim → broadcast into the filtered lineitem scan; single
+    aggregation, no fact shuffle at all (the final agg is a 1-row reduce)."""
+    configure(spark)
+    part = io.table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = io.table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(f"{Q6_YEAR}-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(f"{Q6_YEAR + 1}-01-01").cast("timestamp"))
+    )
+    one = F.lit(1).cast(DEC)
+    disc = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast(DEC)))
+            .alias("promo"),
+            F.sum(disc).alias("total"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("promo").cast("double") / F.col("total").cast("double"), 6
+            ).alias("promo_pct"),
+            F.col("total").cast("double").alias("revenue"),
+            "n_items",
+        )
+    )
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     ev = io.table(spark, sf_dir, "events")

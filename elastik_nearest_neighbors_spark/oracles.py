@@ -137,3 +137,18 @@ WHERE s.s_nationkey = c.c_nationkey
   AND o.o_orderdate < TIMESTAMP '{Q5_DATE_HI} 00:00:00'
 GROUP BY n.n_name
 """
+
+
+def q14_promo_revenue() -> str:
+    return f"""
+SELECT
+  round(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        THEN CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))
+        ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
+      / CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE), 6) AS promo_pct,
+  CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '{Q6_YEAR + 1}-01-01 00:00:00'
+"""

@@ -46,6 +46,7 @@ _QUERIES: dict[str, QueryFn] = {
     "q1_pricing_summary": analytics.q1_pricing_summary,
     "q3_shipping_priority": analytics.q3_shipping_priority,
     "q4_order_priority": analytics.q4_order_priority,
+    "q14_promo_revenue": analytics.q14_promo_revenue,
     "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
     "q6_revenue_delta": analytics.q6_revenue_delta,
     "events_hourly": analytics.events_hourly,
@@ -83,6 +84,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "q1_pricing_summary": lambda sf: oracles.q1_pricing_summary(),
     "q3_shipping_priority": lambda sf: oracles.q3_shipping_priority(),
     "q4_order_priority": lambda sf: oracles.q4_order_priority(),
+    "q14_promo_revenue": lambda sf: oracles.q14_promo_revenue(),
     "q5_local_supplier_volume": lambda sf: oracles.q5_local_supplier_volume(),
     "q6_revenue_delta": lambda sf: oracles.q6_revenue_delta(),
     "events_hourly": lambda sf: oracles.events_hourly(),
