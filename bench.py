@@ -35,6 +35,7 @@ HEADLINE = [
     "quality_score",
     "token_count",
     "doc_fingerprint",
+    "doc_chunk",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -43,6 +44,7 @@ HEADLINE = [
     "q6_revenue_delta",
     "events_hourly",
     "events_sessionize",
+    "events_topk_users",
 ]
 
 

@@ -75,3 +75,8 @@ Q4_DATE_HI = "1998-01-01"
 Q5_REGION = "ASIA"
 Q5_DATE_LO = "1997-01-01"
 Q5_DATE_HI = "1998-01-01"
+
+# ---- document chunking (training-pipeline prep) ------------------------------
+CHUNK_TOKENS = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # start-to-start stride (8-token overlap)
+TOPK_USERS = 3  # grouped top-k for events_topk_users

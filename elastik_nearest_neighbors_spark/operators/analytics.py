@@ -239,3 +239,26 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "sess_id", "session_start", "n_events", "sum_value")
     )
+
+
+def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k: the TOPK_USERS highest-value users per event_type.
+
+    At scale: partial agg map-side on (event_type, user_id), then the rank
+    window shuffles only the aggregated rows on event_type. Decimal sum →
+    double at the edge keeps the rank key cross-engine deterministic."""
+    from ..constants import TOPK_USERS
+    from pyspark.sql.window import Window
+
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type", "user_id").agg(
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("total_value"), F.asc("user_id"))
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= TOPK_USERS)
+        .drop("rn")
+    )

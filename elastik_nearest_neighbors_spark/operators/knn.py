@@ -167,11 +167,16 @@ _MODEL_CACHE: dict[str, LshModel] = {}
 
 
 def _model_for(emb: DataFrame, sf_dir: str) -> LshModel:
-    """Per-sf model cache: the fit is deterministic, so refitting per entry
-    only repeats the same collect job. Keyed by sf_dir."""
+    """Per-sf model cache. Uses the same driver-side pyarrow fit as the
+    oracle builder (oracles_vector.lsh_model_for) — one source of truth,
+    bit-identical on both sides, and no Spark job just to collect the
+    KB-sized sample. (LshModel.fit_df remains the API for fitting from an
+    arbitrary DataFrame, e.g. the streaming path.)"""
+    from ..oracles_vector import lsh_model_for
+
     m = _MODEL_CACHE.get(sf_dir)
     if m is None:
-        m = _MODEL_CACHE[sf_dir] = LshModel.fit_df(emb)
+        m = _MODEL_CACHE[sf_dir] = lsh_model_for(sf_dir)
     return m
 
 

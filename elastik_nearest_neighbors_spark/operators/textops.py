@@ -94,3 +94,22 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     return docs.select("doc_id", fingerprint(toks).alias("fingerprint"))
+
+
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the standard prep step that turns
+    documents into training-sized pieces (CHUNK_TOKENS window, CHUNK_STRIDE
+    stride). One narrow pass: starts are a sequence, chunks a transform over
+    slices, exploded with their ordinal as chunk_id. Output grows ~n_tokens/
+    stride per doc; no shuffle at all."""
+    from ..constants import CHUNK_STRIDE, CHUNK_TOKENS
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(CHUNK_STRIDE))
+    chunks = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, CHUNK_TOKENS))
+    )
+    return docs.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    ).withColumn("n_tokens", F.size(F.split(F.col("chunk_text"), " ")))

@@ -152,3 +152,18 @@ FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
   AND l.l_shipdate < TIMESTAMP '{Q6_YEAR + 1}-01-01 00:00:00'
 """
+
+
+def events_topk_users() -> str:
+    from .constants import TOPK_USERS
+
+    return f"""
+SELECT event_type, user_id, total_value, n_events FROM (
+  SELECT event_type, user_id,
+    CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS total_value,
+    CAST(COUNT(*) AS BIGINT) AS n_events,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) DESC, user_id) AS rn
+  FROM events GROUP BY 1, 2)
+WHERE rn <= {TOPK_USERS}
+"""

@@ -212,3 +212,16 @@ SELECT doc_id,
   ) AS fingerprint
 FROM documents
 """
+
+
+def doc_chunk(sf_dir: str) -> str:
+    from .constants import CHUNK_STRIDE, CHUNK_TOKENS
+
+    return f"""
+SELECT doc_id,
+       CAST(s // {CHUNK_STRIDE} AS INT) AS chunk_id,
+       array_to_string(t[s + 1 : s + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       CAST(len(t[s + 1 : s + {CHUNK_TOKENS}]) AS INT) AS n_tokens
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+     LATERAL (SELECT unnest(range(0, len(t), {CHUNK_STRIDE})) AS s) r
+"""

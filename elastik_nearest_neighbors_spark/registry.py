@@ -42,6 +42,7 @@ _QUERIES: dict[str, QueryFn] = {
     "quality_score": textops.quality_score,
     "token_count": textops.token_count,
     "doc_fingerprint": textops.doc_fingerprint,
+    "doc_chunk": textops.doc_chunk,
     # generic analytics
     "q1_pricing_summary": analytics.q1_pricing_summary,
     "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -51,6 +52,7 @@ _QUERIES: dict[str, QueryFn] = {
     "q6_revenue_delta": analytics.q6_revenue_delta,
     "events_hourly": analytics.events_hourly,
     "events_sessionize": analytics.events_sessionize,
+    "events_topk_users": analytics.events_topk_users,
     # streaming + multimodal (rows-only: no oracle SQL by design)
     "streaming_index": ingest.streaming_index,
     "streaming_events_hourly": ingest.streaming_events_hourly,
@@ -81,6 +83,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "quality_score": oracles_text.quality_score,
     "token_count": oracles_text.token_count,
     "doc_fingerprint": oracles_text.doc_fingerprint,
+    "doc_chunk": oracles_text.doc_chunk,
     "q1_pricing_summary": lambda sf: oracles.q1_pricing_summary(),
     "q3_shipping_priority": lambda sf: oracles.q3_shipping_priority(),
     "q4_order_priority": lambda sf: oracles.q4_order_priority(),
@@ -89,6 +92,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "q6_revenue_delta": lambda sf: oracles.q6_revenue_delta(),
     "events_hourly": lambda sf: oracles.events_hourly(),
     "events_sessionize": lambda sf: oracles.events_sessionize(),
+    "events_topk_users": lambda sf: oracles.events_topk_users(),
 }
 
 
