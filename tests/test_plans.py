@@ -65,3 +65,28 @@ def test_knn_exact_has_no_cartesian_shuffle(spark):
     # the != self-match predicate makes this a broadcast NESTED-LOOP join —
     # still the right shape: tiny query side broadcast, index never shuffles
     assert "BroadcastNestedLoopJoin" in plan or plans.broadcast_join_count(df) >= 1, plan
+
+
+def test_q5_dims_broadcast_facts_shuffle_once(spark):
+    df = analytics.q5_local_supplier_volume(spark, SF_SMALL)
+    # every dim join broadcasts; the only exchanges are the fact join on
+    # orderkey and the final aggregation
+    assert plans.broadcast_join_count(df) >= 3, plans.formatted_plan(df)
+    assert plans.shuffle_count(df) <= 3, plans.formatted_plan(df)
+
+
+def test_minhash_partial_aggregates_map_side(spark):
+    from elastik_nearest_neighbors_spark.operators import dedup
+
+    plan = plans.formatted_plan(dedup.minhash_signatures(spark, SF_SMALL))
+    # the shuffle must carry O(docs·K) partial mins, not O(shingles) rows
+    assert plan.count("partial_min") >= 16, plan
+
+
+def test_doc_chunk_is_narrow(spark):
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    plan = plans.formatted_plan(textops.doc_chunk(spark, SF_SMALL))
+    # no keyed shuffle at all — the only Exchange allowed is the small-file
+    # widen round-robin (a no-op at scale; see io.table)
+    assert "hashpartitioning" not in plan, plan
