@@ -4,3 +4,9 @@ from .index_store import (  # noqa: F401
     save_ivf_index,
     save_lsh_index,
 )
+from .formats import (  # noqa: F401
+    read_vectors_csv,
+    read_vectors_json,
+    write_vectors_csv,
+    write_vectors_json,
+)

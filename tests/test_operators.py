@@ -137,3 +137,33 @@ def test_streaming_dedup_state_matches_batch(spark):
     m = stream.merge(batch, on="content_md5", how="outer")
     assert len(m) == len(batch) == len(stream)
     assert (m.canonical_id_x == m.canonical_id_y).all()
+
+
+def test_vector_format_roundtrip(spark, tmp_path):
+    from elastik_nearest_neighbors_spark import io as eio
+    from elastik_nearest_neighbors_spark.sources import formats
+
+    emb = eio.table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    jd, cd = str(tmp_path / "vec_json"), str(tmp_path / "vec_csv")
+    formats.write_vectors_json(emb, jd)
+    formats.write_vectors_csv(emb, cd)
+    back_j = formats.read_vectors_json(spark, jd).toPandas().set_index("vec_id").sort_index()
+    back_c = formats.read_vectors_csv(spark, cd).toPandas().set_index("vec_id").sort_index()
+    orig = emb.toPandas().set_index("vec_id").sort_index()
+    assert len(back_j) == len(back_c) == len(orig)
+    for got in (back_j, back_c):
+        for a, b in zip(got.embedding, orig.embedding):
+            assert np.allclose(np.array(list(a)), np.array(list(b)), atol=1e-6)
+
+
+def test_json_reader_accepts_reference_field_names(spark, tmp_path):
+    import json as _json
+
+    from elastik_nearest_neighbors_spark.sources import formats
+
+    p = tmp_path / "ref.jsonl"
+    recs = [{"_id": 1, "_aknn_vector": [0.1, 0.2]}, {"_id": 2, "_aknn_vector": [0.3, 0.4]}]
+    p.write_text("\n".join(_json.dumps(r) for r in recs))
+    got = formats.read_vectors_json(spark, str(p)).toPandas().sort_values("vec_id")
+    assert list(got.vec_id) == [1, 2]
+    assert np.allclose(list(got.embedding.iloc[0]), [0.1, 0.2], atol=1e-6)
