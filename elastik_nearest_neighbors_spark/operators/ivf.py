@@ -223,3 +223,47 @@ def ann_recall_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4).alias("recall"),
         )
     )
+
+
+def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search through the PERSISTED index layout: assignment written
+    partitioned by list_id (sources/index_store), probed lists read back
+    with partition pruning, then the same exact re-rank. Returns results
+    identical to ann_search_ivf — same oracle — proving the pruned path is
+    lossless. This is the shape a 100 TB deployment runs: the index is built
+    once, and each query batch touches only nprobe/nlist of it on disk."""
+    import tempfile
+
+    from ..sources.index_store import load_ivf_lists, save_ivf_index
+
+    model = model_for(sf_dir)
+    emb = _emb(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="enn_ivf_store_")
+    save_ivf_index(build_ivf_index(emb, model), out)
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(model.probe_udf()(F.col("embedding"))).alias("list_id"),
+    )
+    probe_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
+    assigned = load_ivf_lists(spark, out, probe_lists).select(
+        F.col("vec_id").alias("neighbor_id"), "list_id"
+    )
+    cand = assigned.join(F.broadcast(probes), "list_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    nvec = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("nv"))
+    qvec = queries.select(F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv"))
+    scored = (
+        cand.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "list_id",
+            F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= ANN_K2).drop("rn")

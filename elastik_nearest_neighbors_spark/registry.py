@@ -32,6 +32,7 @@ _QUERIES: dict[str, QueryFn] = {
     "ivf_index": ivf.ivf_index,
     "ann_search_ivf": ivf.ann_search_ivf_q,
     "ann_recall_ivf": ivf.ann_recall_ivf_q,
+    "ann_search_ivf_store": ivf.ann_search_ivf_store,
     # LLM-pipeline dedup + text analysis
     "dedup_exact": dedup.dedup_exact,
     "minhash_signatures": dedup.minhash_signatures,
@@ -74,6 +75,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ivf_index": oracles_vector.ivf_index,
     "ann_search_ivf": oracles_vector.ann_search_ivf,
     "ann_recall_ivf": oracles_vector.ann_recall_ivf,
+    "ann_search_ivf_store": oracles_vector.ann_search_ivf,
     "dedup_exact": oracles_text.dedup_exact,
     "minhash_signatures": oracles_text.minhash_signatures,
     "dedup_minhash_lsh": oracles_text.dedup_minhash_lsh,
