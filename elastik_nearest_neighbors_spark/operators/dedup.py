@@ -246,3 +246,22 @@ def ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _jaccard_on(cand, grams, NGRAM_JACCARD_TAU)
+
+
+def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep/drop decision a pipeline actually applies: canonical
+    representative per doc = min doc_id over its verified near-duplicates
+    (single hop, deterministic; docs with no dup map to themselves).
+
+    Output: (doc_id, canonical_id, n_dups)."""
+    docs = _docs(spark, sf_dir)
+    near = dedup_minhash_lsh(spark, sf_dir)
+    sym = (
+        near.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("other"))
+        .unionAll(near.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("other")))
+        .unionAll(docs.select("doc_id", F.col("doc_id").alias("other")))
+    )
+    return sym.groupBy("doc_id").agg(
+        F.min("other").alias("canonical_id"),
+        (F.count(F.lit(1)) - 1).alias("n_dups"),
+    )

@@ -225,3 +225,19 @@ SELECT doc_id,
 FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
      LATERAL (SELECT unnest(range(0, len(t), {CHUNK_STRIDE})) AS s) r
 """
+
+
+def dedup_minhash_canonical(sf_dir: str) -> str:
+    pairs = dedup_minhash_lsh(sf_dir)
+    return f"""
+WITH near AS ({pairs}),
+sym AS (
+  SELECT doc_a AS doc_id, doc_b AS other FROM near
+  UNION ALL
+  SELECT doc_b AS doc_id, doc_a AS other FROM near
+  UNION ALL
+  SELECT doc_id, doc_id AS other FROM documents
+)
+SELECT doc_id, MIN(other) AS canonical_id, CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
+FROM sym GROUP BY doc_id
+"""

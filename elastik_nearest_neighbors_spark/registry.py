@@ -37,6 +37,7 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_exact": dedup.dedup_exact,
     "minhash_signatures": dedup.minhash_signatures,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "dedup_minhash_canonical": dedup.dedup_minhash_canonical,
     "dedup_simhash": dedup.dedup_simhash,
     "ngram_jaccard_join": dedup.ngram_jaccard_join,
     "lang_id": textops.lang_id,
@@ -79,6 +80,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "dedup_exact": oracles_text.dedup_exact,
     "minhash_signatures": oracles_text.minhash_signatures,
     "dedup_minhash_lsh": oracles_text.dedup_minhash_lsh,
+    "dedup_minhash_canonical": oracles_text.dedup_minhash_canonical,
     "dedup_simhash": oracles_text.dedup_simhash,
     "ngram_jaccard_join": oracles_text.ngram_jaccard_join,
     "lang_id": oracles_text.lang_id,
