@@ -45,6 +45,7 @@ HEADLINE = [
     "events_hourly",
     "events_sessionize",
     "events_topk_users",
+    "events_asof_join",
 ]
 
 

@@ -262,3 +262,49 @@ def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= TOPK_USERS)
         .drop("rn")
     )
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — an operator Spark has no built-in for: each purchase is
+    matched to the user's most recent click at or before it (same-ts click
+    counts only if its event_id is smaller; no match → NULLs).
+
+    Implemented as union + carry-forward (last ignorenulls over a per-user
+    ordered window) rather than a range join: one shuffle on user_id, O(n)
+    per user, no candidate-pair explosion — the scalable MERGE_ASOF shape.
+
+    Output: (user_id, purchase_id, purchase_ts, click_id, click_ts)."""
+    from pyspark.sql.window import Window
+
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    ).select("user_id", "event_id", "ts", "event_type")
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias("c_id"),
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("c_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last("c_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("c_ts", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return carried.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )

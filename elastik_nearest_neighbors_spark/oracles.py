@@ -167,3 +167,28 @@ SELECT event_type, user_id, total_value, n_events FROM (
   FROM events GROUP BY 1, 2)
 WHERE rn <= {TOPK_USERS}
 """
+
+
+def events_asof_join() -> str:
+    return """
+WITH tagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+         CASE WHEN event_type = 'click' THEN ts END AS c_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(c_id IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+         last_value(c_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+  FROM tagged
+)
+SELECT user_id, event_id AS purchase_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       click_id,
+       strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM carried WHERE event_type = 'purchase'
+"""

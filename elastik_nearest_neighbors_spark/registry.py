@@ -55,6 +55,7 @@ _QUERIES: dict[str, QueryFn] = {
     "events_hourly": analytics.events_hourly,
     "events_sessionize": analytics.events_sessionize,
     "events_topk_users": analytics.events_topk_users,
+    "events_asof_join": analytics.events_asof_join,
     # streaming + multimodal (rows-only: no oracle SQL by design)
     "streaming_index": ingest.streaming_index,
     "streaming_events_hourly": ingest.streaming_events_hourly,
@@ -97,6 +98,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "events_hourly": lambda sf: oracles.events_hourly(),
     "events_sessionize": lambda sf: oracles.events_sessionize(),
     "events_topk_users": lambda sf: oracles.events_topk_users(),
+    "events_asof_join": lambda sf: oracles.events_asof_join(),
 }
 
 
