@@ -21,6 +21,7 @@ HEADLINE = [
     "ann_search_lsh",
     "knn_exact_euclidean",
     "knn_exact_cosine",
+    "knn_exact_mips",
     "similarity_join_lsh",
     "ann_recall",
     "ivf_index",

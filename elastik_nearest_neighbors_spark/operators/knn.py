@@ -86,6 +86,12 @@ def knn_exact(
             "cosine",
             False,
         )
+    elif metric == "dot":
+        # max inner product search (MIPS) — the retrieval metric for
+        # unnormalized embedding models
+        from ..functions.vector import dot
+
+        val, val_col, asc = dot(F.col("qv"), F.col("nv")), "dot", False
     else:
         raise ValueError(metric)
     scored = (
@@ -319,3 +325,9 @@ def vector_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dot(v, v), DIST_ROUND).alias("self_dot"),
         F.size("embedding").alias("dim"),
     )
+
+
+def knn_exact_mips_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #38: exact max-inner-product top-k (third metric family)."""
+    emb = _emb(spark, sf_dir)
+    return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="dot")

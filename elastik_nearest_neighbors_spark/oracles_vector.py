@@ -100,6 +100,9 @@ def _knn_sql(metric: str, k: int, nq: int) -> str:
     if metric == "euclidean":
         val = "round(list_distance(q.qv, i.nv), 6)"
         col, order = "distance", "ASC"
+    elif metric == "dot":
+        val = "round(list_dot_product(q.qv, i.nv), 6)"
+        col, order = "dot", "DESC"
     else:
         val = "round(list_cosine_similarity(q.qv, i.nv), 6)"
         col, order = "cosine", "DESC"
@@ -120,6 +123,10 @@ def knn_exact_euclidean(sf_dir: str) -> str:
 
 def knn_exact_cosine(sf_dir: str) -> str:
     return _knn_sql("cosine", KNN_K, N_QUERIES)
+
+
+def knn_exact_mips(sf_dir: str) -> str:
+    return _knn_sql("dot", KNN_K, N_QUERIES)
 
 
 def ann_recall(sf_dir: str) -> str:

@@ -25,6 +25,7 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_search_lsh": knn.ann_search_lsh_q,
     "knn_exact_euclidean": knn.knn_exact_euclidean_q,
     "knn_exact_cosine": knn.knn_exact_cosine_q,
+    "knn_exact_mips": knn.knn_exact_mips_q,
     "ann_recall": knn.ann_recall_q,
     "similarity_join_lsh": knn.similarity_join_lsh_q,
     "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
@@ -70,6 +71,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_search_lsh": oracles_vector.ann_search_lsh,
     "knn_exact_euclidean": oracles_vector.knn_exact_euclidean,
     "knn_exact_cosine": oracles_vector.knn_exact_cosine,
+    "knn_exact_mips": oracles_vector.knn_exact_mips,
     "ann_recall": oracles_vector.ann_recall,
     "similarity_join_lsh": oracles_vector.similarity_join_lsh,
     "dedup_embedding_cosine": oracles_vector.dedup_embedding_cosine,
