@@ -37,6 +37,7 @@ HEADLINE = [
     "token_count",
     "doc_fingerprint",
     "doc_chunk",
+    "corpus_clean",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

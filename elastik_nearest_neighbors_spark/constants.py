@@ -80,3 +80,5 @@ Q5_DATE_HI = "1998-01-01"
 CHUNK_TOKENS = 32  # tokens per chunk
 CHUNK_STRIDE = 24  # start-to-start stride (8-token overlap)
 TOPK_USERS = 3  # grouped top-k for events_topk_users
+CORPUS_QUALITY_TAU = 0.45  # corpus_clean keep threshold
+CORPUS_LANG = "en"

@@ -76,3 +76,51 @@ def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("text/plain").alias("mime"),
     )
     return featurize_binary(payload)
+
+
+N_FRAMES = 4
+FRAMESAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_digest string"
+
+
+def decode_video(payload: bytes) -> "np.ndarray":
+    """Real decode path — requires a video library not present here.
+
+    STUB: replace with pyav/ffmpeg frame extraction in production."""
+    raise NotImplementedError("video decoding requires pyav/ffmpeg; not available in this container")
+
+
+def frame_sample_binary(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
+    """video-as-binary → N_FRAMES evenly spaced frames via mapInPandas.
+
+    The decode is stubbed (no video libs): each 'frame' is the byte-slice at
+    its sample offset, digested deterministically. The Spark plumbing — one
+    output row per (doc, frame), stable schema, Arrow batching, even spacing
+    arithmetic — is exactly the production shape."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_digest": []}
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(b)
+                try:
+                    decode_video(raw)  # real path, stubbed in this container
+                except NotImplementedError:
+                    n = max(len(raw), 1)
+                    step = max(n // N_FRAMES, 1)
+                    for i in range(N_FRAMES):
+                        sl = raw[i * step : i * step + step]
+                        rows["doc_id"].append(did)
+                        rows["frame_idx"].append(i)
+                        rows["frame_bytes"].append(len(sl))
+                        rows["frame_digest"].append(hashlib.md5(sl).hexdigest()[:16])
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, FRAMESAMPLE_SCHEMA)
+
+
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: documents' text bytes stand in for video payloads."""
+    configure(spark)
+    docs = io.table(spark, sf_dir, "documents", widen=True)
+    payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return frame_sample_binary(payload)

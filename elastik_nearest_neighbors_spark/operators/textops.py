@@ -113,3 +113,33 @@ def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk_text")
     ).withColumn("n_tokens", F.size(F.split(F.col("chunk_text"), " ")))
+
+
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end pipeline query: materialize the clean training
+    corpus — exact-dedup keep-first ∧ language == CORPUS_LANG ∧ quality ≥ τ.
+
+    This is what the whole operator suite exists for; it composes #10 (exact
+    dedup), #16 (lang-id), and #17 (quality) in one plan. Scale shape: the
+    dedup window shuffles once on the content hash; lang/quality are narrow
+    expressions over the same scan; the joins are on doc_id after heavy
+    reduction. Output: (doc_id, lang_pred, quality, n_tokens)."""
+    from pyspark.sql.window import Window
+
+    from ..constants import CORPUS_LANG, CORPUS_QUALITY_TAU
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text"))
+    keep = (
+        docs.withColumn("canonical_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    q = quality_score(spark, sf_dir).select("doc_id", "quality", "n_tokens")
+    l = lang_id(spark, sf_dir).select("doc_id", "lang_pred")
+    return (
+        keep.join(q, "doc_id")
+        .join(l, "doc_id")
+        .where((F.col("lang_pred") == CORPUS_LANG) & (F.col("quality") >= CORPUS_QUALITY_TAU))
+        .select("doc_id", "lang_pred", "quality", "n_tokens")
+    )

@@ -241,3 +241,25 @@ sym AS (
 SELECT doc_id, MIN(other) AS canonical_id, CAST(COUNT(*) - 1 AS BIGINT) AS n_dups
 FROM sym GROUP BY doc_id
 """
+
+
+def corpus_clean(sf_dir: str) -> str:
+    from .constants import CORPUS_LANG, CORPUS_QUALITY_TAU
+
+    q = quality_score(sf_dir)
+    l = lang_id(sf_dir)
+    return f"""
+WITH q AS ({q}),
+l AS ({l}),
+keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+    FROM documents)
+  WHERE doc_id = canonical_id
+)
+SELECT q.doc_id, l.lang_pred, q.quality, q.n_tokens
+FROM keep
+JOIN q ON q.doc_id = keep.doc_id
+JOIN l ON l.doc_id = keep.doc_id
+WHERE l.lang_pred = '{CORPUS_LANG}' AND q.quality >= {CORPUS_QUALITY_TAU}
+"""

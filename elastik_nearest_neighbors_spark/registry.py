@@ -46,6 +46,7 @@ _QUERIES: dict[str, QueryFn] = {
     "token_count": textops.token_count,
     "doc_fingerprint": textops.doc_fingerprint,
     "doc_chunk": textops.doc_chunk,
+    "corpus_clean": textops.corpus_clean,
     # generic analytics
     "q1_pricing_summary": analytics.q1_pricing_summary,
     "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -63,6 +64,7 @@ _QUERIES: dict[str, QueryFn] = {
     "streaming_sessionize": ingest.streaming_sessionize,
     "streaming_dedup_state": ingest.streaming_dedup_state,
     "multimodal_featurize": multimodal.multimodal_featurize,
+    "multimodal_framesample": multimodal.multimodal_framesample,
 }
 
 # oracle builders: sf_dir -> SQL
@@ -91,6 +93,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "token_count": oracles_text.token_count,
     "doc_fingerprint": oracles_text.doc_fingerprint,
     "doc_chunk": oracles_text.doc_chunk,
+    "corpus_clean": oracles_text.corpus_clean,
     "q1_pricing_summary": lambda sf: oracles.q1_pricing_summary(),
     "q3_shipping_priority": lambda sf: oracles.q3_shipping_priority(),
     "q4_order_priority": lambda sf: oracles.q4_order_priority(),

@@ -167,3 +167,27 @@ def test_json_reader_accepts_reference_field_names(spark, tmp_path):
     got = formats.read_vectors_json(spark, str(p)).toPandas().sort_values("vec_id")
     assert list(got.vec_id) == [1, 2]
     assert np.allclose(list(got.embedding.iloc[0]), [0.1, 0.2], atol=1e-6)
+
+
+def test_corpus_clean_composition(spark):
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    out = textops.corpus_clean(spark, SF_SMALL).toPandas()
+    assert len(out) > 0
+    assert (out.quality >= 0.45).all()
+    assert (out.lang_pred == "en").all()
+    assert out.doc_id.is_unique
+
+
+def test_framesample_shape(spark):
+    from elastik_nearest_neighbors_spark.operators import multimodal as mm
+
+    out = mm.multimodal_framesample(spark, SF_SMALL).toPandas()
+    per_doc = out.groupby("doc_id").size()
+    assert (per_doc == mm.N_FRAMES).all()
+    assert (out.frame_idx < mm.N_FRAMES).all()
+    # deterministic: same payload -> same digests
+    again = mm.multimodal_framesample(spark, SF_SMALL).toPandas()
+    a = out.sort_values(["doc_id", "frame_idx"]).frame_digest.tolist()
+    b = again.sort_values(["doc_id", "frame_idx"]).frame_digest.tolist()
+    assert a == b
