@@ -331,3 +331,35 @@ def knn_exact_mips_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #38: exact max-inner-product top-k (third metric family)."""
     emb = _emb(spark, sf_dir)
     return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="dot")
+
+
+def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #41: per-label centroid of the embedding column — the
+    vector-aggregate pattern (class prototypes / coarse init for IVF).
+
+    Shape: posexplode to (label, dim, val) → decimal sum per (label, dim)
+    (exact, order-insensitive → deterministic on any partitioning) → one
+    row per label with the centroid re-assembled in dim order. Shuffle
+    carries labels × dims aggregated rows, not vectors."""
+    from ..constants import DEC
+
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("dim", "v")
+    )
+    # exact decimal SUM (order-insensitive), then a single double division:
+    # decimal/int division rounds differently across engines at the last
+    # digit; double division of identical inputs is bit-identical
+    per_dim = exploded.groupBy("label", "dim").agg(
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: F.round(s["m"], 6)
+            ).alias("centroid"),
+            (F.max("dim") + 1).alias("dim_n"),
+        )
+        .select("label", "centroid", "dim_n")
+    )

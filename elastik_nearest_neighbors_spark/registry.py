@@ -26,6 +26,7 @@ _QUERIES: dict[str, QueryFn] = {
     "knn_exact_euclidean": knn.knn_exact_euclidean_q,
     "knn_exact_cosine": knn.knn_exact_cosine_q,
     "knn_exact_mips": knn.knn_exact_mips_q,
+    "label_centroids": knn.label_centroids_q,
     "ann_recall": knn.ann_recall_q,
     "similarity_join_lsh": knn.similarity_join_lsh_q,
     "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
@@ -74,6 +75,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "knn_exact_euclidean": oracles_vector.knn_exact_euclidean,
     "knn_exact_cosine": oracles_vector.knn_exact_cosine,
     "knn_exact_mips": oracles_vector.knn_exact_mips,
+    "label_centroids": oracles_vector.label_centroids,
     "ann_recall": oracles_vector.ann_recall,
     "similarity_join_lsh": oracles_vector.similarity_join_lsh,
     "dedup_embedding_cosine": oracles_vector.dedup_embedding_cosine,
