@@ -72,7 +72,7 @@ def main() -> None:
     # best-of-N per query: this host shows sporadic multi-second stalls that
     # hit random queries (observed 3× swings between identical runs); the min
     # of two runs measures the engine, not the host's bad luck
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
