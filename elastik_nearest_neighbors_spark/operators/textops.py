@@ -143,3 +143,28 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("lang_pred") == CORPUS_LANG) & (F.col("quality") >= CORPUS_QUALITY_TAU))
         .select("doc_id", "lang_pred", "quality", "n_tokens")
     )
+
+
+def idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token inverse document frequency over the corpus — the weighting
+    table TF-IDF retrieval and rare-token quality heuristics read from.
+
+    idf = ln(N / df), df = docs containing the token. One explode of
+    per-doc DISTINCT tokens (array_distinct before explode keeps the shuffle
+    at O(docs·vocab_per_doc), not O(tokens)), one count per token. Output:
+    (token, df, idf) rounded at the edge."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # driver-side scalar: one cheap count job, the
+    # alternative (crossJoin with a count agg) shuffles every row for no gain
+    tok = docs.select(
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+        )
+    )

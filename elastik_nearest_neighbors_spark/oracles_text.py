@@ -263,3 +263,14 @@ JOIN q ON q.doc_id = keep.doc_id
 JOIN l ON l.doc_id = keep.doc_id
 WHERE l.lang_pred = '{CORPUS_LANG}' AND q.quality >= {CORPUS_QUALITY_TAU}
 """
+
+
+def idf_scores(sf_dir: str) -> str:
+    return """
+WITH tok AS (
+  SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / COUNT(*)), 6) AS idf
+FROM tok GROUP BY token
+"""

@@ -48,6 +48,7 @@ _QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": textops.doc_fingerprint,
     "doc_chunk": textops.doc_chunk,
     "corpus_clean": textops.corpus_clean,
+    "idf_scores": textops.idf_scores,
     # generic analytics
     "q1_pricing_summary": analytics.q1_pricing_summary,
     "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -96,6 +97,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "doc_fingerprint": oracles_text.doc_fingerprint,
     "doc_chunk": oracles_text.doc_chunk,
     "corpus_clean": oracles_text.corpus_clean,
+    "idf_scores": oracles_text.idf_scores,
     "q1_pricing_summary": lambda sf: oracles.q1_pricing_summary(),
     "q3_shipping_priority": lambda sf: oracles.q3_shipping_priority(),
     "q4_order_priority": lambda sf: oracles.q4_order_priority(),

@@ -90,3 +90,15 @@ def test_doc_chunk_is_narrow(spark):
     # no keyed shuffle at all — the only Exchange allowed is the small-file
     # widen round-robin (a no-op at scale; see io.table)
     assert "hashpartitioning" not in plan, plan
+
+
+def test_q4_uses_semi_join(spark):
+    plan = plans.formatted_plan(analytics.q4_order_priority(spark, SF_SMALL))
+    assert "LeftSemi" in plan, plan
+
+
+def test_asof_join_single_user_shuffle(spark):
+    df = analytics.events_asof_join(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    # union + carry-forward: no join node at all, one window shuffle on user_id
+    assert "Join" not in plan, plan
