@@ -65,6 +65,7 @@ _QUERIES: dict[str, QueryFn] = {
     "streaming_events_hourly": ingest.streaming_events_hourly,
     "streaming_sessionize": ingest.streaming_sessionize,
     "streaming_dedup_state": ingest.streaming_dedup_state,
+    "streaming_ann_search": ingest.streaming_ann_search,
     "multimodal_featurize": multimodal.multimodal_featurize,
     "multimodal_framesample": multimodal.multimodal_framesample,
 }
@@ -85,6 +86,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_search_ivf": oracles_vector.ann_search_ivf,
     "ann_recall_ivf": oracles_vector.ann_recall_ivf,
     "ann_search_ivf_store": oracles_vector.ann_search_ivf,
+    "streaming_ann_search": oracles_vector.ann_search_lsh,
     "dedup_exact": oracles_text.dedup_exact,
     "minhash_signatures": oracles_text.minhash_signatures,
     "dedup_minhash_lsh": oracles_text.dedup_minhash_lsh,

@@ -169,3 +169,71 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.sql(f"SELECT content_md5, canonical_id FROM {name}")
+
+
+def streaming_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online ANN serving, streaming-native: a stream of query vectors is
+    hashed with the same UDF, stream-static joined against the static hashed
+    index on (tbl, hash), and match counts are aggregated statefully
+    (complete mode). The final top-k1 → exact re-rank → top-k2 runs batch-
+    side over the sink (rank windows aren't available inside a stream), so
+    the output is IDENTICAL to the batch ann_search_lsh — same oracle.
+
+    At scale: the static side is the partitioned index store; the stream
+    side is small per microbatch; state = one counter per live (query,
+    candidate) pair, dropped once the query's answer is emitted."""
+    from ..constants import ANN_K1, ANN_K2, DIST_ROUND, N_QUERIES
+    from ..functions.vector import as_double, euclidean
+    from ..operators.lsh import build_index, explode_hashes
+    from ..oracles_vector import lsh_model_for
+    from pyspark.sql.window import Window
+
+    configure(spark)
+    emb = io.table(spark, sf_dir, "embeddings")
+    model = lsh_model_for(sf_dir)
+    idx_exp = explode_hashes(
+        build_index(emb, model).select("vec_id", "hashes"), "vec_id", "neighbor_id"
+    )
+
+    src = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    ).where(F.col("vec_id") < N_QUERIES)
+    q_exp = explode_hashes(build_index(src, model), "vec_id", "query_id")
+
+    counts = (
+        q_exp.join(idx_exp, ["tbl", "hash"])  # stream-static join, stateless
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    name = f"enn_stream_ann_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    sunk = spark.sql(f"SELECT query_id, neighbor_id, n_match FROM {name}")
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("n_match"), F.asc("neighbor_id"))
+    k1_sel = sunk.withColumn("rn", F.row_number().over(w1)).where(F.col("rn") <= ANN_K1).drop("rn")
+    nvec = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("nv"))
+    qvec = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    scored = (
+        k1_sel.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "n_match",
+            F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") <= ANN_K2).drop("rn")
