@@ -22,6 +22,7 @@ HEADLINE = [
     "knn_exact_euclidean",
     "knn_exact_cosine",
     "knn_exact_mips",
+    "label_centroids",
     "similarity_join_lsh",
     "ann_recall",
     "ivf_index",
@@ -38,6 +39,7 @@ HEADLINE = [
     "doc_fingerprint",
     "doc_chunk",
     "corpus_clean",
+    "idf_scores",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
