@@ -308,3 +308,24 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
     )
+
+
+def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health: doc count, token volume, mean quality —
+    the monitoring rollup a data pipeline reports per crawl/source."""
+    from ..operators.textops import quality_score
+
+    configure(spark)
+    docs = io.table(spark, sf_dir, "documents", widen=True).select("doc_id", "source")
+    q = quality_score(spark, sf_dir).select("doc_id", "quality", "n_tokens")
+    return (
+        docs.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum(F.col("quality").cast(DEC)).cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_quality"
+            ),
+        )
+    )

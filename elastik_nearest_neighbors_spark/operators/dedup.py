@@ -265,3 +265,48 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("other").alias("canonical_id"),
         (F.count(F.lit(1)) - 1).alias("n_dups"),
     )
+
+
+def minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based Jaccard ESTIMATE for the banded candidate pairs:
+    est = (# agreeing minhash components) / K. This is what runs at 100 TB
+    when exact verification (a gram-set join) is too expensive — the
+    estimator needs only the 2·K-integer signatures.
+
+    Output: (doc_a, doc_b, est_jaccard) for every banded candidate pair."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingle_hashes(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(universal_hash(F.col("h"), j)).alias(f"mh_{j}") for j in range(MINHASH_K)]
+    )
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_vals = [
+        F.concat_ws(
+            "_", *[F.col(f"mh_{bi * MINHASH_BAND_ROWS + r}") for r in range(MINHASH_BAND_ROWS)]
+        )
+        for bi in range(n_bands)
+    ]
+    bands = sig.select("doc_id", F.posexplode(F.array(*band_vals)).alias("band", "bval"))
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bval")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(MINHASH_K)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(MINHASH_K)])
+    agree = None
+    for j in range(MINHASH_K):
+        t = F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+        agree = t if agree is None else agree + t
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(agree / F.lit(float(MINHASH_K)), 6).alias("est_jaccard"),
+        )
+    )

@@ -192,3 +192,21 @@ SELECT user_id, event_id AS purchase_id,
        strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts
 FROM carried WHERE event_type = 'purchase'
 """
+
+
+def source_stats() -> str:
+    return f"""
+WITH q AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+    round(0.4 * round(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','is','and','of','to','in'))) / len(string_split(text, ' ')), 6)
+        + 0.3 * least(1.0, len(string_split(text, ' ')) / 100.0)
+        + 0.3 * (1.0 - round(len(regexp_extract_all(text, '[^a-z0-9 ]')) / length(text), 6)), 6) AS quality
+  FROM documents
+)
+SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(CAST(q.quality AS {DEC})) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+FROM documents d JOIN q ON q.doc_id = d.doc_id
+GROUP BY d.source
+"""

@@ -274,3 +274,28 @@ SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
        round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / COUNT(*)), 6) AS idf
 FROM tok GROUP BY token
 """
+
+
+def minhash_est_jaccard(sf_dir: str) -> str:
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_selects = []
+    for bi in range(n_bands):
+        cols = [f"mh_{bi * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)]
+        concat = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(f"SELECT doc_id, {bi} AS band, {concat} AS bval FROM sig")
+    bands = "\nUNION ALL\n".join(band_selects)
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)" for j in range(MINHASH_K)
+    )
+    return f"""
+WITH {SHINGLES_CTE}, sig AS (
+  SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id
+), bands AS (
+{bands}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b, round(({agree}) / {float(MINHASH_K)}, 6) AS est_jaccard
+FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+"""

@@ -40,6 +40,7 @@ _QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": dedup.minhash_signatures,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_minhash_canonical": dedup.dedup_minhash_canonical,
+    "minhash_est_jaccard": dedup.minhash_est_jaccard,
     "dedup_simhash": dedup.dedup_simhash,
     "ngram_jaccard_join": dedup.ngram_jaccard_join,
     "lang_id": textops.lang_id,
@@ -60,6 +61,7 @@ _QUERIES: dict[str, QueryFn] = {
     "events_sessionize": analytics.events_sessionize,
     "events_topk_users": analytics.events_topk_users,
     "events_asof_join": analytics.events_asof_join,
+    "source_stats": analytics.source_stats,
     # streaming + multimodal (rows-only: no oracle SQL by design)
     "streaming_index": ingest.streaming_index,
     "streaming_events_hourly": ingest.streaming_events_hourly,
@@ -91,6 +93,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "minhash_signatures": oracles_text.minhash_signatures,
     "dedup_minhash_lsh": oracles_text.dedup_minhash_lsh,
     "dedup_minhash_canonical": oracles_text.dedup_minhash_canonical,
+    "minhash_est_jaccard": oracles_text.minhash_est_jaccard,
     "dedup_simhash": oracles_text.dedup_simhash,
     "ngram_jaccard_join": oracles_text.ngram_jaccard_join,
     "lang_id": oracles_text.lang_id,
@@ -110,6 +113,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "events_sessionize": lambda sf: oracles.events_sessionize(),
     "events_topk_users": lambda sf: oracles.events_topk_users(),
     "events_asof_join": lambda sf: oracles.events_asof_join(),
+    "source_stats": lambda sf: oracles.source_stats(),
 }
 
 
