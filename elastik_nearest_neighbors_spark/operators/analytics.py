@@ -70,8 +70,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = io.table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
     one = F.lit(1).cast(DEC)
     revenue = F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).cast("double")
+    # broadcast ONLY the segment-filtered customer dim; orders is a fact
+    # (the date filter passes ~half the table), so lineitem⋈orders must be
+    # a shuffle join on orderkey — broadcasting the orders side would scale
+    # with the fact table and OOM executors at 100×
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(revenue.alias("revenue"))

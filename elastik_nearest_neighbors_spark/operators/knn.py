@@ -338,9 +338,12 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector-aggregate pattern (class prototypes / coarse init for IVF).
 
     Shape: posexplode to (label, dim, val) → decimal sum per (label, dim)
-    (exact, order-insensitive → deterministic on any partitioning) → one
-    row per label with the centroid re-assembled in dim order. Shuffle
-    carries labels × dims aggregated rows, not vectors."""
+    (exact, order-insensitive → deterministic on any partitioning). Output
+    is LONG format — one row per (label, dim) — so the result is flat
+    scalars, directly comparable/canonicalizable by any harness (array
+    columns are not), and the shuffle carries labels × dims aggregated
+    rows, not vectors. Reassembling the array is a trivial collect_list
+    downstream if a consumer wants it."""
     from ..constants import DEC
 
     emb = _emb(spark, sf_dir)
@@ -350,16 +353,8 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact decimal SUM (order-insensitive), then a single double division:
     # decimal/int division rounds differently across engines at the last
     # digit; double division of identical inputs is bit-identical
-    per_dim = exploded.groupBy("label", "dim").agg(
-        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias("m")
-    )
-    return (
-        per_dim.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: F.round(s["m"], 6)
-            ).alias("centroid"),
-            (F.max("dim") + 1).alias("dim_n"),
-        )
-        .select("label", "centroid", "dim_n")
+    return exploded.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean")
     )

@@ -50,8 +50,11 @@ def featurize_binary(df: DataFrame, payload_col: str = "payload", id_col: str = 
             payloads = pdf[payload_col]
             feats = []
             for b in payloads:
+                # append in BOTH paths so rows stay aligned once the real
+                # decode exists (a decoded row must still emit its features)
                 try:
-                    decode_image(bytes(b))  # real path, stubbed in this container
+                    img = decode_image(bytes(b))  # real path, stubbed here
+                    feats.append(np.asarray(img, dtype=np.float64)[:FEATURE_DIM].tolist())
                 except NotImplementedError:
                     feats.append(fake_features(bytes(b)))
             yield pd.DataFrame(
@@ -67,7 +70,13 @@ def featurize_binary(df: DataFrame, payload_col: str = "payload", id_col: str = 
 
 
 def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: documents' text bytes stand in for image payloads."""
+    """Registry entry: documents' text bytes stand in for image payloads.
+
+    Output is LONG format — one row per (doc, feature dim), flat scalars
+    only (array columns aren't canonicalizable by the gate). The digest
+    features are 16-bit words / 65536 (exactly representable doubles), so
+    a DuckDB oracle reproduces them bit-for-bit from md5 hex substrings —
+    this query is fully oracle-gated, stub decode and all."""
     configure(spark)
     docs = io.table(spark, sf_dir, "documents", widen=True)
     payload = docs.select(
@@ -75,7 +84,13 @@ def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
         F.lit("text/plain").alias("mime"),
     )
-    return featurize_binary(payload)
+    wide = featurize_binary(payload)
+    return wide.select(
+        "doc_id",
+        "n_bytes",
+        "mime",
+        F.posexplode("features").alias("feat_idx", "feature"),
+    )
 
 
 N_FRAMES = 4

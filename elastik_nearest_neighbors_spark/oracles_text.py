@@ -276,6 +276,22 @@ FROM tok GROUP BY token
 """
 
 
+def multimodal_featurize(sf_dir: str) -> str:
+    """Digest-features twin of operators/multimodal.fake_features: feature i
+    is md5-digest bytes [2i, 2i+2) as a big-endian word / 65536 — i.e. hex
+    chars [4i, 4i+4), exactly representable as a double on both engines."""
+    from .operators.multimodal import FEATURE_DIM
+
+    return f"""
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       'text/plain' AS mime,
+       CAST(i AS INT) AS feat_idx,
+       (('0x' || substr(md5(text), 4 * i + 1, 4))::BIGINT) / 65536.0 AS feature
+FROM documents, LATERAL (SELECT unnest(range(0, {FEATURE_DIM})) AS i) r
+"""
+
+
 def minhash_est_jaccard(sf_dir: str) -> str:
     n_bands = MINHASH_K // MINHASH_BAND_ROWS
     band_selects = []

@@ -306,21 +306,14 @@ FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
 
 
 def label_centroids(sf_dir: str) -> str:
-    from .constants import DEC as _DEC_TYPE  # noqa: F401  (DEC defined in oracles)
-
     return """
 WITH exploded AS (
   SELECT label, u.idx - 1 AS dim, u.v
   FROM embeddings,
        LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
                        generate_subscripts(embedding, 1) AS idx) u
-), per_dim AS (
-  SELECT label, dim,
-         CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS m
-  FROM exploded GROUP BY 1, 2
 )
-SELECT label,
-       list_transform(list_sort(list({'dim': dim, 'm': m})), s -> round(s.m, 6)) AS centroid,
-       CAST(MAX(dim) + 1 AS INT) AS dim_n
-FROM per_dim GROUP BY label
+SELECT label, CAST(dim AS INT) AS dim,
+       round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean
+FROM exploded GROUP BY label, dim
 """

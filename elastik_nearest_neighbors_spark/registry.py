@@ -89,6 +89,9 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_recall_ivf": oracles_vector.ann_recall_ivf,
     "ann_search_ivf_store": oracles_vector.ann_search_ivf,
     "streaming_ann_search": oracles_vector.ann_search_lsh,
+    # streaming_index writes the exploded index — same rows as batch lsh_index
+    "streaming_index": oracles_vector.lsh_index,
+    "multimodal_featurize": oracles_text.multimodal_featurize,
     "dedup_exact": oracles_text.dedup_exact,
     "minhash_signatures": oracles_text.minhash_signatures,
     "dedup_minhash_lsh": oracles_text.dedup_minhash_lsh,

@@ -16,7 +16,6 @@ streaming plumbing itself.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,19 +28,31 @@ from ..session import configure
 
 
 def streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream vectors in, hash incrementally, append to a parquet index."""
+    """Stream vectors in, hash incrementally, append to a parquet index.
+
+    Output is the EXPLODED index (vec_id, tbl, hash) — flat scalar columns,
+    identical row set to the batch `lsh_index` query (same model fit, same
+    hash expressions), so the batch oracle gates this streaming path too.
+    The model comes from the same driver-side deterministic fit as the
+    oracle builder (bit-identical to LshModel.fit_df on the same rows)."""
+    from ..operators.lsh import explode_hashes
+    from ..oracles_vector import lsh_model_for
+
     configure(spark)
     batch = io.table(spark, sf_dir, "embeddings")
-    model = LshModel.fit_df(batch)
+    model = lsh_model_for(sf_dir)
     src = (
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "embeddings.parquet")
         .parquet(sf_dir)
     )
     hashed = build_index(src, model).select("vec_id", "hashes")
-    out = tempfile.mkdtemp(prefix="enn_stream_idx_")
+    exploded = explode_hashes(hashed, "vec_id", "vec_id").select(
+        "vec_id", F.col("tbl").cast("int").alias("tbl"), "hash"
+    )
+    out = io.scratch_dir("stream_idx", sf_dir)
     q = (
-        hashed.writeStream.format("parquet")
+        exploded.writeStream.format("parquet")
         .option("path", f"{out}/data")
         .option("checkpointLocation", f"{out}/ckpt")
         .trigger(availableNow=True)

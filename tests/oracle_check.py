@@ -25,6 +25,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
+            # the DRIVER's gate sorts object columns as-is and dies on
+            # unhashable cells (ndarray/list) — replicate that hard failure
+            # here instead of papering over it with str() (the round-1
+            # mismatch: local green, driver red)
+            head = df[c].dropna()
+            if len(head) and isinstance(head.iloc[0], (list, tuple, set, dict)) or (
+                len(head) and type(head.iloc[0]).__module__ == "numpy" and getattr(head.iloc[0], "ndim", 0) > 0
+            ):
+                raise TypeError(
+                    f"column {c!r} holds array-typed cells — not canonicalizable "
+                    "by the driver gate; emit flat scalars (long format / join to string)"
+                )
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 

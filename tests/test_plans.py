@@ -16,9 +16,25 @@ def test_q6_filters_reach_scan(spark):
     assert "l_shipdate" in s and "l_discount" in s and "l_quantity" in s, pf
 
 
-def test_q3_broadcasts_small_dims(spark):
-    df = analytics.q3_shipping_priority(spark, SF_SMALL)
-    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+def test_q3_broadcasts_hinted_dim_only(spark):
+    # With size-based broadcasts disabled, only HINTED broadcasts remain in
+    # the plan — this asserts the operator hints customer (a real dim) and
+    # does NOT hint orders (a date-filtered fact that grows with scale; at
+    # test size Catalyst would happily broadcast it on stats, which is fine
+    # adaptively but must not be forced).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = analytics.q3_shipping_priority(spark, SF_SMALL)
+        plan = plans.formatted_plan(df)
+        # formatted explain names each node twice (tree + details): exactly
+        # one BroadcastHashJoin node == 2 string hits
+        assert plans.broadcast_join_count(df) == 2, plan
+        assert "c_custkey" in plan
+        # the fact join shuffles on orderkey
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_ann_search_broadcasts_query_side(spark):
