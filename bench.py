@@ -19,6 +19,8 @@ from elastik_nearest_neighbors_spark.session import get_spark
 HEADLINE = [
     "lsh_index",
     "ann_search_lsh",
+    "ann_search_lsh_store",
+    "ann_recall_sweep",
     "knn_exact_euclidean",
     "knn_exact_cosine",
     "knn_exact_mips",

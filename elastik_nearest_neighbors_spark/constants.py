@@ -21,9 +21,27 @@ MINHASH_BAND_ROWS = 4  # 16 sigs -> 4 bands of 4
 MINHASH_JACCARD_TAU = 0.8
 
 # ---- simhash ----------------------------------------------------------------
-SIMHASH_BITS = 32
+# 64-bit simhash in 4 bands of 16 bits: the band-blocking key space is 65536
+# values per band (vs 256 at 8-bit bands), so bucket occupancy stays ~N/2^16
+# per band as N grows — the 32-bit/8-bit variant went quadratic at ~10^5 docs.
+SIMHASH_BITS = 64
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_BANDS = 4  # pigeonhole: <=3 flipped bits leave >=1 of 4 bands intact
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 16
+
+# ---- hot-bucket cap for pair-generating self-joins --------------------------
+# Candidate-pair generation inside one blocking bucket is O(m²) in the bucket
+# size m; a single viral duplicate (boilerplate string, null-ish embedding)
+# makes a mega-bucket that no shuffle-level skew handling can fix — AQE splits
+# the shuffle but not the quadratic pair explosion. Buckets with more than
+# MAX_BUCKET members are DROPPED before the self-join (documented
+# approximation: members colliding with >MAX_BUCKET others carry almost no
+# pairwise information). The rule depends only on exact bucket counts, so the
+# DuckDB oracles mirror it bit-for-bit. Applies to the pair-join family
+# (similarity_join_lsh, dedup_embedding_cosine, dedup_minhash_*, dedup_simhash,
+# minhash_est_jaccard); ANN *search* stays uncapped — per-query work there is
+# linear in bucket size, and capping would break reference search parity.
+MAX_BUCKET = 100
 
 # ---- char n-gram jaccard join ----------------------------------------------
 NGRAM_N = 4
@@ -36,6 +54,9 @@ NGRAM_JACCARD_TAU = 0.8
 # ≈ 0.46 at 500 vectors / 0.28 at 2000 with ~100-500 candidates per query.
 LSH_TABLES = 16
 LSH_BITS = 6
+# recall-sweep axis: table-count prefixes of the fitted model (the
+# reference's published evaluation sweeps recall/latency over index params)
+LSH_SWEEP_TABLES = [2, 4, 8, 16]
 ANN_K1 = 100  # candidates from hash-table term match
 ANN_K2 = 10  # final neighbors after exact re-rank
 # IVF coarse quantizer (scale-path ANN; FAISS-style inverted lists)

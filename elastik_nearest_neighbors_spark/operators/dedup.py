@@ -107,10 +107,29 @@ def _jaccard_on(cand: DataFrame, ds: DataFrame, tau: float, a="doc_a", b="doc_b"
     )
 
 
+def _minhash_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bval) — banded signature blocking keys.
+
+    One posexplode pass, not a 4-way union: union branches re-evaluate the
+    signature subtree (or at best hit a reused exchange) — measured ~2×."""
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_vals = [
+        F.concat_ws(
+            "_", *[F.col(f"mh_{bi * MINHASH_BAND_ROWS + r}") for r in range(MINHASH_BAND_ROWS)]
+        )
+        for bi in range(n_bands)
+    ]
+    return sig.select("doc_id", F.posexplode(F.array(*band_vals)).alias("band", "bval"))
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded minhash LSH candidates → exact Jaccard verify ≥ τ.
+    Hot bands above MAX_BUCKET are dropped before the pair self-join
+    (functions/blocking.py; mirrored in the oracle).
 
     Output: (doc_a, doc_b, jaccard)."""
+    from ..functions.blocking import capped_bucket_pairs
+
     docs = _docs(spark, sf_dir)
     # the shingle pass feeds both the signatures and the verify sets; with
     # the zip_with shingle expression it is cheap enough that re-running it
@@ -119,24 +138,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.groupBy("doc_id").agg(
         *[F.min(universal_hash(F.col("h"), j)).alias(f"mh_{j}") for j in range(MINHASH_K)]
     )
-    n_bands = MINHASH_K // MINHASH_BAND_ROWS
-    # one posexplode pass, not a 4-way union: union branches re-evaluate the
-    # signature subtree (or at best hit a reused exchange) — measured ~2×
-    band_vals = [
-        F.concat_ws(
-            "_", *[F.col(f"mh_{bi * MINHASH_BAND_ROWS + r}") for r in range(MINHASH_BAND_ROWS)]
-        )
-        for bi in range(n_bands)
-    ]
-    bands = sig.select("doc_id", F.posexplode(F.array(*band_vals)).alias("band", "bval"))
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bval")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bval")
-    cand = (
-        a.join(b, ["band", "bval"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = capped_bucket_pairs(_minhash_bands(sig), ["band", "bval"], "doc_id")
     ds = sh.select("doc_id", F.col("h").alias("g")).distinct()
     return _jaccard_on(cand, ds, MINHASH_JACCARD_TAU)
 
@@ -144,58 +146,75 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- simhash ----------------------------------------------------------------
 
 
-def _simhash(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash) — 32-bit simhash over word unigrams (with
-    multiplicity): bit i set iff sum over tokens of ±1 (by token-hash bit i)
-    is positive. Pure integer math — deterministic on any partitioning."""
+def _simhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, sb_0..sb_3) — 64-bit simhash over word unigrams (with
+    multiplicity), represented as 4 disjoint 16-bit band values: bit i set
+    iff sum over tokens of ±1 (by token-hash bit i) is positive. Band values
+    (not one 64-bit integer) avoid signed-bit-63 pitfalls on both engines,
+    are exactly the blocking keys, and hamming(a, b) = Σ_band
+    popcount(band_a XOR band_b). Pure integer math — deterministic on any
+    partitioning. Token bits 0-59 come from md5 hex chars 1-15 (the shared
+    md5_hash60 contract); bits 60-63 from hex char 16."""
+    from ..constants import SIMHASH_BAND_BITS
+
     tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
-    h = md5_hash60(F.col("t"))
-    tok = tok.select("doc_id", h.alias("h"))
+    h_lo = md5_hash60(F.col("t"))
+    h_hi = F.conv(F.substring(F.md5(F.col("t")), 16, 1), 16, 10).cast("long")
+    tok = tok.select("doc_id", h_lo.alias("h_lo"), h_hi.alias("h_hi"))
+
+    def bit(i: int):
+        src, off = ("h_lo", i) if i < 60 else ("h_hi", i - 60)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s_{i}")
+        F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"s_{i}")
         for i in range(SIMHASH_BITS)
     ]
     g = tok.groupBy("doc_id").agg(*aggs)
-    sim = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return g.select("doc_id", sim.alias("simhash"))
+    band_cols = []
+    for b in range(SIMHASH_BANDS):
+        val = None
+        for j in range(SIMHASH_BAND_BITS):
+            i = b * SIMHASH_BAND_BITS + j
+            term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            val = term if val is None else val + term
+        band_cols.append(val.cast("int").alias(f"sb_{b}"))
+    return g.select("doc_id", *band_cols)
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at hamming ≤ 3 via 4-byte-band blocking (pigeonhole:
-    ≤3 flipped bits leave ≥1 of 4 bands intact → blocking is lossless, so
-    the brute-force oracle returns the identical pair set).
+    """Near-dup pairs at hamming ≤ 3 via 16-bit-band blocking (pigeonhole:
+    ≤3 flipped bits leave ≥1 of 4 bands intact → blocking alone is
+    lossless; the MAX_BUCKET hot-band cap is the one documented
+    approximation, mirrored exactly in the oracle).
 
     Output: (doc_a, doc_b, hamming)."""
-    sims = _simhash(_docs(spark, sf_dir))
-    # one posexplode pass over the 4 byte-bands (see dedup_minhash_lsh)
+    from ..functions.blocking import capped_bucket_pairs
+
+    sims = _simhash_bands(_docs(spark, sf_dir))
+    # one posexplode pass over the 4 bands (see dedup_minhash_lsh)
     bands = sims.select(
         "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(255))
-                    for i in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band", "bval"),
+        F.posexplode(F.array(*[F.col(f"sb_{b}") for b in range(SIMHASH_BANDS)])).alias(
+            "band", "bval"
+        ),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band", "bval")
-    b = bands.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band", "bval")
+    cand = capped_bucket_pairs(bands, ["band", "bval"], "doc_id")
+    sa = sims.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"sb_{b}").alias(f"a_{b}") for b in range(SIMHASH_BANDS)]
+    )
+    sb = sims.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"sb_{b}").alias(f"b_{b}") for b in range(SIMHASH_BANDS)]
+    )
+    ham = None
+    for b in range(SIMHASH_BANDS):
+        term = F.bit_count(F.col(f"a_{b}").bitwiseXOR(F.col(f"b_{b}")))
+        ham = term if ham is None else ham + term
     return (
-        a.join(b, ["band", "bval"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"))
-        # hamming filter BEFORE the distinct: the band join emits every
-        # co-bucketed pair (quadratic in bucket size) but almost none pass
-        # ≤3 bits — dedup the survivors, not the candidates
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
         .where(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .distinct()
     )
 
 
@@ -274,27 +293,14 @@ def minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator needs only the 2·K-integer signatures.
 
     Output: (doc_a, doc_b, est_jaccard) for every banded candidate pair."""
+    from ..functions.blocking import capped_bucket_pairs
+
     docs = _docs(spark, sf_dir)
     sh = _shingle_hashes(docs)
     sig = sh.groupBy("doc_id").agg(
         *[F.min(universal_hash(F.col("h"), j)).alias(f"mh_{j}") for j in range(MINHASH_K)]
     )
-    n_bands = MINHASH_K // MINHASH_BAND_ROWS
-    band_vals = [
-        F.concat_ws(
-            "_", *[F.col(f"mh_{bi * MINHASH_BAND_ROWS + r}") for r in range(MINHASH_BAND_ROWS)]
-        )
-        for bi in range(n_bands)
-    ]
-    bands = sig.select("doc_id", F.posexplode(F.array(*band_vals)).alias("band", "bval"))
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bval")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bval")
-    cand = (
-        a.join(b, ["band", "bval"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    cand = capped_bucket_pairs(_minhash_bands(sig), ["band", "bval"], "doc_id")
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(MINHASH_K)])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(MINHASH_K)])
     agree = None

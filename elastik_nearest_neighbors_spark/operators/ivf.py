@@ -232,14 +232,15 @@ def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to ann_search_ivf — same oracle — proving the pruned path is
     lossless. This is the shape a 100 TB deployment runs: the index is built
     once, and each query batch touches only nprobe/nlist of it on disk."""
-    import tempfile
-
     from ..sources.index_store import load_ivf_lists, save_ivf_index
 
     model = model_for(sf_dir)
     emb = _emb(spark, sf_dir)
-    out = tempfile.mkdtemp(prefix="enn_ivf_store_")
-    save_ivf_index(build_ivf_index(emb, model), out)
+    # one persisted copy per (process, sf_dir): bench/gate repeats reuse it
+    # instead of leaking a fresh /tmp index per invocation
+    out = os.path.join(io.scratch_dir("ivf_store", sf_dir), "data")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        save_ivf_index(build_ivf_index(emb, model), out)
 
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     probes = queries.select(

@@ -108,6 +108,42 @@ def knn_exact(
     )
 
 
+def rank_term_matches(
+    counts: DataFrame,
+    index_df: DataFrame,
+    query_df: DataFrame,
+    k1: int = ANN_K1,
+    k2: int = ANN_K2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shared tail of every `_aknn_search`-shaped query: term-match counts
+    (query_id, neighbor_id, n_match) → top-k1 by match count → exact
+    euclidean re-rank → top-k2. The re-rank gather broadcasts the query
+    side; only ≤ Q·k1 index vectors are touched."""
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("n_match"), F.asc("neighbor_id"))
+    k1_sel = counts.withColumn("rn", F.row_number().over(w1)).where(F.col("rn") <= k1).drop("rn")
+
+    nvec = index_df.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
+    qvec = query_df.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        k1_sel.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "n_match",
+            F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k2)
+        .drop("rn")
+    )
+
+
 def ann_search_lsh(
     index_df: DataFrame,
     query_df: DataFrame,
@@ -136,27 +172,7 @@ def ann_search_lsh(
         .groupBy("query_id", "neighbor_id")
         .agg(F.count(F.lit(1)).alias("n_match"))
     )
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("n_match"), F.asc("neighbor_id"))
-    k1_sel = counts.withColumn("rn", F.row_number().over(w1)).where(F.col("rn") <= k1).drop("rn")
-
-    nvec = index_df.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
-    qvec = query_df.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
-    scored = (
-        k1_sel.join(nvec, "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "n_match",
-            F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") <= k2)
-        .drop("rn")
-    )
+    return rank_term_matches(counts, index_df, query_df, k1, k2, id_col, vec_col)
 
 
 # ---- registry entries (spark, sf_dir) → DataFrame ---------------------------
@@ -212,11 +228,8 @@ def knn_exact_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="cosine")
 
 
-def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@k2 of LSH ANN vs exact kNN, per query (quality metric the
-    reference's benchmarks report)."""
-    ann = ann_search_lsh_q(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = knn_exact_euclidean_q(spark, sf_dir).select("query_id", "neighbor_id")
+def _recall_of(ann: DataFrame, exact: DataFrame) -> DataFrame:
+    """(query_id, recall): |ann ∩ exact| / |exact| per query, rounded 4."""
     hits = ann.intersect(exact).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
     return (
         exact.groupBy("query_id")
@@ -231,14 +244,66 @@ def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k2 of LSH ANN vs exact kNN, per query (quality metric the
+    reference's benchmarks report)."""
+    ann = ann_search_lsh_q(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = knn_exact_euclidean_q(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_of(ann, exact)
+
+
+def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #46: the reference's published evaluation axis — recall@k2
+    as a function of the number of hash tables T, evaluated on table-count
+    PREFIXES of the one fitted model (no refit; each table's hyperplanes
+    are independent, so the first T tables ARE the T-table model).
+
+    Per-query rows (n_tables, query_id, recall): no cross-row float
+    aggregation, so the output is bit-stable across engines. The exact-kNN
+    subtree is shared across sweep points; each ANN branch filters the same
+    exploded hash pass to tbl < T."""
+    from ..constants import LSH_SWEEP_TABLES
+
+    emb = _emb(spark, sf_dir)
+    model = _model_for(emb, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    exact = knn_exact(emb, queries, metric="euclidean").select("query_id", "neighbor_id")
+
+    idx_exp = explode_hashes(
+        build_index(emb, model).select("vec_id", "hashes"), "vec_id", "neighbor_id"
+    )
+    q_exp = explode_hashes(build_index(queries, model), "vec_id", "query_id")
+    parts = []
+    for t in LSH_SWEEP_TABLES:
+        counts = (
+            idx_exp.where(F.col("tbl") < t)
+            .join(F.broadcast(q_exp.where(F.col("tbl") < t)), ["tbl", "hash"])
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.count(F.lit(1)).alias("n_match"))
+        )
+        ann = rank_term_matches(counts, emb, queries).select("query_id", "neighbor_id")
+        parts.append(
+            _recall_of(ann, exact).select(
+                F.lit(t).cast("int").alias("n_tables"), "query_id", "recall"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
 def _lsh_pairs(emb: DataFrame, sf_dir: str) -> DataFrame:
     """Distinct candidate pairs (vec_a < vec_b) sharing ≥1 LSH bucket.
 
     At scale: self-join shuffles on (tbl, hash); AQE skew-join splits hot
-    buckets. A production bucket-size cap (drop pathological mega-buckets)
-    is available via MAX_BUCKET-style pre-filtering; left off here so the
-    operator stays exactly oracle-mirrorable.
+    buckets, and the MAX_BUCKET cap (functions/blocking.py) drops
+    pathological mega-buckets before the quadratic pair step — the cap is
+    deterministic and mirrored exactly by the DuckDB oracle.
     """
+    from ..functions.blocking import capped_bucket_pairs
+
     model = _model_for(emb, sf_dir)
     # no persist: the self-join reads the hash pass twice, but re-running the
     # vectorized matmul is cheaper than a cache round-trip (measured), and a
@@ -246,14 +311,7 @@ def _lsh_pairs(emb: DataFrame, sf_dir: str) -> DataFrame:
     exp = explode_hashes(
         build_index(emb, model).select("vec_id", "hashes"), "vec_id", "vec_id"
     )
-    a = exp.select(F.col("vec_id").alias("vec_a"), "tbl", "hash")
-    b = exp.select(F.col("vec_id").alias("vec_b"), "tbl", "hash")
-    return (
-        a.join(b, ["tbl", "hash"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
+    return capped_bucket_pairs(exp, ["tbl", "hash"], "vec_id", a="vec_a", b="vec_b")
 
 
 def _pairs_with_cosine(emb: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -331,6 +389,53 @@ def knn_exact_mips_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #38: exact max-inner-product top-k (third metric family)."""
     emb = _emb(spark, sf_dir)
     return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="dot")
+
+
+def ann_search_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH search through the PERSISTED index layout — the reference's
+    actual workflow (index once into ES, search many times), Spark-native:
+    the exploded index is written partitioned by (tbl, bucket=pmod(hash,n))
+    once per process (sources/index_store), and each query batch reads back
+    ONLY its own (tbl, bucket) directories via literal partition filters.
+    Results are identical to the in-memory ann_search_lsh — same oracle —
+    proving the pruned store path is lossless (mirror of ann_search_ivf_store
+    for the IVF family). At 100 TB a batch of Q queries touches ≤ Q·T of
+    the T·n_buckets directories instead of the whole index."""
+    import os
+
+    from ..sources.index_store import load_lsh_partitions, save_lsh_index
+
+    emb = _emb(spark, sf_dir)
+    model = _model_for(emb, sf_dir)
+    out = io.scratch_dir("lsh_store", sf_dir)
+    store = os.path.join(out, "data")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        save_lsh_index(lsh_index(spark, sf_dir), store)
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    q_exp = explode_hashes(build_index(queries, model), "vec_id", "query_id")
+    # the query batch's (tbl, bucket) set: ≤ Q·T entries, KB-sized — the
+    # same justified driver-side collect as the IVF probe list
+    from ..sources.index_store import DEFAULT_HASH_BUCKETS
+
+    parts = [
+        (r.tbl, r.bucket)
+        for r in q_exp.select(
+            "tbl", F.pmod("hash", F.lit(DEFAULT_HASH_BUCKETS)).alias("bucket")
+        )
+        .distinct()
+        .collect()
+    ]
+    idx_exp = load_lsh_partitions(spark, store, parts).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    counts = (
+        idx_exp.join(F.broadcast(q_exp), ["tbl", "hash"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    return rank_term_matches(counts, emb, queries)
 
 
 def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:

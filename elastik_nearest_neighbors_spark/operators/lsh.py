@@ -95,6 +95,13 @@ class LshModel:
     def with_hashes(self, df: DataFrame, vec_col: str = "embedding", out: str = "hashes") -> DataFrame:
         return df.withColumn(out, self.hash_udf()(F.col(vec_col)))
 
+    def subset(self, tables: int) -> "LshModel":
+        """First-`tables` prefix of this model — a valid smaller model (each
+        table's hyperplanes are independent), used by the recall sweep to
+        evaluate the T axis without refitting."""
+        n = tables * self.bits
+        return LshModel(self.normals[:n], self.offsets[:n], tables, self.bits)
+
     # -- persistence (reference stores the model as an ES doc) --------------
     def to_json(self) -> str:
         return json.dumps(

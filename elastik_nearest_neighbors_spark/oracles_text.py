@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from .constants import (
     LANG_MARKERS,
+    MAX_BUCKET,
     MERSENNE_P,
     MINHASH_A,
     MINHASH_B,
@@ -18,6 +19,8 @@ from .constants import (
     MINHASH_K,
     NGRAM_JACCARD_TAU,
     NGRAM_N,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
     STOPWORDS_EN,
@@ -29,6 +32,24 @@ H60 = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 def _h60(x: str) -> str:
     return H60.format(x=x)
+
+
+def _band_cand_cte(bands_sql: str) -> str:
+    """bands → capped candidate pairs: exact mirror of
+    functions/blocking.capped_bucket_pairs (drop bands with more than
+    MAX_BUCKET members BEFORE the pair self-join)."""
+    return f"""bands AS (
+{bands_sql}
+), bsz AS (
+  SELECT band, bval, COUNT(*) AS n FROM bands GROUP BY 1, 2
+), kept AS (
+  SELECT b.doc_id, b.band, b.bval
+  FROM bands b JOIN bsz s ON s.band = b.band AND s.bval = b.bval
+  WHERE s.n <= {MAX_BUCKET}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a JOIN kept b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+)"""
 
 
 def dedup_exact(sf_dir: str) -> str:
@@ -77,12 +98,7 @@ def dedup_minhash_lsh(sf_dir: str) -> str:
     return f"""
 WITH {SHINGLES_CTE}, sig AS (
   SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id
-), bands AS (
-{bands}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-), ds AS (
+), {_band_cand_cte(bands)}, ds AS (
   SELECT DISTINCT doc_id, h AS g FROM sh
 ), sz AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY 1
@@ -98,37 +114,56 @@ WHERE round(i.i / (sa.n + sb.n - i.i), 6) >= {MINHASH_JACCARD_TAU}
 
 
 def _simhash_cte() -> str:
+    """64-bit simhash as 4×16-bit band values — exact mirror of
+    operators/dedup._simhash_bands (token bits 0-59 from md5 hex chars 1-15,
+    bits 60-63 from char 16)."""
     sums = ",\n    ".join(
-        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{i}"
+        "SUM(CASE WHEN (({src} >> {off}) & 1) = 1 THEN 1 ELSE -1 END) AS s_{i}".format(
+            src="hlo" if i < 60 else "hhi", off=i if i < 60 else i - 60, i=i
+        )
         for i in range(SIMHASH_BITS)
     )
-    val = " + ".join(
-        f"(CASE WHEN s_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
-        for i in range(SIMHASH_BITS)
+    band_cols = ", ".join(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN s_{b * SIMHASH_BAND_BITS + j} > 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(SIMHASH_BAND_BITS)
+        )
+        + f" AS INT) AS sb_{b}"
+        for b in range(SIMHASH_BANDS)
     )
     return f"""
 tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
 ), th AS (
-  SELECT doc_id, {_h60("t")} AS h FROM tok
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hlo,
+                 ('0x' || substr(md5(t), 16, 1))::BIGINT AS hhi
+  FROM tok
 ), sums AS (
   SELECT doc_id,
     {sums}
   FROM th GROUP BY doc_id
 ), sims AS (
-  SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM sums
+  SELECT doc_id, {band_cols} FROM sums
 )"""
 
 
 def dedup_simhash(sf_dir: str) -> str:
-    # brute-force pair scan — equivalent to the Spark band blocking
-    # (pigeonhole guarantees no pair with hamming <= 3 is missed there)
+    # mirrors the Spark band blocking exactly, INCLUDING the MAX_BUCKET hot
+    # band cap (blocking alone is lossless by pigeonhole; the cap is the one
+    # documented approximation, so the oracle must replicate it)
+    bands_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band, sb_{b} AS bval FROM sims"
+        for b in range(SIMHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(sa.sb_{b}, sb.sb_{b}))" for b in range(SIMHASH_BANDS)
+    )
     return f"""
-WITH {_simhash_cte()}
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+WITH {_simhash_cte()}, {_band_cand_cte(bands_sql)}
+SELECT c.doc_a, c.doc_b, CAST({ham} AS INT) AS hamming
+FROM cand c JOIN sims sa ON sa.doc_id = c.doc_a JOIN sims sb ON sb.doc_id = c.doc_b
+WHERE {ham} <= {SIMHASH_MAX_HAMMING}
 """
 
 
@@ -306,12 +341,7 @@ def minhash_est_jaccard(sf_dir: str) -> str:
     return f"""
 WITH {SHINGLES_CTE}, sig AS (
   SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id
-), bands AS (
-{bands}
-), cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-)
+), {_band_cand_cte(bands)}
 SELECT c.doc_a, c.doc_b, round(({agree}) / {float(MINHASH_K)}, 6) AS est_jaccard
 FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
 """

@@ -20,8 +20,23 @@ from .constants import (
     KNN_K,
     LSH_BITS,
     LSH_TABLES,
+    MAX_BUCKET,
     N_QUERIES,
 )
+
+# hashes → capped candidate pairs: exact mirror of operators/knn._lsh_pairs
+# (functions/blocking.capped_bucket_pairs — drop (tbl, hash) buckets with
+# more than MAX_BUCKET members before the quadratic pair self-join)
+_CAPPED_PAIRS_CTE = f"""bsz AS (
+  SELECT tbl, hash, COUNT(*) AS n FROM hashes GROUP BY 1, 2
+), kept AS (
+  SELECT h.vec_id, h.tbl, h.hash FROM hashes h
+  JOIN bsz s ON s.tbl = h.tbl AND s.hash = h.hash
+  WHERE s.n <= {MAX_BUCKET}
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM kept a JOIN kept b ON a.tbl = b.tbl AND a.hash = b.hash AND a.vec_id < b.vec_id
+)"""
 
 
 @lru_cache(maxsize=8)
@@ -147,15 +162,42 @@ FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
 """
 
 
+def ann_recall_sweep(sf_dir: str) -> str:
+    """Recall per (n_tables, query) over table-count prefixes of the fitted
+    model — each sweep point is the full ann_recall SQL with the sliced
+    model's hyperplane literals inlined (LshModel.subset mirror)."""
+    from .constants import LSH_SWEEP_TABLES
+
+    model = lsh_model_for(sf_dir)
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    parts = []
+    for t in LSH_SWEEP_TABLES:
+        sub = model.subset(t)
+        inner = f"""
+WITH {_ann_core(sub, ANN_K1, ANN_K2, N_QUERIES)},
+exact AS ({exact}),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+)
+SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
+FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+"""
+        parts.append(
+            f"SELECT CAST({t} AS INT) AS n_tables, q.query_id, q.recall FROM ({inner}) q"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def similarity_join_lsh(sf_dir: str) -> str:
     model = lsh_model_for(sf_dir)
     return f"""
 WITH hashes AS (
 {_hashes_cte(model)}
-), pairs AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM hashes a JOIN hashes b ON a.tbl = b.tbl AND a.hash = b.hash AND a.vec_id < b.vec_id
-)
+), {_CAPPED_PAIRS_CTE}
 SELECT p.vec_a, p.vec_b,
        round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cosine
 FROM pairs p
@@ -170,10 +212,7 @@ def dedup_embedding_cosine(sf_dir: str) -> str:
     return f"""
 WITH hashes AS (
 {_hashes_cte(model)}
-), pairs AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM hashes a JOIN hashes b ON a.tbl = b.tbl AND a.hash = b.hash AND a.vec_id < b.vec_id
-), near AS (
+), {_CAPPED_PAIRS_CTE}, near AS (
   SELECT vec_a, vec_b FROM pairs p
   JOIN embeddings ea ON ea.vec_id = p.vec_a
   JOIN embeddings eb ON eb.vec_id = p.vec_b

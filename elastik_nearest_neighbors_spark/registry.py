@@ -23,11 +23,13 @@ _QUERIES: dict[str, QueryFn] = {
     # core vector engine (reference parity)
     "lsh_index": knn.lsh_index,
     "ann_search_lsh": knn.ann_search_lsh_q,
+    "ann_search_lsh_store": knn.ann_search_lsh_store,
     "knn_exact_euclidean": knn.knn_exact_euclidean_q,
     "knn_exact_cosine": knn.knn_exact_cosine_q,
     "knn_exact_mips": knn.knn_exact_mips_q,
     "label_centroids": knn.label_centroids_q,
     "ann_recall": knn.ann_recall_q,
+    "ann_recall_sweep": knn.ann_recall_sweep,
     "similarity_join_lsh": knn.similarity_join_lsh_q,
     "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
     "vector_stats": knn.vector_stats_q,
@@ -66,6 +68,7 @@ _QUERIES: dict[str, QueryFn] = {
     "streaming_index": ingest.streaming_index,
     "streaming_events_hourly": ingest.streaming_events_hourly,
     "streaming_sessionize": ingest.streaming_sessionize,
+    "streaming_sessionize_append": ingest.streaming_sessionize_append,
     "streaming_dedup_state": ingest.streaming_dedup_state,
     "streaming_ann_search": ingest.streaming_ann_search,
     "multimodal_featurize": multimodal.multimodal_featurize,
@@ -76,11 +79,14 @@ _QUERIES: dict[str, QueryFn] = {
 _ORACLES: dict[str, Callable[[str], str]] = {
     "lsh_index": oracles_vector.lsh_index,
     "ann_search_lsh": oracles_vector.ann_search_lsh,
+    # store-backed search is result-identical to the in-memory path
+    "ann_search_lsh_store": oracles_vector.ann_search_lsh,
     "knn_exact_euclidean": oracles_vector.knn_exact_euclidean,
     "knn_exact_cosine": oracles_vector.knn_exact_cosine,
     "knn_exact_mips": oracles_vector.knn_exact_mips,
     "label_centroids": oracles_vector.label_centroids,
     "ann_recall": oracles_vector.ann_recall,
+    "ann_recall_sweep": oracles_vector.ann_recall_sweep,
     "similarity_join_lsh": oracles_vector.similarity_join_lsh,
     "dedup_embedding_cosine": oracles_vector.dedup_embedding_cosine,
     "vector_stats": oracles_vector.vector_stats,

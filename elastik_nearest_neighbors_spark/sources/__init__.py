@@ -1,6 +1,7 @@
 from .index_store import (  # noqa: F401
     load_ivf_lists,
     load_lsh_bucket,
+    load_lsh_partitions,
     save_ivf_index,
     save_lsh_index,
 )

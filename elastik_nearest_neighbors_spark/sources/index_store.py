@@ -57,6 +57,22 @@ def load_lsh_bucket(
     )
 
 
+def load_lsh_partitions(
+    spark: SparkSession, path: str, parts: list[tuple[int, int]]
+) -> DataFrame:
+    """Index rows for a batch of (tbl, bucket) directories — the search-time
+    read path. The predicate is an OR of literal (tbl, bucket) conjuncts
+    over partition columns ONLY, so Catalyst turns it into PartitionFilters
+    (no footer of any other directory is touched); exact hash matching
+    happens in the subsequent term join. `parts` is ≤ Q·T entries for a
+    query batch — KB-sized, like the IVF probe list."""
+    pred = None
+    for t, b in parts:
+        c = (F.col("tbl") == int(t)) & (F.col("bucket") == int(b))
+        pred = c if pred is None else pred | c
+    return spark.read.parquet(path).where(pred).select("vec_id", "tbl", "hash")
+
+
 def save_ivf_index(assigned: DataFrame, path: str) -> None:
     """Persist an IVF index (vec_id, list_id, center_dist) partitioned by
     list_id."""

@@ -132,6 +132,51 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode watermarked session windows — the BOUNDED-STATE shape a
+    100 TB deployment runs: a session is emitted exactly once, when the
+    event-time watermark (max ts − 30 min) passes its window end (last
+    event + 30 min gap), and its state is dropped at that moment. State
+    therefore holds only the open sessions, not the whole history that
+    complete-mode (streaming_sessionize) accumulates.
+
+    Rows-only in the gate by design: the emitted set is the watermark-closed
+    PREFIX of the batch result, which tests/test_operators.py asserts
+    exactly (closed sessions equal the batch sessionizer's rows)."""
+    configure(spark)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"enn_stream_sessapp_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""SELECT user_id,
+                   date_format(win.start, 'yyyy-MM-dd HH:mm:ss') AS session_start,
+                   date_format(win.end, 'yyyy-MM-dd HH:mm:ss') AS session_end,
+                   n_events, sum_value
+            FROM {name}"""
+    )
+
+
 def streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup with explicit state (applyInPandasWithState):
     keyed by content hash, state = canonical (min) doc_id seen so far; each
@@ -193,11 +238,10 @@ def streaming_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: the static side is the partitioned index store; the stream
     side is small per microbatch; state = one counter per live (query,
     candidate) pair, dropped once the query's answer is emitted."""
-    from ..constants import ANN_K1, ANN_K2, DIST_ROUND, N_QUERIES
-    from ..functions.vector import as_double, euclidean
+    from ..constants import N_QUERIES
+    from ..operators.knn import rank_term_matches
     from ..operators.lsh import build_index, explode_hashes
     from ..oracles_vector import lsh_model_for
-    from pyspark.sql.window import Window
 
     configure(spark)
     emb = io.table(spark, sf_dir, "embeddings")
@@ -230,21 +274,4 @@ def streaming_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination(300)
 
     sunk = spark.sql(f"SELECT query_id, neighbor_id, n_match FROM {name}")
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("n_match"), F.asc("neighbor_id"))
-    k1_sel = sunk.withColumn("rn", F.row_number().over(w1)).where(F.col("rn") <= ANN_K1).drop("rn")
-    nvec = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("nv"))
-    qvec = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
-    )
-    scored = (
-        k1_sel.join(nvec, "neighbor_id")
-        .join(F.broadcast(qvec), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            "n_match",
-            F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
-        )
-    )
-    w2 = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
-    return scored.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") <= ANN_K2).drop("rn")
+    return rank_term_matches(sunk, emb, emb.where(F.col("vec_id") < N_QUERIES))

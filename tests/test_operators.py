@@ -191,3 +191,64 @@ def test_framesample_shape(spark):
     a = out.sort_values(["doc_id", "frame_idx"]).frame_digest.tolist()
     b = again.sort_values(["doc_id", "frame_idx"]).frame_digest.tolist()
     assert a == b
+
+
+def test_capped_bucket_pairs_drops_mega_bucket(spark):
+    from elastik_nearest_neighbors_spark.functions.blocking import capped_bucket_pairs
+
+    # bucket 1 has 4 members (mega at cap=3), bucket 2 has 2
+    rows = [(i, 0, 1) for i in range(4)] + [(10, 0, 2), (11, 0, 2)]
+    exploded = spark.createDataFrame(rows, "doc_id long, band int, bval int")
+    capped = capped_bucket_pairs(exploded, ["band", "bval"], "doc_id", max_bucket=3)
+    assert {(r.doc_a, r.doc_b) for r in capped.collect()} == {(10, 11)}
+    # cap disabled → all 4C2 + 1 pairs come back
+    full = capped_bucket_pairs(exploded, ["band", "bval"], "doc_id", max_bucket=None)
+    assert full.count() == 7
+
+
+def test_simhash_band_blocking_is_lossless_under_hamming(spark):
+    """Pigeonhole contract: any pair at hamming <= SIMHASH_MAX_HAMMING shares
+    >= 1 of the 4 bands exactly (so band blocking misses nothing); verify by
+    brute force over the band values at sf0.001."""
+    from elastik_nearest_neighbors_spark.constants import SIMHASH_BANDS, SIMHASH_MAX_HAMMING
+    from elastik_nearest_neighbors_spark.operators.dedup import _simhash_bands
+
+    docs = io.table(spark, SF_SMALL, "documents")
+    sims = _simhash_bands(docs).toPandas().set_index("doc_id")
+    cols = [f"sb_{b}" for b in range(SIMHASH_BANDS)]
+    vals = sims[cols].to_numpy()
+    assert (vals >= 0).all() and (vals < 1 << 16).all()
+    ids = sims.index.to_numpy()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ham = sum(bin(int(vals[i, b]) ^ int(vals[j, b])).count("1") for b in range(SIMHASH_BANDS))
+            if ham <= SIMHASH_MAX_HAMMING:
+                assert any(vals[i, b] == vals[j, b] for b in range(SIMHASH_BANDS))
+
+
+def test_streaming_sessionize_append_emits_closed_prefix(spark):
+    """Append mode must emit EXACTLY the sessions the watermark closed
+    (window end <= max_ts - delay), with per-session aggregates equal to the
+    batch sessionizer's rows for those sessions — and strictly fewer rows
+    than the complete result (state is bounded by open sessions)."""
+    import pandas as pd
+
+    from elastik_nearest_neighbors_spark.operators.analytics import events_sessionize
+    from elastik_nearest_neighbors_spark.streaming.ingest import streaming_sessionize_append
+
+    stream = streaming_sessionize_append(spark, SF_SMALL).toPandas()
+    batch = events_sessionize(spark, SF_SMALL).toPandas()
+    assert 0 < len(stream) <= len(batch)
+    # closed sessions must match batch rows exactly on (user, start) keys
+    m = stream.merge(
+        batch, on=["user_id", "session_start"], how="left", suffixes=("_s", "_b")
+    )
+    assert not m.n_events_b.isna().any(), "stream emitted a session batch doesn't have"
+    assert (m.n_events_s == m.n_events_b).all()
+    assert (abs(m.sum_value_s - m.sum_value_b) < 1e-9).all()
+    # and the emitted set is precisely the watermark-closed prefix
+    ev = io.table(spark, SF_SMALL, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - pd.Timedelta(minutes=30)
+    ends = pd.to_datetime(stream.session_end)
+    assert (ends <= pd.Timestamp(wm)).all()
