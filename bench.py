@@ -30,9 +30,12 @@ HEADLINE = [
     "ivf_index",
     "ann_search_ivf",
     "ann_recall_ivf",
+    "pq_codes",
+    "ann_search_pq",
     "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",
+    "dup_clusters",
     "dedup_simhash",
     "ngram_jaccard_join",
     "lang_id",
@@ -42,12 +45,19 @@ HEADLINE = [
     "doc_chunk",
     "corpus_clean",
     "idf_scores",
+    "pii_scrub",
+    "corpus_sample",
+    "token_histogram",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
     "q14_promo_revenue",
     "q5_local_supplier_volume",
     "q6_revenue_delta",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "events_funnel",
     "events_hourly",
     "events_sessionize",
     "events_topk_users",

@@ -59,6 +59,12 @@ LSH_BITS = 6
 LSH_SWEEP_TABLES = [2, 4, 8, 16]
 ANN_K1 = 100  # candidates from hash-table term match
 ANN_K2 = 10  # final neighbors after exact re-rank
+# PQ (product quantization): M subspaces × ksub centroids — 64 float64 dims
+# become 4 one-byte codes (128× storage compression for the scan path)
+PQ_M = 4
+PQ_KSUB = 16
+PQ_SAMPLE = 256  # deterministic fit sample: first N vectors by id
+PQ_ITERS = 5
 # IVF coarse quantizer (scale-path ANN; FAISS-style inverted lists)
 IVF_NLIST = 16  # centroids / inverted lists
 IVF_NPROBE = 4  # lists probed per query
@@ -96,6 +102,22 @@ Q4_DATE_HI = "1998-01-01"
 Q5_REGION = "ASIA"
 Q5_DATE_LO = "1997-01-01"
 Q5_DATE_HI = "1998-01-01"
+Q7_NATION_A = "NATION_1"  # synthetic testdata nation names
+Q7_NATION_B = "NATION_2"
+Q10_DATE_LO = "1997-01-01"
+Q10_DATE_HI = "1997-04-01"
+Q10_TOPK = 20
+Q18_QTY = 250  # order total-quantity threshold (99th pct ≈ 262 at sf0.01)
+FUNNEL_WINDOW_MS = 30 * 60 * 1000  # click→purchase conversion window
+
+# ---- PII scrubbing / sampling (training-pipeline prep) ----------------------
+# RE2-compatible patterns (DuckDB) that are also valid Java regex (Spark):
+# no backrefs, no lookaround.
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_LONGNUM_RE = "[0-9]{7,}"  # phone-ish / id-ish digit runs
+PII_REDACTION = "<PII>"
+SAMPLE_BUCKETS = 100  # deterministic hash-mod sampling space
+SAMPLE_KEEP = 10  # keep bucket < 10 → 10% sample
 
 # ---- document chunking (training-pipeline prep) ------------------------------
 CHUNK_TOKENS = 32  # tokens per chunk

@@ -202,6 +202,166 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations by ship year —
+    supplier in one nation, customer in the other, both directions.
+
+    Join shape at scale: nation is tiny → broadcast into customer and
+    supplier, which are dims → broadcast into the fact joins; the only real
+    shuffle is lineitem⋈orders on orderkey. The nation-pair filter happens
+    on the broadcast side before the facts are touched."""
+    from ..constants import Q7_NATION_A, Q7_NATION_B
+
+    configure(spark)
+    nation = io.table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(Q7_NATION_A, Q7_NATION_B)
+    ).select("n_nationkey", "n_name")
+    supp = io.table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.withColumnRenamed("n_name", "supp_nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_nation")
+    cust = io.table(spark, sf_dir, "customer").join(
+        F.broadcast(nation.withColumnRenamed("n_name", "cust_nation")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    orders = io.table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = io.table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    one = F.lit(1).cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top customers by revenue lost to returned items
+    (l_returnflag = 'R') for orders placed in one quarter.
+
+    Scale shape: customer broadcasts into the aggregated result (join AFTER
+    the groupBy on custkey, so the join input is ≤ |customers| aggregated
+    rows, not fact rows); lineitem⋈orders shuffles on orderkey."""
+    from ..constants import Q10_DATE_HI, Q10_DATE_LO, Q10_TOPK
+
+    configure(spark)
+    orders = io.table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q10_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(Q10_DATE_HI).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = io.table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    cust = io.table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    one = F.lit(1).cast(DEC)
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return (
+        per_cust.join(F.broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(Q10_TOPK)
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds Q18_QTY, with
+    customer and order details.
+
+    Scale shape: the HAVING aggregation partial-aggregates quantity map-side
+    and reduces lineitem to ≤ |orders| rows BEFORE any join; orders joins on
+    the (tiny) surviving key set; customer broadcasts."""
+    from ..constants import Q18_QTY
+
+    configure(spark)
+    li = io.table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY)
+    )
+    orders = io.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = io.table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            "c_name",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user click→purchase conversion funnel: a purchase CONVERTS if the
+    same user clicked within the preceding FUNNEL_WINDOW_MS. Same
+    carry-forward shape as the as-of join (one shuffle on user_id, no
+    range-join candidate explosion); the conversion test is a window delta.
+
+    Output: (user_id, n_purchases, n_converted, conv_rate)."""
+    from pyspark.sql.window import Window
+
+    from ..constants import FUNNEL_WINDOW_MS
+
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    ).select("user_id", "event_id", "ts", "event_type")
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.unix_millis("ts")).alias("c_ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn("click_ms", F.last("c_ms", ignorenulls=True).over(w))
+    purchases = carried.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        (
+            F.col("click_ms").isNotNull()
+            & ((F.unix_millis("ts") - F.col("click_ms")) <= FUNNEL_WINDOW_MS)
+        ).cast("int").alias("converted"),
+    )
+    return purchases.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("converted").alias("n_converted"),
+        F.round(F.sum("converted") / F.count(F.lit(1)), 6).alias("conv_rate"),
+    )
+
+
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     ev = io.table(spark, sf_dir, "events")

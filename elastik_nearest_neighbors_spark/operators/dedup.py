@@ -286,6 +286,59 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified minhash near-dup graph —
+    the TRANSITIVE closure dedup_minhash_canonical deliberately stops short
+    of (single-hop): a chain a~b~c collapses to one cluster here.
+
+    Iterative min-label propagation: label(v) ← min(label(v), min over
+    neighbors label(u)) until fixpoint. Dup clusters have tiny diameter
+    (exact-dup cliques + short near-dup chains), so this converges in a few
+    rounds; each round is one co-partitioned join + groupBy on doc_id, and
+    the driver-side loop checks a scalar changed-count (the standard Spark
+    shape for label propagation; at 100 TB the same loop runs with
+    checkpointing every few rounds to cut lineage).
+
+    Output: (doc_id, cluster_id) with cluster_id = min doc_id reachable.
+    """
+    docs = _docs(spark, sf_dir)
+    near = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the edge list ONCE — every propagation round reuses it,
+    # and without this the whole minhash pipeline would re-execute per round
+    edges = near.unionAll(
+        near.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
+    # fixpoint loop: bounded by graph diameter; the hard cap keeps worst-case
+    # adversarial chains from looping forever (documented approximation
+    # beyond 50 hops — unreachable for dup graphs in practice)
+    for _ in range(50):
+        from_nbr = edges.join(
+            labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+        ).select(F.col("doc_a").alias("doc_id"), "cluster_id")
+        # localCheckpoint truncates lineage so round N's plan doesn't stack
+        # N copies of the join, and lets the changed-count reuse the result
+        new_labels = (
+            labels.unionAll(from_nbr)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "old"), "doc_id"
+            )
+            .where(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signature-based Jaccard ESTIMATE for the banded candidate pairs:
     est = (# agreeing minhash components) / K. This is what runs at 100 TB

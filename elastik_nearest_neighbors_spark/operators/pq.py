@@ -1,0 +1,198 @@
+"""Product quantization (PQ) — the compressed-domain ANN path that
+completes the similarity-search family (LSH = reference parity, IVF =
+partition-pruned candidate lists, PQ = 100 TB *storage*: 64 float64 dims
+become M=4 one-byte codes, a 128× compression, scanned without touching the
+raw vectors).
+
+Spark-first shape (mirrors operators/ivf.py):
+- the codebook is tiny (M·ksub·dsub float64 ≈ KB): deterministic per-subspace
+  Lloyd k-means fit on the driver from the parquet bytes (pyarrow), so the
+  DuckDB oracle inlines bit-identical centroid literals.
+- `pq_codes` is a narrow Arrow-batched pass: vec → per-subspace nearest
+  centroid code; LONG output (vec_id, m, code) — flat scalars.
+- `ann_search_pq` is ADC (asymmetric distance computation): the query builds
+  its M×ksub table of rounded squared sub-distances DRIVER-side (Q·M·ksub
+  rows ≈ KB — the same justified collect as the IVF probe list), broadcast
+  joins it against the codes on (m, code), and sums exactly in decimal —
+  approx dist²(q, v) = Σ_m dtab[m, code_m(v)]. The scan side touches ONLY
+  the codes; at scale the raw vectors are never read after indexing.
+
+Determinism contract (mirrored in oracles_vector.py): sub-distances are
+euclidean (sqrt) then squared then rounded to DIST_ROUND — the same
+list_distance-compatible op order the IVF oracle already proves out; the
+rounded 6-decimal doubles cast EXACTLY to decimal(18,6), so the ADC sum is
+order-insensitive on both engines. Code assignment ties break on the
+smaller code (argmin-first / ORDER BY d, k).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from .. import io
+from ..constants import (
+    ANN_K2,
+    DIST_ROUND,
+    N_QUERIES,
+    PQ_ITERS,
+    PQ_KSUB,
+    PQ_M,
+    PQ_SAMPLE,
+)
+from ..session import configure
+
+
+class PqModel:
+    """M per-subspace codebooks: centroids shape (M, ksub, dsub)."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.m, self.ksub, self.dsub = self.centroids.shape
+
+    @classmethod
+    def fit_path(
+        cls,
+        sf_dir: str,
+        m: int = PQ_M,
+        ksub: int = PQ_KSUB,
+        sample_n: int = PQ_SAMPLE,
+        iters: int = PQ_ITERS,
+    ) -> "PqModel":
+        """Deterministic fit, same recipe as IvfModel.fit_path per subspace:
+        sample = first `sample_n` rows by vec_id; init = first `ksub` of the
+        sample's slice; `iters` Lloyd steps; empty clusters keep their
+        previous centroid. Reads the parquet directly (pyarrow) so the
+        oracle builder runs the identical code on the identical bytes."""
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        df = t.to_pandas().sort_values("vec_id").head(sample_n)
+        x = np.array(df["embedding"].tolist(), dtype=np.float64)
+        dim = x.shape[1]
+        assert dim % m == 0, f"dim {dim} not divisible by M={m}"
+        dsub = dim // m
+        cents = np.empty((m, ksub, dsub), dtype=np.float64)
+        for mi in range(m):
+            xs = x[:, mi * dsub : (mi + 1) * dsub]
+            cent = xs[:ksub].copy()
+            for _ in range(iters):
+                d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for j in range(ksub):
+                    members = xs[assign == j]
+                    if len(members):
+                        cent[j] = members.mean(axis=0)
+            cents[mi] = cent
+        return cls(cents)
+
+    def _sub_dists(self, vecs: np.ndarray, mi: int) -> np.ndarray:
+        """Rounded euclidean distances of each vec's subspace-mi slice to the
+        mi-th codebook — identical op order to DuckDB list_distance + round."""
+        xs = vecs[:, mi * self.dsub : (mi + 1) * self.dsub]
+        d = np.sqrt(((xs[:, None, :] - self.centroids[mi][None, :, :]) ** 2).sum(axis=2))
+        return np.round(d, DIST_ROUND)
+
+    def codes_udf(self):
+        model = self
+
+        @pandas_udf("array<int>")
+        def _codes(vecs: pd.Series) -> pd.Series:
+            v = np.array(vecs.tolist(), dtype=np.float64)
+            out = np.empty((len(v), model.m), dtype=np.int32)
+            for mi in range(model.m):
+                # argmin on rounded distances: first min == smallest code
+                out[:, mi] = model._sub_dists(v, mi).argmin(axis=1)
+            return pd.Series(list(out))
+
+        return _codes
+
+    def dist_table(self, query_vecs: np.ndarray, query_ids: list[int]) -> list[tuple]:
+        """(query_id, m, code, d2) rows: d2 = round(sub_dist², DIST_ROUND).
+        Q·M·ksub entries — KB-sized, built driver-side."""
+        rows = []
+        v = np.asarray(query_vecs, dtype=np.float64)
+        for mi in range(self.m):
+            d = self._sub_dists(v, mi)
+            d2 = np.round(d * d, DIST_ROUND)
+            for qi, qid in enumerate(query_ids):
+                for k in range(self.ksub):
+                    rows.append((int(qid), mi, k, float(d2[qi, k])))
+        return rows
+
+
+_MODEL_CACHE: dict[str, PqModel] = {}
+
+
+def model_for(sf_dir: str) -> PqModel:
+    m = _MODEL_CACHE.get(sf_dir)
+    if m is None:
+        m = _MODEL_CACHE[sf_dir] = PqModel.fit_path(sf_dir)
+    return m
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    return io.table(spark, sf_dir, "embeddings", widen=True)
+
+
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #50: per-vector PQ codes, long format (vec_id, m, code) —
+    narrow Arrow pass, no shuffle; this IS the compressed index."""
+    emb = _emb(spark, sf_dir)
+    model = model_for(sf_dir)
+    return emb.select(
+        "vec_id", F.posexplode(model.codes_udf()(F.col("embedding"))).alias("m", "code")
+    )
+
+
+def ann_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #51: ADC top-k over the PQ codes for the canonical query
+    batch. The per-neighbor work is a (m, code) hash-join lookup + exact
+    decimal sum — the raw vectors are never touched after pq_codes.
+
+    Output: (query_id, neighbor_id, adc_dist) top-ANN_K2 per query."""
+    from ..constants import DEC
+
+    emb = _emb(spark, sf_dir)
+    model = model_for(sf_dir)
+    qrows = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    dtab_rows = model.dist_table(
+        np.array([r.embedding for r in qrows], dtype=np.float64),
+        [r.vec_id for r in qrows],
+    )
+    dtab = spark.createDataFrame(dtab_rows, "query_id bigint, m int, code int, d2 double")
+    codes = pq_codes(spark, sf_dir).withColumnRenamed("vec_id", "neighbor_id")
+    adc = (
+        codes.join(F.broadcast(dtab), ["m", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        # rounded 6-decimal doubles cast exactly to decimal(18,6) → the sum
+        # is exact and order-insensitive on any partitioning
+        .agg(F.sum(F.col("d2").cast(DEC)).cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return adc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= ANN_K2).drop("rn")
+
+
+def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of PQ-ADC vs exact kNN — same quality metric as the LSH and
+    IVF paths, so all three ANN families compare on one axis."""
+    from .knn import _recall_of, knn_exact_euclidean_q
+
+    ann = ann_search_pq(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = knn_exact_euclidean_q(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_of(ann, exact)

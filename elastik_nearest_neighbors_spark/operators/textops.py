@@ -145,6 +145,63 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training-data pipeline runs
+    before packaging: emails and long digit runs (phone/account-shaped) are
+    replaced with a redaction token. Narrow regexp pass, no shuffle; the
+    patterns are RE2∩Java-regex compatible so the DuckDB oracle applies the
+    identical automaton. Output carries the scrubbed text's md5 (not the
+    text itself) plus match counts, keeping the result compact and still
+    fully content-determined.
+
+    Output: (doc_id, n_emails, n_longnums, scrubbed_md5)."""
+    from ..constants import PII_EMAIL_RE, PII_LONGNUM_RE, PII_REDACTION
+
+    docs = _docs(spark, sf_dir)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL_RE, PII_REDACTION),
+        PII_LONGNUM_RE,
+        PII_REDACTION,
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_LONGNUM_RE)).cast("int").alias("n_longnums"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling: keep docs whose 60-bit content
+    hash lands in the first SAMPLE_KEEP of SAMPLE_BUCKETS buckets — the
+    reproducible down-sampling primitive (same doc → same decision on any
+    cluster, any partitioning, any day). Narrow filter, fully pushed work.
+
+    Output: (doc_id, sample_bucket)."""
+    from ..constants import SAMPLE_BUCKETS, SAMPLE_KEEP
+    from ..functions.text import md5_hash60
+
+    docs = _docs(spark, sf_dir)
+    bucket = F.pmod(md5_hash60(F.col("text")), F.lit(SAMPLE_BUCKETS))
+    return docs.select("doc_id", bucket.cast("int").alias("sample_bucket")).where(
+        F.col("sample_bucket") < SAMPLE_KEEP
+    )
+
+
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies: how many vocabulary tokens appear in exactly
+    df documents — the corpus-health curve (Zipf tail vs boilerplate head)
+    monitoring reads. Two partial-aggregated shuffles over tiny keyspaces.
+
+    Output: (df, n_tokens)."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("token")
+    )
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    return dfreq.groupBy("df").agg(F.count(F.lit(1)).alias("n_tokens"))
+
+
 def idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-token inverse document frequency over the corpus — the weighting
     table TF-IDF retrieval and rare-token quality heuristics read from.

@@ -210,3 +210,90 @@ SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM documents d JOIN q ON q.doc_id = d.doc_id
 GROUP BY d.source
 """
+
+
+def q7_volume_shipping() -> str:
+    from .constants import Q7_NATION_A, Q7_NATION_B
+
+    return f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+  CAST(year(l.l_shipdate) AS INT) AS ship_year,
+  CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE ns.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND nc.n_name IN ('{Q7_NATION_A}', '{Q7_NATION_B}')
+  AND ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+def q10_returned_revenue() -> str:
+    from .constants import Q10_DATE_HI, Q10_DATE_LO, Q10_TOPK
+
+    return f"""
+SELECT c.c_custkey AS custkey, c.c_name,
+  round(c.c_acctbal, 2) AS acctbal,
+  CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{Q10_DATE_LO} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q10_DATE_HI} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, custkey
+LIMIT {Q10_TOPK}
+"""
+
+
+def q18_large_orders() -> str:
+    from .constants import Q18_QTY
+
+    return f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) > {Q18_QTY}
+)
+SELECT o.o_orderkey AS orderkey, c.c_name,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+  round(o.o_totalprice, 2) AS totalprice,
+  b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def events_funnel() -> str:
+    from .constants import FUNNEL_WINDOW_MS
+
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS c_ms
+  FROM events WHERE event_type IN ('click', 'purchase')
+), carried AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(c_ms IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ms
+  FROM ev
+), purchases AS (
+  SELECT user_id,
+         CASE WHEN click_ms IS NOT NULL
+               AND epoch_ms(ts) - click_ms <= {FUNNEL_WINDOW_MS}
+              THEN 1 ELSE 0 END AS converted
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       round(SUM(converted) / COUNT(*), 6) AS conv_rate
+FROM purchases GROUP BY user_id
+"""

@@ -278,6 +278,28 @@ FROM sym GROUP BY doc_id
 """
 
 
+def dup_clusters(sf_dir: str) -> str:
+    """Transitive closure of the near-dup graph via WITH RECURSIVE — the
+    declarative twin of the Spark label-propagation loop. cluster_id =
+    min doc_id reachable (including self)."""
+    pairs = dedup_minhash_lsh(sf_dir)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.doc_a, reach.r
+  FROM reach JOIN edges e ON e.doc_b = reach.doc_id
+)
+SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+"""
+
+
 def corpus_clean(sf_dir: str) -> str:
     from .constants import CORPUS_LANG, CORPUS_QUALITY_TAU
 
@@ -308,6 +330,44 @@ WITH tok AS (
 SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
        round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / COUNT(*)), 6) AS idf
 FROM tok GROUP BY token
+"""
+
+
+def pii_scrub(sf_dir: str) -> str:
+    from .constants import PII_EMAIL_RE, PII_LONGNUM_RE, PII_REDACTION
+
+    # DuckDB needs the global flag to replace every match (Spark's
+    # regexp_replace is global by default)
+    return f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{PII_LONGNUM_RE}')) AS INT) AS n_longnums,
+  md5(regexp_replace(
+        regexp_replace(text, '{PII_EMAIL_RE}', '{PII_REDACTION}', 'g'),
+        '{PII_LONGNUM_RE}', '{PII_REDACTION}', 'g')) AS scrubbed_md5
+FROM documents
+"""
+
+
+def corpus_sample(sf_dir: str) -> str:
+    from .constants import SAMPLE_BUCKETS, SAMPLE_KEEP
+
+    h = _h60("text")
+    return f"""
+SELECT doc_id, CAST({h} % {SAMPLE_BUCKETS} AS INT) AS sample_bucket
+FROM documents
+WHERE {h} % {SAMPLE_BUCKETS} < {SAMPLE_KEEP}
+"""
+
+
+def token_histogram(sf_dir: str) -> str:
+    return """
+WITH tok AS (
+  SELECT unnest(list_distinct(string_split(text, ' '))) AS token FROM documents
+), dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token
+)
+SELECT df, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM dfreq GROUP BY df
 """
 
 

@@ -344,6 +344,95 @@ FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
 """
 
 
+# ---- PQ (product quantization; operators/pq.py) -----------------------------
+
+
+def _pq_cent_cte(sf_dir: str) -> str:
+    """Codebook literals from the same driver-side fit the Spark operator
+    uses (PqModel.fit_path) — bit-identical by construction. One row per
+    (m, k): the dsub-dim sub-centroid."""
+    from .operators.pq import model_for
+
+    model = model_for(sf_dir)
+    rows = " UNION ALL ".join(
+        f"SELECT {mi} AS m, {k} AS k, "
+        f"[{','.join(repr(float(x)) for x in model.centroids[mi, k])}]::DOUBLE[] AS c"
+        for mi in range(model.m)
+        for k in range(model.ksub)
+    )
+    return f"cent AS ({rows})", model
+
+
+def _pq_codes_sql(sf_dir: str) -> tuple[str, object]:
+    cent, model = _pq_cent_cte(sf_dir)
+    dsub = model.dsub
+    return (
+        f"""{cent},
+sub AS (
+  SELECT e.vec_id, c.m, c.k,
+         round(list_distance(
+           (e.embedding::DOUBLE[])[c.m * {dsub} + 1 : (c.m + 1) * {dsub}], c.c), 6) AS d
+  FROM embeddings e CROSS JOIN cent c
+),
+codes AS (
+  SELECT vec_id, CAST(m AS INT) AS m, CAST(k AS INT) AS code
+  FROM sub QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) = 1
+)""",
+        model,
+    )
+
+
+def pq_codes(sf_dir: str) -> str:
+    cte, _ = _pq_codes_sql(sf_dir)
+    return f"WITH {cte} SELECT vec_id, m, code FROM codes"
+
+
+def ann_search_pq(sf_dir: str) -> str:
+    from .constants import ANN_K2, N_QUERIES
+
+    cte, model = _pq_codes_sql(sf_dir)
+    dsub = model.dsub
+    return f"""
+WITH {cte},
+dtab AS (
+  SELECT q.vec_id AS query_id, c.m, c.k AS code,
+         -- round-square-round, matching PqModel.dist_table exactly
+         CAST(round(power(round(list_distance(
+           (q.embedding::DOUBLE[])[c.m * {dsub} + 1 : (c.m + 1) * {dsub}], c.c), 6), 2), 6)
+           AS DECIMAL(18,6)) AS d2
+  FROM embeddings q CROSS JOIN cent c
+  WHERE q.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT d.query_id, co.vec_id AS neighbor_id, CAST(SUM(d.d2) AS DOUBLE) AS adc_dist
+  FROM codes co JOIN dtab d ON d.m = co.m AND d.code = co.code
+  WHERE co.vec_id <> d.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) <= {ANN_K2}
+"""
+
+
+def ann_recall_pq(sf_dir: str) -> str:
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    inner = ann_search_pq(sf_dir)
+    return f"""
+WITH ann AS ({inner}),
+exact AS ({exact}),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+)
+SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
+FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+"""
+
+
 def label_centroids(sf_dir: str) -> str:
     return """
 WITH exploded AS (

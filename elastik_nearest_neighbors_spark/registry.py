@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import oracles, oracles_text, oracles_vector
 from .io import ORACLE_SF_DIR
-from .operators import analytics, dedup, ivf, knn, multimodal, textops
+from .operators import analytics, dedup, ivf, knn, multimodal, pq, textops
 from .streaming import ingest
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -37,11 +37,15 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_search_ivf": ivf.ann_search_ivf_q,
     "ann_recall_ivf": ivf.ann_recall_ivf_q,
     "ann_search_ivf_store": ivf.ann_search_ivf_store,
+    "pq_codes": pq.pq_codes,
+    "ann_search_pq": pq.ann_search_pq,
+    "ann_recall_pq": pq.ann_recall_pq,
     # LLM-pipeline dedup + text analysis
     "dedup_exact": dedup.dedup_exact,
     "minhash_signatures": dedup.minhash_signatures,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_minhash_canonical": dedup.dedup_minhash_canonical,
+    "dup_clusters": dedup.dup_clusters,
     "minhash_est_jaccard": dedup.minhash_est_jaccard,
     "dedup_simhash": dedup.dedup_simhash,
     "ngram_jaccard_join": dedup.ngram_jaccard_join,
@@ -52,6 +56,9 @@ _QUERIES: dict[str, QueryFn] = {
     "doc_chunk": textops.doc_chunk,
     "corpus_clean": textops.corpus_clean,
     "idf_scores": textops.idf_scores,
+    "pii_scrub": textops.pii_scrub,
+    "corpus_sample": textops.corpus_sample,
+    "token_histogram": textops.token_histogram,
     # generic analytics
     "q1_pricing_summary": analytics.q1_pricing_summary,
     "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -59,6 +66,10 @@ _QUERIES: dict[str, QueryFn] = {
     "q14_promo_revenue": analytics.q14_promo_revenue,
     "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
     "q6_revenue_delta": analytics.q6_revenue_delta,
+    "q7_volume_shipping": analytics.q7_volume_shipping,
+    "q10_returned_revenue": analytics.q10_returned_revenue,
+    "q18_large_orders": analytics.q18_large_orders,
+    "events_funnel": analytics.events_funnel,
     "events_hourly": analytics.events_hourly,
     "events_sessionize": analytics.events_sessionize,
     "events_topk_users": analytics.events_topk_users,
@@ -94,6 +105,9 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_search_ivf": oracles_vector.ann_search_ivf,
     "ann_recall_ivf": oracles_vector.ann_recall_ivf,
     "ann_search_ivf_store": oracles_vector.ann_search_ivf,
+    "pq_codes": oracles_vector.pq_codes,
+    "ann_search_pq": oracles_vector.ann_search_pq,
+    "ann_recall_pq": oracles_vector.ann_recall_pq,
     "streaming_ann_search": oracles_vector.ann_search_lsh,
     # streaming_index writes the exploded index — same rows as batch lsh_index
     "streaming_index": oracles_vector.lsh_index,
@@ -102,6 +116,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "minhash_signatures": oracles_text.minhash_signatures,
     "dedup_minhash_lsh": oracles_text.dedup_minhash_lsh,
     "dedup_minhash_canonical": oracles_text.dedup_minhash_canonical,
+    "dup_clusters": oracles_text.dup_clusters,
     "minhash_est_jaccard": oracles_text.minhash_est_jaccard,
     "dedup_simhash": oracles_text.dedup_simhash,
     "ngram_jaccard_join": oracles_text.ngram_jaccard_join,
@@ -112,12 +127,19 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "doc_chunk": oracles_text.doc_chunk,
     "corpus_clean": oracles_text.corpus_clean,
     "idf_scores": oracles_text.idf_scores,
+    "pii_scrub": oracles_text.pii_scrub,
+    "corpus_sample": oracles_text.corpus_sample,
+    "token_histogram": oracles_text.token_histogram,
     "q1_pricing_summary": lambda sf: oracles.q1_pricing_summary(),
     "q3_shipping_priority": lambda sf: oracles.q3_shipping_priority(),
     "q4_order_priority": lambda sf: oracles.q4_order_priority(),
     "q14_promo_revenue": lambda sf: oracles.q14_promo_revenue(),
     "q5_local_supplier_volume": lambda sf: oracles.q5_local_supplier_volume(),
     "q6_revenue_delta": lambda sf: oracles.q6_revenue_delta(),
+    "q7_volume_shipping": lambda sf: oracles.q7_volume_shipping(),
+    "q10_returned_revenue": lambda sf: oracles.q10_returned_revenue(),
+    "q18_large_orders": lambda sf: oracles.q18_large_orders(),
+    "events_funnel": lambda sf: oracles.events_funnel(),
     "events_hourly": lambda sf: oracles.events_hourly(),
     "events_sessionize": lambda sf: oracles.events_sessionize(),
     "events_topk_users": lambda sf: oracles.events_topk_users(),

@@ -129,3 +129,48 @@ def test_asof_join_single_user_shuffle(spark):
     plan = plans.formatted_plan(df)
     # union + carry-forward: no join node at all, one window shuffle on user_id
     assert "Join" not in plan, plan
+
+
+def test_q10_joins_customer_after_aggregation(spark):
+    # the customer dim must join the aggregated per-custkey rows, not the
+    # fact rows: the BroadcastHashJoin has to sit ABOVE the HashAggregate
+    # in the plan tree (details section lists children before parents)
+    df = analytics.q10_returned_revenue(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    tree = plan.split("\n\n")[0]
+    agg_line = min(i for i, l in enumerate(tree.splitlines()) if "HashAggregate" in l)
+    join_line = min(i for i, l in enumerate(tree.splitlines()) if "BroadcastHashJoin" in l)
+    assert join_line < agg_line, tree  # tree prints top-down: join above agg
+
+
+def test_q18_aggregates_before_join(spark):
+    df = analytics.q18_large_orders(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    first_join = min(i for i, l in enumerate(lines) if "Join" in l)
+    # at least one HashAggregate below (after) the first join in top-down
+    # print order = the quantity aggregation runs before the join
+    assert any("HashAggregate" in l for l in lines[first_join:]), tree
+
+
+def test_events_funnel_single_shuffle_no_join(spark):
+    df = analytics.events_funnel(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    assert "Join" not in plan, plan
+
+
+def test_dup_clusters_transitive(spark):
+    """dedup_minhash_canonical is single-hop; dup_clusters must close chains:
+    every edge's two endpoints end in the same cluster, and clusters are
+    closed under the canonical map."""
+    from elastik_nearest_neighbors_spark.operators import dedup
+
+    labels = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(spark, SF_SMALL).collect()}
+    pairs = dedup.dedup_minhash_lsh(spark, SF_SMALL).collect()
+    assert pairs, "no near-dup pairs at this SF — test proves nothing"
+    for r in pairs:
+        assert labels[r.doc_a] == labels[r.doc_b]
+    # cluster ids are fixpoints: label(label(v)) == label(v)
+    assert all(labels[c] == c for c in set(labels.values()))
