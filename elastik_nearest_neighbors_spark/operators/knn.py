@@ -259,28 +259,45 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     are independent, so the first T tables ARE the T-table model).
 
     Per-query rows (n_tables, query_id, recall): no cross-row float
-    aggregation, so the output is bit-stable across engines. The exact-kNN
-    subtree is shared across sweep points; each ANN branch filters the same
-    exploded hash pass to tbl < T."""
+    aggregation, so the output is bit-stable across engines.
+
+    One bucket join feeds EVERY sweep point: a table match for prefix T is a
+    match for every larger prefix, so the single aggregation emits all the
+    prefix match-counts at once (sum of tbl < T per pair) — 1 hash pass + 1
+    join + 1 shuffle instead of one of each per sweep point (measured ~3×).
+    The shared subtrees (exact kNN, prefix counts) are localCheckpoint-ed so
+    the 4 rank/recall branches don't re-execute them."""
     from ..constants import LSH_SWEEP_TABLES
 
     emb = _emb(spark, sf_dir)
     model = _model_for(emb, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    exact = knn_exact(emb, queries, metric="euclidean").select("query_id", "neighbor_id")
+    exact = (
+        knn_exact(emb, queries, metric="euclidean")
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
 
     idx_exp = explode_hashes(
         build_index(emb, model).select("vec_id", "hashes"), "vec_id", "neighbor_id"
     )
     q_exp = explode_hashes(build_index(queries, model), "vec_id", "query_id")
+    counts_all = (
+        idx_exp.join(F.broadcast(q_exp), ["tbl", "hash"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("tbl") < t, 1).otherwise(0)).alias(f"m_{t}")
+                for t in LSH_SWEEP_TABLES
+            ]
+        )
+        .localCheckpoint(eager=True)
+    )
     parts = []
     for t in LSH_SWEEP_TABLES:
-        counts = (
-            idx_exp.where(F.col("tbl") < t)
-            .join(F.broadcast(q_exp.where(F.col("tbl") < t)), ["tbl", "hash"])
-            .where(F.col("neighbor_id") != F.col("query_id"))
-            .groupBy("query_id", "neighbor_id")
-            .agg(F.count(F.lit(1)).alias("n_match"))
+        counts = counts_all.where(F.col(f"m_{t}") > 0).select(
+            "query_id", "neighbor_id", F.col(f"m_{t}").alias("n_match")
         )
         ann = rank_term_matches(counts, emb, queries).select("query_id", "neighbor_id")
         parts.append(

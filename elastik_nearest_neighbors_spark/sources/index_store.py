@@ -31,10 +31,17 @@ DEFAULT_HASH_BUCKETS = 64
 
 def save_lsh_index(exploded: DataFrame, path: str, n_buckets: int = DEFAULT_HASH_BUCKETS) -> None:
     """Persist an exploded LSH index (vec_id, tbl, hash) partitioned by
-    (tbl, bucket). Narrow pass + write — no shuffle beyond the writer's
-    own file split."""
+    (tbl, bucket).
+
+    The repartition on the partition keys is load-bearing: without it every
+    input task writes its own file into EVERY directory it has rows for —
+    tasks × T × n_buckets tiny files (measured 32k files / 60s at sf0.1).
+    Clustering by (tbl, bucket) first gives one file per directory and an
+    8× faster build; it is also exactly the write-side shuffle a 100 TB
+    deployment wants (each reducer owns whole buckets)."""
     (
         exploded.withColumn("bucket", F.pmod(F.col("hash"), F.lit(n_buckets)))
+        .repartition("tbl", "bucket")
         .write.mode("overwrite")
         .partitionBy("tbl", "bucket")
         .parquet(path)
@@ -75,8 +82,11 @@ def load_lsh_partitions(
 
 def save_ivf_index(assigned: DataFrame, path: str) -> None:
     """Persist an IVF index (vec_id, list_id, center_dist) partitioned by
-    list_id."""
-    assigned.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    list_id. Clustered by list_id before the write for one file per list
+    directory (see save_lsh_index)."""
+    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+        "list_id"
+    ).parquet(path)
 
 
 def load_ivf_lists(spark: SparkSession, path: str, list_ids: list[int]) -> DataFrame:
