@@ -48,6 +48,9 @@ HEADLINE = [
     "pii_scrub",
     "corpus_sample",
     "token_histogram",
+    "doc_repetition",
+    "decontaminate",
+    "dedup_semantic",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
@@ -57,6 +60,10 @@ HEADLINE = [
     "q7_volume_shipping",
     "q10_returned_revenue",
     "q18_large_orders",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "sales_rollup",
     "events_funnel",
     "events_hourly",
     "events_sessionize",

@@ -119,6 +119,32 @@ PII_REDACTION = "<PII>"
 SAMPLE_BUCKETS = 100  # deterministic hash-mod sampling space
 SAMPLE_KEEP = 10  # keep bucket < 10 → 10% sample
 
+# ---- repetition / decontamination (training-pipeline prep) ------------------
+REP_NGRAM = 2  # bigram repetition metrics (Gopher-style quality filter)
+# n-gram size for benchmark-overlap decontamination: real pipelines use 8-13
+# over natural language; the synthetic corpus has a ~30-word vocabulary, so 4
+# is the length where overlap is rare-but-present (19 flagged docs at sf0.01
+# vs 1 at n≥5 — an empty-ish gate tests nothing)
+DECONTAM_N = 4
+DECONTAM_MOD = 40  # doc_id % MOD == 0 → held-out "benchmark" docs
+
+# ---- semantic dedup (SemDeDup-style: cluster-scoped embedding near-dups) ----
+# within-list cosine threshold; the test embeddings have weak cluster
+# structure (max within-list cosine ≈ 0.49 at sf0.01), so the threshold sits
+# where the pair set is small but non-empty — same rationale as
+# COSINE_JOIN_TAU for the LSH-bucketed path
+SEMDEDUP_TAU = 0.42
+
+# ---- extra TPC-H-style analytics constants ----------------------------------
+Q15_DATE_LO = "1997-01-01"  # top-supplier revenue quarter
+Q15_DATE_HI = "1997-04-01"
+# Q19-style disjunctive (brand, max part size, quantity band) alternatives
+Q19_ALTS = [
+    ("Brand#1", 15, 1, 11),
+    ("Brand#2", 25, 10, 20),
+    ("Brand#3", 35, 20, 30),
+]
+
 # ---- document chunking (training-pipeline prep) ------------------------------
 CHUNK_TOKENS = 32  # tokens per chunk
 CHUNK_STRIDE = 24  # start-to-start stride (8-token overlap)

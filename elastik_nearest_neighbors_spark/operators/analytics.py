@@ -320,6 +320,138 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of orders-per-customer, INCLUDING
+    zero-order customers (the outer-join case Q4/Q18 never exercise).
+
+    Scale shape: orders aggregates to per-custkey counts FIRST (partial agg
+    map-side, output ≤ |customers| rows), then customer left-joins the
+    aggregated rows — both sides shuffle once on custkey; the second
+    aggregation keys on the tiny c_count domain.
+
+    Output: (c_count, n_custs)."""
+    configure(spark)
+    cust = io.table(spark, sf_dir, "customer").select("c_custkey")
+    ocnt = (
+        io.table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_cust = cust.join(ocnt, cust.c_custkey == ocnt.o_custkey, "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("n_custs"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: the supplier(s) with maximum revenue in one quarter.
+
+    Scale shape: lineitem reduces to per-suppkey revenue (one shuffle,
+    partial agg); the scalar max is a 1-row aggregate CROSS-broadcast back
+    into the aggregated rows (never into facts); supplier is a dim →
+    broadcast. Revenue is decimal-summed then cast, so the max-equality
+    predicate is deterministic cross-engine.
+
+    Output: (suppkey, s_name, total_revenue)."""
+    from ..constants import Q15_DATE_HI, Q15_DATE_LO
+
+    configure(spark)
+    li = io.table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q15_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_DATE_HI).cast("timestamp"))
+    )
+    one = F.lit(1).cast(DEC)
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("max_rev"))
+    supp = io.table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("l_suppkey").alias("suppkey"), "s_name", "total_revenue")
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue from lineitems matching any of three
+    (brand, part-size, quantity-band) alternatives — the disjunctive-
+    predicate case Catalyst must NOT naively push as a conjunction.
+
+    Scale shape: part is a dim filtered to the union of brand alternatives
+    before broadcast (the disjunction references both sides, so it applies
+    post-join, but the brand ∈ {…} prefilter shrinks the broadcast); the
+    fact side never shuffles — single scan, 1-row reduce.
+
+    Output: (revenue, n_items)."""
+    from ..constants import Q19_ALTS
+
+    configure(spark)
+    brands = [b for b, _, _, _ in Q19_ALTS]
+    part = (
+        io.table(spark, sf_dir, "part")
+        .where(F.col("p_brand").isin(brands))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = io.table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    cond = None
+    for brand, size_max, qty_lo, qty_hi in Q19_ALTS:
+        alt = (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(1, size_max))
+            & (F.col("l_quantity").between(qty_lo, qty_hi))
+        )
+        cond = alt if cond is None else cond | alt
+    one = F.lit(1).cast(DEC)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets aggregation: ROLLUP over (returnflag, linestatus) —
+    per-group, per-flag subtotals and the grand total in ONE pass (the
+    OLAP-cube surface a reporting layer expects from a full engine).
+
+    Scale shape: Spark expands rollup into grouping sets inside a single
+    hash aggregate with partial map-side combine — one shuffle, no union of
+    three scans. NULL grouping markers are coalesced to 'ALL' at the edge so
+    the output is flat scalars.
+
+    Output: (returnflag, linestatus, sum_qty, revenue, n_items)."""
+    configure(spark)
+    li = io.table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(DEC)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "revenue",
+            "n_items",
+        )
+    )
+
+
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user click→purchase conversion funnel: a purchase CONVERTS if the
     same user clicked within the preceding FUNNEL_WINDOW_MS. Same

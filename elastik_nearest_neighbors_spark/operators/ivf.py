@@ -268,3 +268,46 @@ def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= ANN_K2).drop("rn")
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding near-duplicate pairs scoped
+    to one coarse k-means list — the clustering bounds the quadratic pair
+    step the way the paper's cluster-then-compare does, with no recall loss
+    for duplicates that land in the same list (near-identical vectors get
+    identical assignments except on Voronoi boundaries; the boundary miss is
+    the documented approximation vs the LSH multi-table path).
+
+    Scale shape: assignment is the same narrow pass as ivf_index; the pair
+    self-join shuffles once on list_id, and at 100 TB NLIST grows with N
+    (nlist ∝ √N is the FAISS rule) so per-list membership — and the O(m²)
+    pair count — stays bounded. Norms are computed once per vector, not per
+    pair.
+
+    Output: (list_id, vec_a, vec_b, cosine) with cosine ≥ SEMDEDUP_TAU."""
+    from ..constants import SEMDEDUP_TAU
+    from ..functions.vector import dot, l2_norm
+
+    emb = _emb(spark, sf_dir)
+    assigned = build_ivf_index(emb, model_for(sf_dir)).select("vec_id", "list_id")
+    aa = assigned.select(F.col("vec_id").alias("vec_a"), "list_id")
+    bb = assigned.select(F.col("vec_id").alias("vec_b"), "list_id")
+    cand = aa.join(bb, "list_id").where(F.col("vec_a") < F.col("vec_b"))
+    en = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", l2_norm(F.col("v"))
+    )
+    ea = en.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = en.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "list_id",
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), DIST_ROUND
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= SEMDEDUP_TAU)
+    )

@@ -188,6 +188,82 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition metrics — the quality filter
+    that catches boilerplate/spam the cross-doc dedup family can't see:
+    repeated tokens and repeated bigrams WITHIN one document.
+
+    Scale shape: one explode of per-doc bigrams, then two groupBy stages that
+    both partial-aggregate map-side and key on doc_id — the shuffle carries
+    O(docs · distinct-bigrams-per-doc) rows and stays co-partitioned across
+    the two aggregations (no second exchange).
+
+    Output: (doc_id, n_bigrams, dup_bigram_ratio, top_bigram_share,
+    dup_token_ratio), ratios rounded at the edge."""
+    from ..constants import REP_NGRAM
+    from ..functions.text import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    base = docs.where(F.size(toks) >= REP_NGRAM).select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("u_tok"),
+        # keep multiplicity: repetition is exactly what we're measuring
+        F.explode(word_shingles(toks, REP_NGRAM)).alias("g"),
+    )
+    per_gram = base.groupBy("doc_id", "n_tok", "u_tok", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_gram.groupBy("doc_id", "n_tok", "u_tok")
+        .agg(
+            F.sum("c").alias("ng"),
+            F.count(F.lit(1)).alias("dg"),
+            F.max("c").alias("mx"),
+        )
+        .select(
+            "doc_id",
+            F.col("ng").cast("int").alias("n_bigrams"),
+            F.round(F.lit(1.0) - F.col("dg") / F.col("ng"), 6).alias("dup_bigram_ratio"),
+            F.round(F.col("mx") / F.col("ng"), 6).alias("top_bigram_share"),
+            F.round(F.lit(1.0) - F.col("u_tok") / F.col("n_tok"), 6).alias("dup_token_ratio"),
+        )
+    )
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training docs sharing any word
+    DECONTAM_N-gram with the held-out "benchmark" set (docs whose id ≡ 0 mod
+    DECONTAM_MOD stand in for the eval suite; in production the benchmark
+    grams arrive as a side input).
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus
+    (|benchmarks| ≪ |docs|) → built once, distinct-ified, and BROADCAST into
+    the training-side gram stream — no shuffle of the corpus at all; the
+    per-doc count partial-aggregates map-side.
+
+    Output: (doc_id, n_shared_grams) — only contaminated docs."""
+    from ..constants import DECONTAM_MOD, DECONTAM_N
+    from ..functions.text import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(toks) >= DECONTAM_N).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(toks, DECONTAM_N))).alias("g"),
+    )
+    bench = (
+        grams.where(F.col("doc_id") % DECONTAM_MOD == 0).select("g").distinct()
+    )
+    return (
+        grams.where(F.col("doc_id") % DECONTAM_MOD != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-of-frequencies: how many vocabulary tokens appear in exactly
     df documents — the corpus-health curve (Zipf tail vs boilerplate head)

@@ -271,6 +271,67 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
 
+def q13_customer_distribution() -> str:
+    return """
+WITH ocnt AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY 1
+), per_cust AS (
+  SELECT COALESCE(ocnt.cnt, 0) AS c_count
+  FROM customer LEFT JOIN ocnt ON customer.c_custkey = ocnt.o_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_custs
+FROM per_cust GROUP BY c_count
+"""
+
+
+def q15_top_supplier() -> str:
+    from .constants import Q15_DATE_HI, Q15_DATE_LO
+
+    return f"""
+WITH per_supp AS (
+  SELECT l_suppkey,
+    CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q15_DATE_HI} 00:00:00'
+  GROUP BY 1
+)
+SELECT p.l_suppkey AS suppkey, s.s_name, p.total_revenue
+FROM per_supp p
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.total_revenue = (SELECT MAX(total_revenue) FROM per_supp)
+"""
+
+
+def q19_disjunctive_revenue() -> str:
+    from .constants import Q19_ALTS
+
+    alts = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN 1 AND {sz} AND l.l_quantity BETWEEN {lo} AND {hi})"
+        for b, sz, lo, hi in Q19_ALTS
+    )
+    return f"""
+SELECT
+  CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {alts}
+"""
+
+
+def sales_rollup() -> str:
+    return f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def events_funnel() -> str:
     from .constants import FUNNEL_WINDOW_MS
 

@@ -371,6 +371,51 @@ SELECT df, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM dfreq GROUP BY df
 """
 
 
+def doc_repetition(sf_dir: str) -> str:
+    from .constants import REP_NGRAM
+
+    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(REP_NGRAM))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_distinct(string_split(text, ' '))) AS u_tok
+  FROM documents WHERE len(string_split(text, ' ')) >= {REP_NGRAM}
+), grams AS (
+  SELECT doc_id, n_tok, u_tok, {gram} AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {REP_NGRAM - 2})) AS i) r
+), per_gram AS (
+  SELECT doc_id, n_tok, u_tok, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3, 4
+)
+SELECT doc_id,
+       CAST(SUM(c) AS INT) AS n_bigrams,
+       round(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_bigram_ratio,
+       round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_share,
+       round(1.0 - u_tok / CAST(n_tok AS DOUBLE), 6) AS dup_token_ratio
+FROM per_gram GROUP BY doc_id, n_tok, u_tok
+"""
+
+
+def decontaminate(sf_dir: str) -> str:
+    from .constants import DECONTAM_MOD, DECONTAM_N
+
+    gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(DECONTAM_N))
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, {gram} AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t) - {DECONTAM_N - 2})) AS i) r
+  WHERE len(t) >= {DECONTAM_N}
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % {DECONTAM_MOD} = 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM grams JOIN bench USING (g)
+WHERE doc_id % {DECONTAM_MOD} <> 0
+GROUP BY doc_id
+"""
+
+
 def multimodal_featurize(sf_dir: str) -> str:
     """Digest-features twin of operators/multimodal.fake_features: feature i
     is md5-digest bytes [2i, 2i+2) as a big-endian word / 65536 — i.e. hex

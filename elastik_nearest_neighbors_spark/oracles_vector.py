@@ -445,3 +445,28 @@ SELECT label, CAST(dim AS INT) AS dim,
        round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean
 FROM exploded GROUP BY label, dim
 """
+
+
+def dedup_semantic(sf_dir: str) -> str:
+    """Within-list pairwise cosine ≥ τ over the SAME deterministic k-means
+    assignment as ivf_index (operators/ivf.dedup_semantic)."""
+    from .constants import SEMDEDUP_TAU
+
+    cos = "round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)"
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+)
+SELECT CAST(a.list_id AS INT) AS list_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       {cos} AS cosine
+FROM assign a
+JOIN assign b ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+JOIN embeddings ea ON ea.vec_id = a.vec_id
+JOIN embeddings eb ON eb.vec_id = b.vec_id
+WHERE {cos} >= {SEMDEDUP_TAU}
+"""

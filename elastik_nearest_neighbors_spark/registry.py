@@ -40,6 +40,7 @@ _QUERIES: dict[str, QueryFn] = {
     "pq_codes": pq.pq_codes,
     "ann_search_pq": pq.ann_search_pq,
     "ann_recall_pq": pq.ann_recall_pq,
+    "dedup_semantic": ivf.dedup_semantic,
     # LLM-pipeline dedup + text analysis
     "dedup_exact": dedup.dedup_exact,
     "minhash_signatures": dedup.minhash_signatures,
@@ -59,6 +60,8 @@ _QUERIES: dict[str, QueryFn] = {
     "pii_scrub": textops.pii_scrub,
     "corpus_sample": textops.corpus_sample,
     "token_histogram": textops.token_histogram,
+    "doc_repetition": textops.doc_repetition,
+    "decontaminate": textops.decontaminate,
     # generic analytics
     "q1_pricing_summary": analytics.q1_pricing_summary,
     "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -69,6 +72,10 @@ _QUERIES: dict[str, QueryFn] = {
     "q7_volume_shipping": analytics.q7_volume_shipping,
     "q10_returned_revenue": analytics.q10_returned_revenue,
     "q18_large_orders": analytics.q18_large_orders,
+    "q13_customer_distribution": analytics.q13_customer_distribution,
+    "q15_top_supplier": analytics.q15_top_supplier,
+    "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
+    "sales_rollup": analytics.sales_rollup,
     "events_funnel": analytics.events_funnel,
     "events_hourly": analytics.events_hourly,
     "events_sessionize": analytics.events_sessionize,
@@ -108,6 +115,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "pq_codes": oracles_vector.pq_codes,
     "ann_search_pq": oracles_vector.ann_search_pq,
     "ann_recall_pq": oracles_vector.ann_recall_pq,
+    "dedup_semantic": oracles_vector.dedup_semantic,
     "streaming_ann_search": oracles_vector.ann_search_lsh,
     # streaming_index writes the exploded index — same rows as batch lsh_index
     "streaming_index": oracles_vector.lsh_index,
@@ -130,6 +138,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "pii_scrub": oracles_text.pii_scrub,
     "corpus_sample": oracles_text.corpus_sample,
     "token_histogram": oracles_text.token_histogram,
+    "doc_repetition": oracles_text.doc_repetition,
+    "decontaminate": oracles_text.decontaminate,
     "q1_pricing_summary": lambda sf: oracles.q1_pricing_summary(),
     "q3_shipping_priority": lambda sf: oracles.q3_shipping_priority(),
     "q4_order_priority": lambda sf: oracles.q4_order_priority(),
@@ -139,6 +149,10 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "q7_volume_shipping": lambda sf: oracles.q7_volume_shipping(),
     "q10_returned_revenue": lambda sf: oracles.q10_returned_revenue(),
     "q18_large_orders": lambda sf: oracles.q18_large_orders(),
+    "q13_customer_distribution": lambda sf: oracles.q13_customer_distribution(),
+    "q15_top_supplier": lambda sf: oracles.q15_top_supplier(),
+    "q19_disjunctive_revenue": lambda sf: oracles.q19_disjunctive_revenue(),
+    "sales_rollup": lambda sf: oracles.sales_rollup(),
     "events_funnel": lambda sf: oracles.events_funnel(),
     "events_hourly": lambda sf: oracles.events_hourly(),
     "events_sessionize": lambda sf: oracles.events_sessionize(),

@@ -174,3 +174,76 @@ def test_dup_clusters_transitive(spark):
         assert labels[r.doc_a] == labels[r.doc_b]
     # cluster ids are fixpoints: label(label(v)) == label(v)
     assert all(labels[c] == c for c in set(labels.values()))
+
+
+def test_q19_broadcasts_part_no_fact_shuffle(spark):
+    """q19: part (brand-prefiltered dim) broadcasts; the lineitem side goes
+    scan → broadcast join → 1-row aggregate with no fact exchange besides
+    the final single-partition reduce."""
+    df = analytics.q19_disjunctive_revenue(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    assert plans.broadcast_join_count(df) >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q13_aggregates_orders_before_join(spark):
+    """q13: orders reduce to per-custkey counts BEFORE the customer join —
+    a HashAggregate must appear below the join in the plan tree."""
+    df = analytics.q13_customer_distribution(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    first_join = next(i for i, l in enumerate(lines) if "Join" in l)
+    assert any("HashAggregate" in l for l in lines[first_join:]), tree
+
+
+def test_sales_rollup_single_scan(spark):
+    """rollup = grouping-sets expansion inside ONE aggregation over ONE scan
+    (no union of per-granularity scans)."""
+    df = analytics.sales_rollup(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    # formatted explain names each node twice (tree line + details section)
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Expand" in plan and "Union" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """decontaminate: the benchmark gram set broadcasts into the corpus gram
+    stream — the corpus side must not shuffle for the join."""
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    df = textops.decontaminate(spark, SF_SMALL)
+    assert plans.broadcast_join_count(df) >= 1, plans.formatted_plan(df)
+
+
+def test_dedup_semantic_pairs_match_brute_force_within_list(spark):
+    """Within-list pair generation is exact: every brute-force cosine≥τ pair
+    whose endpoints share an IVF list appears in the output."""
+    from elastik_nearest_neighbors_spark.constants import SEMDEDUP_TAU
+    from elastik_nearest_neighbors_spark.functions.vector import as_double, cosine
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_ops
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in ivf_ops.dedup_semantic(spark, SF_SMALL).collect()
+    }
+    assigned = ivf_ops.build_ivf_index(
+        io.table(spark, SF_SMALL, "embeddings"), ivf_ops.model_for(SF_SMALL)
+    ).select("vec_id", "list_id")
+    emb = io.table(spark, SF_SMALL, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    a = assigned.join(emb, "vec_id").select(
+        F.col("vec_id").alias("vec_a"), F.col("list_id"), F.col("v").alias("va")
+    )
+    b = assigned.join(emb, "vec_id").select(
+        F.col("vec_id").alias("vec_b"), F.col("list_id"), F.col("v").alias("vb")
+    )
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, "list_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= SEMDEDUP_TAU)
+        .collect()
+    }
+    assert got == brute
