@@ -69,6 +69,8 @@ HEADLINE = [
     "events_sessionize",
     "events_topk_users",
     "events_asof_join",
+    "events_retention",
+    "events_percentiles",
 ]
 
 

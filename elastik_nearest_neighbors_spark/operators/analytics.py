@@ -606,6 +606,51 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date, counted on each
+    later activity day as a day offset — the product-analytics matrix every
+    events pipeline serves.
+
+    Scale shape: first-seen is a min-aggregation on user_id (partial agg
+    map-side); the events⋈cohort join re-shuffles on user_id once (the
+    cohort side is ≤ |users| rows, broadcastable when users are a dim); the
+    final count-distinct keys on the tiny (cohort_date, day_offset) domain.
+
+    Output: (cohort_date, day_offset, n_active)."""
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_date"),
+            F.datediff("d", "cohort_d").alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact value percentiles per event type (p50/p90/p99, linear
+    interpolation — Spark `percentile` ≡ DuckDB `quantile_cont`).
+
+    At 100 TB the exact sort-based percentile gives way to
+    `approx_percentile` (t-digest) — same query shape, bounded memory; the
+    exact form is kept here because the oracle can verify it bit-for-bit.
+
+    Output: (event_type, p50, p90, p99, n_events)."""
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health: doc count, token volume, mean quality —
     the monitoring rollup a data pipeline reports per crawl/source."""

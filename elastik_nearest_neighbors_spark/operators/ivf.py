@@ -206,23 +206,13 @@ def ann_search_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_recall_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of IVF ANN vs exact kNN — the IVF twin of knn.ann_recall_q,
-    so the two ANN paths are benchmarked on the same quality metric."""
-    from .knn import knn_exact_euclidean_q
+    so the two ANN paths are benchmarked on the same quality metric (shared
+    _recall_of helper: both subtrees checkpoint and execute exactly once)."""
+    from .knn import _recall_of, knn_exact_euclidean_q
 
     ann = ann_search_ivf_q(spark, sf_dir).select("query_id", "neighbor_id")
     exact = knn_exact_euclidean_q(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = ann.join(exact, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    return (
-        exact.groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4).alias("recall"),
-        )
-    )
+    return _recall_of(ann, exact)
 
 
 def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -229,7 +229,14 @@ def knn_exact_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_of(ann: DataFrame, exact: DataFrame) -> DataFrame:
-    """(query_id, recall): |ann ∩ exact| / |exact| per query, rounded 4."""
+    """(query_id, recall): |ann ∩ exact| / |exact| per query, rounded 4.
+
+    Both inputs are localCheckpoint-ed first: `exact` feeds two branches
+    (intersect + the per-query denominator) and would otherwise execute its
+    whole kNN subtree twice — measured ~2× on every recall query. The
+    checkpointed frames are Q·k rows, so the materialization is free."""
+    ann = ann.localCheckpoint(eager=True)
+    exact = exact.localCheckpoint(eager=True)
     hits = ann.intersect(exact).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
     return (
         exact.groupBy("query_id")

@@ -332,6 +332,32 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def events_retention() -> str:
+    return """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS DATE) AS d FROM events
+), cohort AS (
+  SELECT user_id, MIN(d) AS cohort_d FROM ev GROUP BY 1
+)
+SELECT strftime(c.cohort_d, '%Y-%m-%d') AS cohort_date,
+       CAST(e.d - c.cohort_d AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM ev e JOIN cohort c ON c.user_id = e.user_id
+GROUP BY 1, 2
+"""
+
+
+def events_percentiles() -> str:
+    return """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
 def events_funnel() -> str:
     from .constants import FUNNEL_WINDOW_MS
 

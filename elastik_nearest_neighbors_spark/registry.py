@@ -81,6 +81,8 @@ _QUERIES: dict[str, QueryFn] = {
     "events_sessionize": analytics.events_sessionize,
     "events_topk_users": analytics.events_topk_users,
     "events_asof_join": analytics.events_asof_join,
+    "events_retention": analytics.events_retention,
+    "events_percentiles": analytics.events_percentiles,
     "source_stats": analytics.source_stats,
     # streaming + multimodal (rows-only: no oracle SQL by design)
     "streaming_index": ingest.streaming_index,
@@ -158,6 +160,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "events_sessionize": lambda sf: oracles.events_sessionize(),
     "events_topk_users": lambda sf: oracles.events_topk_users(),
     "events_asof_join": lambda sf: oracles.events_asof_join(),
+    "events_retention": lambda sf: oracles.events_retention(),
+    "events_percentiles": lambda sf: oracles.events_percentiles(),
     "source_stats": lambda sf: oracles.source_stats(),
 }
 

@@ -8,6 +8,8 @@ from .index_store import (  # noqa: F401
 from .formats import (  # noqa: F401
     read_vectors_csv,
     read_vectors_json,
+    read_vectors_orc,
     write_vectors_csv,
     write_vectors_json,
+    write_vectors_orc,
 )

@@ -61,6 +61,17 @@ def read_vectors_csv(spark: SparkSession, path: str, delim: str = ";") -> DataFr
     )
 
 
+def read_vectors_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC vectors — the other columnar format a lakehouse deployment mixes
+    with parquet; arrays are native, so this is a plain typed scan (column
+    pruning and predicate pushdown work the same as parquet)."""
+    return spark.read.orc(path).select("vec_id", "embedding")
+
+
+def write_vectors_orc(df: DataFrame, path: str) -> None:
+    df.select("vec_id", "embedding").write.mode("overwrite").orc(path)
+
+
 def write_vectors_json(df: DataFrame, path: str) -> None:
     df.select("vec_id", "embedding").write.mode("overwrite").json(path)
 

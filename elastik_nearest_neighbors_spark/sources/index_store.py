@@ -23,6 +23,8 @@ filters; tests assert the pruning shows up in the physical plan
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -68,16 +70,30 @@ def load_lsh_partitions(
     spark: SparkSession, path: str, parts: list[tuple[int, int]]
 ) -> DataFrame:
     """Index rows for a batch of (tbl, bucket) directories — the search-time
-    read path. The predicate is an OR of literal (tbl, bucket) conjuncts
-    over partition columns ONLY, so Catalyst turns it into PartitionFilters
-    (no footer of any other directory is touched); exact hash matching
-    happens in the subsequent term join. `parts` is ≤ Q·T entries for a
-    query batch — KB-sized, like the IVF probe list."""
+    read path. The needed directories are passed EXPLICITLY (with basePath so
+    tbl/bucket stay partition columns): `spark.read.parquet(root)` would
+    driver-list all T·n_buckets directories before pruning a thing, and at
+    100 TB (or even locally at 1024 dirs — measured seconds of listing) the
+    listing IS the cost. The OR-of-literals predicate stays on top as an
+    in-plan PartitionFilters guard; it prunes nothing extra here but keeps
+    the read correct if a caller passes a superset path list. `parts` is
+    ≤ Q·T entries for a query batch — KB-sized, like the IVF probe list."""
     pred = None
     for t, b in parts:
         c = (F.col("tbl") == int(t)) & (F.col("bucket") == int(b))
         pred = c if pred is None else pred | c
-    return spark.read.parquet(path).where(pred).select("vec_id", "tbl", "hash")
+    dirs = [os.path.join(path, f"tbl={int(t)}", f"bucket={int(b)}") for t, b in parts]
+    # a probed bucket may simply have no indexed rows → no directory; at
+    # scale this existence check reads the write manifest, not the fs
+    dirs = [d for d in dirs if os.path.isdir(d)]
+    if not dirs:
+        return spark.createDataFrame([], "vec_id bigint, tbl int, hash bigint")
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*dirs)
+        .where(pred)
+        .select("vec_id", "tbl", "hash")
+    )
 
 
 def save_ivf_index(assigned: DataFrame, path: str) -> None:

@@ -144,14 +144,16 @@ def test_vector_format_roundtrip(spark, tmp_path):
     from elastik_nearest_neighbors_spark.sources import formats
 
     emb = eio.table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
-    jd, cd = str(tmp_path / "vec_json"), str(tmp_path / "vec_csv")
+    jd, cd, od = str(tmp_path / "vec_json"), str(tmp_path / "vec_csv"), str(tmp_path / "vec_orc")
     formats.write_vectors_json(emb, jd)
     formats.write_vectors_csv(emb, cd)
+    formats.write_vectors_orc(emb, od)
     back_j = formats.read_vectors_json(spark, jd).toPandas().set_index("vec_id").sort_index()
     back_c = formats.read_vectors_csv(spark, cd).toPandas().set_index("vec_id").sort_index()
+    back_o = formats.read_vectors_orc(spark, od).toPandas().set_index("vec_id").sort_index()
     orig = emb.toPandas().set_index("vec_id").sort_index()
-    assert len(back_j) == len(back_c) == len(orig)
-    for got in (back_j, back_c):
+    assert len(back_j) == len(back_c) == len(back_o) == len(orig)
+    for got in (back_j, back_c, back_o):
         for a, b in zip(got.embedding, orig.embedding):
             assert np.allclose(np.array(list(a)), np.array(list(b)), atol=1e-6)
 
