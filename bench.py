@@ -32,6 +32,9 @@ HEADLINE = [
     "ann_recall_ivf",
     "pq_codes",
     "ann_search_pq",
+    "range_search",
+    "knn_graph",
+    "sq8_quantize",
     "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",

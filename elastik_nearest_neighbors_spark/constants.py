@@ -151,3 +151,12 @@ CHUNK_STRIDE = 24  # start-to-start stride (8-token overlap)
 TOPK_USERS = 3  # grouped top-k for events_topk_users
 CORPUS_QUALITY_TAU = 0.45  # corpus_clean keep threshold
 CORPUS_LANG = "en"
+
+# ---- range search / kNN graph / scalar quantization -------------------------
+# euclidean radius for range_search: ~1st percentile of the pair-distance
+# distribution on the synthetic embeddings (min ≈ 1.05, median ≈ 1.41), so
+# each query returns a handful-to-dozens of genuine near neighbors
+RANGE_RADIUS = 1.2
+KNN_GRAPH_K = 4  # out-degree of the per-list kNN graph
+SQ8_LEVELS = 255  # int8 scalar quantization: 256 levels per dimension
+ZSCORE_TAU = 3.0  # events_anomaly |z| threshold

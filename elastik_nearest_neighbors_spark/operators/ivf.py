@@ -301,3 +301,45 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cosine") >= SEMDEDUP_TAU)
     )
+
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor GRAPH: for EVERY vector, its KNN_GRAPH_K nearest
+    neighbors within its coarse k-means list — the all-vectors analogue of
+    query-batch search and the building block for graph clustering /
+    agglomerative dedup / NN-Descent seeding.
+
+    Brute-force all-pairs kNN is O(N²) and unrunnable at 100 TB; scoping
+    candidates to the vector's own IVF list (same deterministic quantizer as
+    ivf_index) bounds the pair step to Σ m_list² with m ≈ N/NLIST, and
+    NLIST ∝ √N keeps per-list membership flat as data grows. Within-list
+    recall loss on Voronoi boundaries is the same documented approximation
+    as dedup_semantic. One shuffle on list_id for the pair join, one on
+    vec_a for the rank window; distances travel as 3-column rows, vectors
+    never shuffle.
+
+    Output: (vec_a, vec_b, distance) — ≤ KNN_GRAPH_K rows per vec_a."""
+    from ..constants import KNN_GRAPH_K
+
+    emb = _emb(spark, sf_dir)
+    assigned = build_ivf_index(emb, model_for(sf_dir)).select("vec_id", "list_id")
+    aa = assigned.select(F.col("vec_id").alias("vec_a"), "list_id")
+    bb = assigned.select(F.col("vec_id").alias("vec_b"), "list_id")
+    cand = aa.join(bb, "list_id").where(F.col("vec_a") != F.col("vec_b"))
+    ea = emb.select(F.col("vec_id").alias("vec_a"), as_double(F.col("embedding")).alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), as_double(F.col("embedding")).alias("vb"))
+    scored = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(euclidean(F.col("va"), F.col("vb")), DIST_ROUND).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.asc("distance"), F.asc("vec_b"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KNN_GRAPH_K)
+        .drop("rn")
+    )

@@ -487,3 +487,35 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1)), 6
         ).alias("mean")
     )
+
+
+def range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) search: ALL neighbors within euclidean RANGE_RADIUS of
+    each canonical query — the fixed-radius twin of top-k retrieval (FAISS
+    `range_search`; the reference exposes only top-k, so this is the natural
+    completion of the search family).
+
+    Scale shape: broadcast the query batch against the index scan and keep
+    rows passing the radius predicate — a narrow filter with NO ranking, so
+    unlike top-k there is no shuffle at all: the plan is scan → broadcast
+    NLJ → filter, embarrassingly parallel at any data size.
+
+    Output: (query_id, neighbor_id, distance ≤ RANGE_RADIUS)."""
+    from ..constants import RANGE_RADIUS
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    idx = emb.select(
+        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("nv")
+    )
+    return (
+        idx.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
+        )
+        .where(F.col("distance") <= RANGE_RADIUS)
+    )

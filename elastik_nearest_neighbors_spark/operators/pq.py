@@ -196,3 +196,49 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ann_search_pq(spark, sf_dir).select("query_id", "neighbor_id")
     exact = knn_exact_euclidean_q(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_of(ann, exact)
+
+
+def sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 SCALAR quantization — the third compression family next to PQ:
+    per-dimension global [min, max] → 256 uniform levels, 8× smaller than
+    float64 with no codebook fit (the format FAISS calls SQ8 and vector
+    stores default to for flat indexes).
+
+    Spark-first shape: pass 1 aggregates per-dim min/max off a posexplode
+    (64 rows — partial agg map-side, broadcast back); pass 2 re-scans and
+    encodes each component + its reconstruction error. Exact min/max (no
+    float summation) and pure-double encode arithmetic on identical inputs
+    make the output bit-stable on any partitioning; `floor(x + 0.5)` is the
+    shared round-half-up both engines compute identically.
+
+    Output: (vec_id, dim, code ∈ [0,255], err = v − dequant(code), rounded)."""
+    from ..constants import SQ8_LEVELS
+    from ..functions.vector import as_double
+
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("dim", "v")
+    )
+    rng = exploded.groupBy("dim").agg(
+        F.min("v").alias("dmin"), F.max("v").alias("dmax")
+    )
+    scale = (F.col("dmax") - F.col("dmin")) / F.lit(float(SQ8_LEVELS))
+    code = F.least(
+        F.lit(SQ8_LEVELS),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("v") - F.col("dmin")) / scale + F.lit(0.5)).cast("int"),
+        ),
+    )
+    return (
+        exploded.join(F.broadcast(rng), "dim")
+        .withColumn("code", code)
+        .select(
+            "vec_id",
+            "dim",
+            "code",
+            F.round(
+                F.col("v") - (F.col("dmin") + F.col("code") * scale), DIST_ROUND
+            ).alias("err"),
+        )
+    )

@@ -470,3 +470,64 @@ JOIN embeddings ea ON ea.vec_id = a.vec_id
 JOIN embeddings eb ON eb.vec_id = b.vec_id
 WHERE {cos} >= {SEMDEDUP_TAU}
 """
+
+
+def range_search(sf_dir: str) -> str:
+    from .constants import RANGE_RADIUS
+
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+     i AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv FROM embeddings)
+SELECT q.qid AS query_id, i.nid AS neighbor_id,
+       round(list_distance(q.qv, i.nv), 6) AS distance
+FROM q JOIN i ON i.nid <> q.qid
+WHERE round(list_distance(q.qv, i.nv), 6) <= {RANGE_RADIUS}
+"""
+
+
+def knn_graph(sf_dir: str) -> str:
+    """Per-list kNN graph over the SAME deterministic k-means assignment as
+    ivf_index (operators/ivf.knn_graph)."""
+    from .constants import KNN_GRAPH_K
+
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+)
+SELECT vec_a, vec_b, distance FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_distance(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS distance
+  FROM assign a
+  JOIN assign b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+) QUALIFY row_number() OVER (PARTITION BY vec_a ORDER BY distance, vec_b) <= {KNN_GRAPH_K}
+"""
+
+
+def sq8_quantize(sf_dir: str) -> str:
+    from .constants import SQ8_LEVELS
+
+    return f"""
+WITH exploded AS (
+  SELECT vec_id, CAST(u.idx - 1 AS INT) AS dim, u.v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS idx) u
+),
+rng AS (
+  SELECT dim, MIN(v) AS dmin, MAX(v) AS dmax FROM exploded GROUP BY dim
+)
+SELECT vec_id, e.dim,
+       CAST(LEAST({SQ8_LEVELS}, GREATEST(0,
+            CAST(FLOOR((e.v - r.dmin) / ((r.dmax - r.dmin) / {SQ8_LEVELS}.0) + 0.5) AS INT))) AS INT) AS code,
+       round(e.v - (r.dmin + LEAST({SQ8_LEVELS}, GREATEST(0,
+            CAST(FLOOR((e.v - r.dmin) / ((r.dmax - r.dmin) / {SQ8_LEVELS}.0) + 0.5) AS INT)))
+            * ((r.dmax - r.dmin) / {SQ8_LEVELS}.0)), 6) AS err
+FROM exploded e JOIN rng r ON r.dim = e.dim
+"""

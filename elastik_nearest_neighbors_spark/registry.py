@@ -41,6 +41,9 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_search_pq": pq.ann_search_pq,
     "ann_recall_pq": pq.ann_recall_pq,
     "dedup_semantic": ivf.dedup_semantic,
+    "range_search": knn.range_search_q,
+    "knn_graph": ivf.knn_graph,
+    "sq8_quantize": pq.sq8_quantize,
     # LLM-pipeline dedup + text analysis
     "dedup_exact": dedup.dedup_exact,
     "minhash_signatures": dedup.minhash_signatures,
@@ -118,6 +121,9 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_search_pq": oracles_vector.ann_search_pq,
     "ann_recall_pq": oracles_vector.ann_recall_pq,
     "dedup_semantic": oracles_vector.dedup_semantic,
+    "range_search": oracles_vector.range_search,
+    "knn_graph": oracles_vector.knn_graph,
+    "sq8_quantize": oracles_vector.sq8_quantize,
     "streaming_ann_search": oracles_vector.ann_search_lsh,
     # streaming_index writes the exploded index — same rows as batch lsh_index
     "streaming_index": oracles_vector.lsh_index,
