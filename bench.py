@@ -74,6 +74,10 @@ HEADLINE = [
     "events_asof_join",
     "events_retention",
     "events_percentiles",
+    "events_sliding_window",
+    "events_props_extract",
+    "events_anomaly",
+    "events_user_ltv",
 ]
 
 

@@ -670,3 +670,117 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 1-hour windows every 15 minutes — the overlapping-
+    window rollup dashboards query ("events in the last hour, refreshed
+    every 15"). Each event lands in exactly 4 windows.
+
+    Scale shape: `F.window(ts, 1h, 15m)` expands each row to its 4 windows
+    BEFORE the aggregation, so partial aggregation still combines map-side
+    and the shuffle carries only (window, partial-agg) rows — never 4× the
+    events. Decimal sums keep the totals order-insensitive.
+
+    Output: (window_start, n_events, sum_value)."""
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction (`props` is a JSON string):
+    per event_type stats of the numeric `$.k` property — the
+    schema-on-read path every event pipeline needs for loosely-typed
+    payloads. get_json_object evaluates JVM-side (Catalyst JsonPath), no
+    Python in the pass; the aggregation is the usual decimal-exact rollup.
+
+    Output: (event_type, n_events, min_k, max_k, avg_k)."""
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(
+                F.sum(F.col("k").cast(DEC)).cast("double") / F.count("k"), 6
+            ).alias("avg_k"),
+        )
+    )
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: events whose value deviates more than
+    ZSCORE_TAU population standard deviations from their event_type mean.
+
+    Determinism at any partitioning: the per-type moments come from EXACT
+    decimal sums (Σv in decimal(18,6), Σ round(v²,6) in decimal(28,6) —
+    order-insensitive), cast to double once; mean/std/z are then pure
+    double arithmetic on identical inputs on both engines. The tiny
+    per-type moment table broadcasts back onto the scan — the fact rows
+    never shuffle.
+
+    Output: (event_id, event_type, value, z) for |z| > ZSCORE_TAU."""
+    from ..constants import ZSCORE_TAU
+
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events")
+    mom = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).cast("double").alias("s1"),
+        F.sum(F.round(F.col("value") * F.col("value"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mom = mom.select(
+        "event_type",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(F.col("s2") / F.col("n") - (F.col("s1") / F.col("n")) * (F.col("s1") / F.col("n"))).alias("std"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(mom), "event_type")
+        .where(F.abs(z) > F.lit(ZSCORE_TAU))
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )
+
+
+def events_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running lifetime value per user: cumulative event value in event-time
+    order — the classic ordered-window analytic (running totals).
+
+    One shuffle on user_id; within the frame the sum runs in DECIMAL, so
+    the prefix sums are exact and identical on any engine (a double
+    running sum would be order-dependent only in its rounding; decimal
+    removes even that). Ties in ts break on event_id for a total order.
+
+    Output: (event_id, user_id, cum_value)."""
+    from pyspark.sql.window import Window
+
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(_dec("value")).over(w).cast("double").alias("cum_value"),
+    )

@@ -384,3 +384,58 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
        round(SUM(converted) / COUNT(*), 6) AS conv_rate
 FROM purchases GROUP BY user_id
 """
+
+
+def events_sliding_window() -> str:
+    return f"""
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) - (offs.j * INTERVAL '15 minutes'),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS offs(j)
+GROUP BY 1
+"""
+
+
+def events_props_extract() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events
+)
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_events,
+       CAST(MIN(k) AS INT) AS min_k,
+       CAST(MAX(k) AS INT) AS max_k,
+       round(CAST(SUM(CAST(k AS {DEC})) AS DOUBLE) / COUNT(k), 6) AS avg_k
+FROM ev GROUP BY 1
+"""
+
+
+def events_anomaly() -> str:
+    from .constants import ZSCORE_TAU
+
+    return f"""
+WITH mom AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s2
+  FROM events GROUP BY 1
+), stats AS (
+  SELECT event_type, s1 / n AS mean, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std FROM mom
+)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mean) / s.std, 6) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE ABS((e.value - s.mean) / s.std) > {ZSCORE_TAU}
+"""
+
+
+def events_user_ltv() -> str:
+    return f"""
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS {DEC})) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+FROM events
+"""

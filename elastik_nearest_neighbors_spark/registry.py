@@ -86,6 +86,10 @@ _QUERIES: dict[str, QueryFn] = {
     "events_asof_join": analytics.events_asof_join,
     "events_retention": analytics.events_retention,
     "events_percentiles": analytics.events_percentiles,
+    "events_sliding_window": analytics.events_sliding_window,
+    "events_props_extract": analytics.events_props_extract,
+    "events_anomaly": analytics.events_anomaly,
+    "events_user_ltv": analytics.events_user_ltv,
     "source_stats": analytics.source_stats,
     # streaming + multimodal (rows-only: no oracle SQL by design)
     "streaming_index": ingest.streaming_index,
@@ -168,6 +172,10 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "events_asof_join": lambda sf: oracles.events_asof_join(),
     "events_retention": lambda sf: oracles.events_retention(),
     "events_percentiles": lambda sf: oracles.events_percentiles(),
+    "events_sliding_window": lambda sf: oracles.events_sliding_window(),
+    "events_props_extract": lambda sf: oracles.events_props_extract(),
+    "events_anomaly": lambda sf: oracles.events_anomaly(),
+    "events_user_ltv": lambda sf: oracles.events_user_ltv(),
     "source_stats": lambda sf: oracles.source_stats(),
 }
 
