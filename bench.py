@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_simhash",
     "ngram_jaccard_join",
     "lang_id",
+    "lang_confusion",
     "quality_score",
     "token_count",
     "doc_fingerprint",
@@ -67,6 +68,11 @@ HEADLINE = [
     "q15_top_supplier",
     "q19_disjunctive_revenue",
     "sales_rollup",
+    "q8_market_share",
+    "q9_product_profit",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
     "events_funnel",
     "events_hourly",
     "events_sessionize",

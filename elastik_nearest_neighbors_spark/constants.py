@@ -160,3 +160,16 @@ RANGE_RADIUS = 1.2
 KNN_GRAPH_K = 4  # out-degree of the per-list kNN graph
 SQ8_LEVELS = 255  # int8 scalar quantization: 256 levels per dimension
 ZSCORE_TAU = 3.0  # events_anomaly |z| threshold
+
+# ---- TPC-H-style batch 3 (schema has no partsupp/shipmode/phone: documented
+# substitutions — lineitem is the part↔supplier association, nation replaces
+# the phone prefix) ------------------------------------------------------------
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_1"  # market-share numerator nation
+Q9_PART_WORD = "widget"  # p_name LIKE %word%
+Q16_EXCL_BRAND = "Brand#1"
+Q16_SIZES = [1, 5, 10, 15, 20, 25]
+Q17_BRAND = "Brand#3"
+Q17_QTY_FRAC = 0.5  # quantity < frac * per-part avg quantity
+Q22_DATE_LO = "1997-07-01"  # dormancy window
+Q22_DATE_HI = "1998-01-01"

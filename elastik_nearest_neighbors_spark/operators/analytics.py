@@ -784,3 +784,201 @@ def events_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum(_dec("value")).over(w).cast("double").alias("cum_value"),
     )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: of the revenue from customers
+    in one region, the fraction supplied by one nation, per order year.
+
+    Scale shape: nation⋈region prunes customers to the region BEFORE any
+    fact is touched; customer and supplier collapse to broadcast key sets /
+    flags; lineitem⋈orders is the only real shuffle (orderkey). The share
+    division happens on per-year decimal-exact sums — a handful of rows.
+
+    Output: (order_year, mkt_share, region_revenue)."""
+    from ..constants import Q8_NATION, Q8_REGION
+
+    configure(spark)
+    nation = io.table(spark, sf_dir, "nation")
+    region = io.table(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    rnation = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey")
+    cust = io.table(spark, sf_dir, "customer").join(
+        F.broadcast(rnation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    supp = (
+        io.table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", (F.col("n_name") == Q8_NATION).alias("is_target"))
+    )
+    orders = io.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = io.table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    one = F.lit(1).cast(DEC)
+    amount = _dec("l_extendedprice") * (one - _dec("l_discount"))
+    zero = F.lit(0).cast(DEC)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(F.when(F.col("is_target"), amount).otherwise(zero)).alias("tgt"),
+            F.sum(amount).alias("tot"),
+        )
+        .select(
+            "order_year",
+            F.round(F.col("tgt").cast("double") / F.col("tot").cast("double"), 6).alias(
+                "mkt_share"
+            ),
+            F.col("tot").cast("double").alias("region_revenue"),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-type profit by supplier nation and year, for
+    parts whose name contains Q9_PART_WORD. The schema has no partsupp, so
+    profit is the discounted revenue (documented substitution for
+    `amount - ps_supplycost*qty`); the join/aggregation shape is Q9's.
+
+    Scale shape: the name-filtered part set broadcasts into lineitem (the
+    filter prunes facts before the orderkey shuffle); supplier⋈nation is a
+    broadcast chain; lineitem⋈orders shuffles once on orderkey.
+
+    Output: (nation, order_year, profit)."""
+    from ..constants import Q9_PART_WORD
+
+    configure(spark)
+    part = io.table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(Q9_PART_WORD)
+    ).select("p_partkey")
+    nation = io.table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = io.table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    orders = io.table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = io.table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    one = F.lit(1).cast(DEC)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
+            .cast("double")
+            .alias("profit")
+        )
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier diversity: distinct suppliers per (brand,
+    type, size) bucket, excluding one brand and restricted to a size list.
+    The schema has no partsupp; lineitem's (l_partkey, l_suppkey) is the
+    part↔supplier association (documented substitution).
+
+    Scale shape: the filtered part dim broadcasts into the fact scan; the
+    distinct + count pipeline shuffles once on the grouping key after a
+    map-side distinct partial.
+
+    Output: (p_brand, p_type, p_size, supplier_cnt)."""
+    from ..constants import Q16_EXCL_BRAND, Q16_SIZES
+
+    configure(spark)
+    part = io.table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != Q16_EXCL_BRAND) & F.col("p_size").isin(Q16_SIZES)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = io.table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style small-quantity-order revenue: lineitems of one brand
+    whose quantity is below Q17_QTY_FRAC × that part's average quantity —
+    the correlated-aggregate-subquery pattern, decorrelated Spark-style.
+
+    Scale shape: the per-part average is an aggregation of the BRAND's
+    lineitems only (part filter broadcasts into the scan first), producing a
+    small per-partkey threshold table that broadcasts back onto the same
+    filtered scan — the correlated subquery becomes two passes over a
+    pruned fact subset, no row-at-a-time re-execution, facts never shuffle.
+
+    Output: 1 row (avg_yearly, n_items)."""
+    from ..constants import Q17_BRAND, Q17_QTY_FRAC
+
+    configure(spark)
+    part = io.table(spark, sf_dir, "part").where(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    li = (
+        io.table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("aq")
+    )
+    return (
+        li.join(F.broadcast(avg_q), "l_partkey")
+        .where(F.col("l_quantity") < F.lit(Q17_QTY_FRAC) * F.col("aq"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 6).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style dormant high-balance customers: above-average account
+    balance (among positive balances) and NO orders in the dormancy window
+    — scalar subquery + anti-join, grouped by nation (the schema has no
+    phone column; nation replaces the country-code prefix).
+
+    Scale shape: the global average is a 1-row aggregate cross-broadcast
+    into the customer scan; the anti-join shuffles customers once against
+    the date-pruned orders keys (both sides pre-projected to the key); the
+    final rollup groups a few hundred survivors by nationkey.
+
+    Output: (nation, n_cust, total_acctbal)."""
+    from ..constants import Q22_DATE_HI, Q22_DATE_LO
+
+    configure(spark)
+    cust = io.table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    active = (
+        io.table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(Q22_DATE_LO).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q22_DATE_HI).cast("timestamp"))
+        )
+        .select("o_custkey")
+    )
+    nation = io.table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("avg_bal"))
+        .join(active, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )

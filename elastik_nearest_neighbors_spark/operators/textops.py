@@ -317,3 +317,22 @@ def idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
         )
     )
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the lang_id heuristic against the corpus's
+    ground-truth `lang` column — the evaluation rollup a pipeline publishes
+    when it ships a classifier (per-cell counts; precision/recall are
+    ratios of these cells).
+
+    Single scan: the prediction is the same Catalyst expression as lang_id
+    inlined over the scan, and the matrix is a tiny groupBy — no joins.
+
+    Output: (lang_true, lang_pred, n_docs)."""
+    docs = _docs(spark, sf_dir)
+    pred, _ = _lang_pred(F.split(F.col("text"), " "))
+    return (
+        docs.select(F.col("lang").alias("lang_true"), pred.alias("lang_pred"))
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -439,3 +439,105 @@ SELECT event_id, user_id,
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
 FROM events
 """
+
+
+def q8_market_share() -> str:
+    from .constants import Q8_NATION, Q8_REGION
+
+    return f"""
+WITH rcust AS (
+  SELECT c_custkey FROM customer c
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = '{Q8_REGION}'
+), supp AS (
+  SELECT s_suppkey, (n.n_name = '{Q8_NATION}') AS is_target
+  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+), peryear AS (
+  SELECT year(o.o_orderdate) AS order_year,
+         SUM(CASE WHEN sp.is_target
+             THEN CAST(l.l_extendedprice AS {DEC}) * (1 - CAST(l.l_discount AS {DEC}))
+             ELSE CAST(0 AS {DEC}) END) AS tgt,
+         SUM(CAST(l.l_extendedprice AS {DEC}) * (1 - CAST(l.l_discount AS {DEC}))) AS tot
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN rcust c ON c.c_custkey = o.o_custkey
+  JOIN supp sp ON sp.s_suppkey = l.l_suppkey
+  GROUP BY 1
+)
+SELECT CAST(order_year AS INT) AS order_year,
+       round(CAST(tgt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mkt_share,
+       CAST(tot AS DOUBLE) AS region_revenue
+FROM peryear
+"""
+
+
+def q9_product_profit() -> str:
+    from .constants import Q9_PART_WORD
+
+    return f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS order_year,
+       CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (1 - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%{Q9_PART_WORD}%'
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q16_supplier_count() -> str:
+    from .constants import Q16_EXCL_BRAND, Q16_SIZES
+
+    sizes = ", ".join(str(s) for s in Q16_SIZES)
+    return f"""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS INT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{Q16_EXCL_BRAND}' AND p.p_size IN ({sizes})
+GROUP BY 1, 2, 3
+"""
+
+
+def q17_small_quantity_revenue() -> str:
+    from .constants import Q17_BRAND, Q17_QTY_FRAC
+
+    return f"""
+WITH li AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = '{Q17_BRAND}'
+), avg_q AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS aq
+  FROM li GROUP BY 1
+)
+SELECT round(CAST(SUM(CAST(li.l_extendedprice AS {DEC})) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM li JOIN avg_q ON avg_q.l_partkey = li.l_partkey
+WHERE li.l_quantity < {Q17_QTY_FRAC} * avg_q.aq
+"""
+
+
+def q22_dormant_customers() -> str:
+    from .constants import Q22_DATE_HI, Q22_DATE_LO
+
+    return f"""
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(c.c_acctbal AS {DEC})) AS DOUBLE) AS total_acctbal
+FROM customer c, avg_bal
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE c.c_acctbal > avg_bal.avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{Q22_DATE_LO} 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '{Q22_DATE_HI} 00:00:00'
+  )
+GROUP BY 1
+"""

@@ -450,3 +450,16 @@ WITH {SHINGLES_CTE}, sig AS (
 SELECT c.doc_a, c.doc_b, round(({agree}) / {float(MINHASH_K)}, 6) AS est_jaccard
 FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
 """
+
+
+def lang_confusion(sf_dir: str) -> str:
+    scores = {lang: _score(words) for lang, words in LANG_MARKERS}
+    greatest = "greatest(" + ", ".join(scores.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {scores[lang]} = {greatest} THEN '{lang}'" for lang, _ in LANG_MARKERS
+    ) + " END"
+    return f"""
+SELECT lang AS lang_true, {case} AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2
+"""

@@ -54,6 +54,7 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_simhash": dedup.dedup_simhash,
     "ngram_jaccard_join": dedup.ngram_jaccard_join,
     "lang_id": textops.lang_id,
+    "lang_confusion": textops.lang_confusion,
     "quality_score": textops.quality_score,
     "token_count": textops.token_count,
     "doc_fingerprint": textops.doc_fingerprint,
@@ -79,6 +80,11 @@ _QUERIES: dict[str, QueryFn] = {
     "q15_top_supplier": analytics.q15_top_supplier,
     "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
     "sales_rollup": analytics.sales_rollup,
+    "q8_market_share": analytics.q8_market_share,
+    "q9_product_profit": analytics.q9_product_profit,
+    "q16_supplier_count": analytics.q16_supplier_count,
+    "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
+    "q22_dormant_customers": analytics.q22_dormant_customers,
     "events_funnel": analytics.events_funnel,
     "events_hourly": analytics.events_hourly,
     "events_sessionize": analytics.events_sessionize,
@@ -141,6 +147,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "dedup_simhash": oracles_text.dedup_simhash,
     "ngram_jaccard_join": oracles_text.ngram_jaccard_join,
     "lang_id": oracles_text.lang_id,
+    "lang_confusion": oracles_text.lang_confusion,
     "quality_score": oracles_text.quality_score,
     "token_count": oracles_text.token_count,
     "doc_fingerprint": oracles_text.doc_fingerprint,
@@ -165,6 +172,11 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "q15_top_supplier": lambda sf: oracles.q15_top_supplier(),
     "q19_disjunctive_revenue": lambda sf: oracles.q19_disjunctive_revenue(),
     "sales_rollup": lambda sf: oracles.sales_rollup(),
+    "q8_market_share": lambda sf: oracles.q8_market_share(),
+    "q9_product_profit": lambda sf: oracles.q9_product_profit(),
+    "q16_supplier_count": lambda sf: oracles.q16_supplier_count(),
+    "q17_small_quantity_revenue": lambda sf: oracles.q17_small_quantity_revenue(),
+    "q22_dormant_customers": lambda sf: oracles.q22_dormant_customers(),
     "events_funnel": lambda sf: oracles.events_funnel(),
     "events_hourly": lambda sf: oracles.events_hourly(),
     "events_sessionize": lambda sf: oracles.events_sessionize(),
