@@ -424,23 +424,30 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group, per-flag subtotals and the grand total in ONE pass (the
     OLAP-cube surface a reporting layer expects from a full engine).
 
-    Scale shape: Spark expands rollup into grouping sets inside a single
-    hash aggregate with partial map-side combine — one shuffle, no union of
-    three scans. NULL grouping markers are coalesced to 'ALL' at the edge so
-    the output is flat scalars.
+    Scale shape: rollup's Expand would triple the FACT rows before the
+    aggregation (measured 2× slower than the plain groupBy at sf0.1), so
+    the facts first collapse to the tiny (flag, status) grid with exact
+    decimal sums — one shuffle, partial agg map-side — and the rollup's
+    Expand runs over those few aggregated rows. Decimal addition is
+    reassociative, so subtotals of group sums are bit-identical to a
+    direct rollup. NULL grouping markers are coalesced to 'ALL' at the
+    edge so the output is flat scalars.
 
     Output: (returnflag, linestatus, sum_qty, revenue, n_items)."""
     configure(spark)
     li = io.table(spark, sf_dir, "lineitem")
     one = F.lit(1).cast(DEC)
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).alias("q"),
+        F.sum(_dec("l_extendedprice") * (one - _dec("l_discount"))).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice") * (one - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            F.sum("q").cast("double").alias("sum_qty"),
+            F.sum("r").cast("double").alias("revenue"),
+            F.sum("n").alias("n_items"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),

@@ -247,3 +247,96 @@ def test_dedup_semantic_pairs_match_brute_force_within_list(spark):
         .collect()
     }
     assert got == brute
+
+
+def test_range_search_no_keyed_shuffle(spark):
+    """range_search is scan → broadcast NLJ → filter: no ranking, so no
+    keyed Exchange may appear anywhere in the plan."""
+    from elastik_nearest_neighbors_spark.operators import knn as knn_ops
+
+    df = knn_ops.range_search_q(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    assert "hashpartitioning" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_graph_degree_and_shape(spark):
+    """knn_graph: per-vector out-degree ≤ K, no cartesian product (the pair
+    step is a hash join on list_id)."""
+    from elastik_nearest_neighbors_spark.constants import KNN_GRAPH_K
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_ops
+
+    df = ivf_ops.knn_graph(spark, SF_SMALL)
+    assert "CartesianProduct" not in plans.formatted_plan(df)
+    deg = df.groupBy("vec_a").count().agg(F.max("count")).collect()[0][0]
+    assert deg <= KNN_GRAPH_K
+    # every vector with ≥1 co-listed neighbor appears
+    assert df.select("vec_a").distinct().count() > 0
+
+
+def test_sq8_codes_bounded_and_reconstruction_tight(spark):
+    """sq8: codes within [0, 255]; reconstruction error within half a
+    quantization step of the per-dim range."""
+    from elastik_nearest_neighbors_spark.constants import SQ8_LEVELS
+    from elastik_nearest_neighbors_spark.operators import pq as pq_ops
+
+    df = pq_ops.sq8_quantize(spark, SF_SMALL)
+    row = df.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi"), F.max(F.abs("err")).alias("e")
+    ).collect()[0]
+    assert 0 <= row.lo and row.hi <= SQ8_LEVELS
+    # half-step bound: per-dim ranges here are ~2.2 → step ≈ 0.0086
+    assert row.e <= 0.02
+
+
+def test_q17_part_and_threshold_broadcast(spark):
+    """q17: both the brand part filter and the per-part avg-qty threshold
+    broadcast — the fact side must never sort-merge."""
+    df = analytics.q17_small_quantity_revenue(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plans.broadcast_join_count(df) >= 2, plan
+
+
+def test_q22_uses_anti_join(spark):
+    plan = plans.formatted_plan(analytics.q22_dormant_customers(spark, SF_SMALL))
+    assert "LeftAnti" in plan, plan
+
+
+def test_q8_dims_broadcast_facts_shuffle_once(spark):
+    df = analytics.q8_market_share(spark, SF_SMALL)
+    assert plans.broadcast_join_count(df) >= 2, plans.formatted_plan(df)
+    assert plans.shuffle_count(df) <= 3, plans.formatted_plan(df)
+
+
+def test_events_sliding_window_partial_agg(spark):
+    """The 4×-window expansion must sit below a partial aggregation, so the
+    shuffle carries (window, partial) rows — not 4× the events."""
+    df = analytics.events_sliding_window(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    assert "partial" in plan, plan
+
+
+def test_events_user_ltv_prefix_sums_close(spark):
+    """The last running value per user equals the user's total (decimal
+    prefix sums are consistent with the global aggregate)."""
+    from pyspark.sql.window import Window
+
+    df = analytics.events_user_ltv(spark, SF_SMALL)
+    last = df.groupBy("user_id").agg(F.max("cum_value").alias("got"))
+    ev = io.table(spark, SF_SMALL, "events")
+    tot = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("want")
+    )
+    bad = last.join(tot, "user_id").where(
+        F.abs(F.col("got") - F.col("want")) > 1e-6
+    )
+    assert bad.count() == 0
+
+
+def test_lang_confusion_totals(spark):
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    df = textops.lang_confusion(spark, SF_SMALL)
+    n = df.agg(F.sum("n_docs")).collect()[0][0]
+    assert n == io.table(spark, SF_SMALL, "documents").count()
