@@ -100,6 +100,7 @@ _QUERIES: dict[str, QueryFn] = {
     # streaming + multimodal (rows-only: no oracle SQL by design)
     "streaming_index": ingest.streaming_index,
     "streaming_events_hourly": ingest.streaming_events_hourly,
+    "streaming_sliding_window": ingest.streaming_sliding_window,
     "streaming_sessionize": ingest.streaming_sessionize,
     "streaming_sessionize_append": ingest.streaming_sessionize_append,
     "streaming_dedup_state": ingest.streaming_dedup_state,
@@ -135,6 +136,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "knn_graph": oracles_vector.knn_graph,
     "sq8_quantize": oracles_vector.sq8_quantize,
     "streaming_ann_search": oracles_vector.ann_search_lsh,
+    # complete-mode availableNow replay == batch result → same oracle
+    "streaming_sliding_window": lambda sf: oracles.events_sliding_window(),
     # streaming_index writes the exploded index — same rows as batch lsh_index
     "streaming_index": oracles_vector.lsh_index,
     "multimodal_featurize": oracles_text.multimodal_featurize,

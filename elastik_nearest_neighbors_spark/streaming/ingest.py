@@ -275,3 +275,43 @@ def streaming_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sunk = spark.sql(f"SELECT query_id, neighbor_id, n_match FROM {name}")
     return rank_term_matches(sunk, emb, emb.where(F.col("vec_id") < N_QUERIES))
+
+
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of analytics.events_sliding_window: watermarked
+    hopping 1h/15m windows over the event stream. Complete mode +
+    availableNow over the static file replays the whole history, so the
+    output is row-identical to the batch query and is gated by the SAME
+    DuckDB oracle. In production this runs append mode: the watermark
+    closes each window 1h after its end and state holds only the ≤ 4 open
+    windows' partials."""
+    configure(spark)
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"enn_stream_slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(
+        f"""SELECT date_format(win.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
+                   n_events, sum_value
+            FROM {name}"""
+    )
