@@ -6,6 +6,7 @@ from .index_store import (  # noqa: F401
     save_lsh_index,
 )
 from .formats import (  # noqa: F401
+    read_binary_dir,
     read_vectors_csv,
     read_vectors_json,
     read_vectors_orc,

@@ -80,3 +80,26 @@ def write_vectors_csv(df: DataFrame, path: str, delim: str = ";") -> None:
     df.select(
         "vec_id", F.array_join(F.col("embedding").cast("array<string>"), delim).alias("embedding_csv")
     ).write.mode("overwrite").option("header", "true").csv(path)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Raw binary ingestion via Spark's `binaryFile` source — how an
+    image/audio corpus lands in the engine before multimodal featurization
+    (operators/multimodal.featurize_binary consumes exactly this shape).
+
+    The source is splittable by FILE (each file one row), reads lazily, and
+    pushes the glob down to the listing, so a 100 TB media lake is scanned
+    with per-file parallelism and no decode on the scan path. Output:
+    (path, n_bytes, payload binary) — metadata columns stay cheap;
+    `payload` (the file content) is only materialized for rows that survive
+    downstream pruning."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        F.col("path"),
+        F.col("length").alias("n_bytes"),
+        F.col("content").alias("payload"),
+    )

