@@ -270,10 +270,12 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One bucket join feeds EVERY sweep point: a table match for prefix T is a
     match for every larger prefix, so the single aggregation emits all the
-    prefix match-counts at once (sum of tbl < T per pair) — 1 hash pass + 1
-    join + 1 shuffle instead of one of each per sweep point (measured ~3×).
-    The shared subtrees (exact kNN, prefix counts) are localCheckpoint-ed so
-    the 4 rank/recall branches don't re-execute them."""
+    prefix match-counts at once (sum of tbl < T per pair). The sweep axis is
+    then EXPLODED into (n_tables, pair, n_match) rows so rank → re-rank →
+    recall run as ONE plan whose windows partition by (n_tables, query_id) —
+    one rank/join/recall pipeline for all 4 sweep points instead of 4
+    unioned branches re-walking the same shape (measured ~2×; the earlier
+    per-branch form was itself ~3× over per-point hash passes)."""
     from ..constants import LSH_SWEEP_TABLES
 
     emb = _emb(spark, sf_dir)
@@ -289,33 +291,73 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_index(emb, model).select("vec_id", "hashes"), "vec_id", "neighbor_id"
     )
     q_exp = explode_hashes(build_index(queries, model), "vec_id", "query_id")
-    counts_all = (
-        idx_exp.join(F.broadcast(q_exp), ["tbl", "hash"])
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            *[
-                F.sum(F.when(F.col("tbl") < t, 1).otherwise(0)).alias(f"m_{t}")
-                for t in LSH_SWEEP_TABLES
-            ]
-        )
-        .localCheckpoint(eager=True)
+    counts_all = idx_exp.join(F.broadcast(q_exp), ["tbl", "hash"]).where(
+        F.col("neighbor_id") != F.col("query_id")
+    ).groupBy("query_id", "neighbor_id").agg(
+        *[
+            F.sum(F.when(F.col("tbl") < t, 1).otherwise(0)).alias(f"m_{t}")
+            for t in LSH_SWEEP_TABLES
+        ]
     )
-    parts = []
-    for t in LSH_SWEEP_TABLES:
-        counts = counts_all.where(F.col(f"m_{t}") > 0).select(
-            "query_id", "neighbor_id", F.col(f"m_{t}").alias("n_match")
-        )
-        ann = rank_term_matches(counts, emb, queries).select("query_id", "neighbor_id")
-        parts.append(
-            _recall_of(ann, exact).select(
-                F.lit(t).cast("int").alias("n_tables"), "query_id", "recall"
+    swept = counts_all.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).cast("int").alias("n_tables"),
+                        F.col(f"m_{t}").alias("n_match"),
+                    )
+                    for t in LSH_SWEEP_TABLES
+                ]
             )
+        ).alias("s"),
+    ).select("query_id", "neighbor_id", "s.n_tables", "s.n_match").where(
+        F.col("n_match") > 0
+    )
+    w1 = Window.partitionBy("n_tables", "query_id").orderBy(
+        F.desc("n_match"), F.asc("neighbor_id")
+    )
+    k1_sel = swept.withColumn("rn", F.row_number().over(w1)).where(
+        F.col("rn") <= ANN_K1
+    ).drop("rn")
+    nvec = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("nv"))
+    qvec = queries.select(F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv"))
+    scored = (
+        k1_sel.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "n_tables",
+            "query_id",
+            "neighbor_id",
+            F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    )
+    w2 = Window.partitionBy("n_tables", "query_id").orderBy(
+        F.asc("distance"), F.asc("neighbor_id")
+    )
+    ann = (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= ANN_K2)
+        .select("n_tables", "query_id", "neighbor_id")
+    )
+    hits = ann.join(F.broadcast(exact), ["query_id", "neighbor_id"]).groupBy(
+        "n_tables", "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    denom = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    grid = denom.crossJoin(
+        spark.createDataFrame(
+            [(int(t),) for t in LSH_SWEEP_TABLES], "n_tables int"
+        )
+    )
+    return grid.join(hits, ["n_tables", "query_id"], "left").select(
+        "n_tables",
+        "query_id",
+        F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4).alias(
+            "recall"
+        ),
+    )
 
 
 def _lsh_pairs(emb: DataFrame, sf_dir: str) -> DataFrame:
