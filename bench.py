@@ -35,6 +35,8 @@ HEADLINE = [
     "range_search",
     "knn_graph",
     "sq8_quantize",
+    "ann_search_sq8",
+    "ann_recall_sq8",
     "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",

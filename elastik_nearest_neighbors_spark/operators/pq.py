@@ -242,3 +242,82 @@ def sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("err"),
         )
     )
+
+
+_SQ8_PARAMS: dict[str, tuple] = {}
+
+
+def _sq8_params(sf_dir: str):
+    """Per-dim (min, scale) from the parquet bytes, driver-side (pyarrow) —
+    same determinism contract as the IVF/PQ fits: min/max are exact picks
+    of stored doubles (no float summation), so Spark MIN/MAX, DuckDB
+    MIN/MAX, and numpy min/max all yield the identical KB-sized model."""
+    from ..constants import SQ8_LEVELS
+
+    got = _SQ8_PARAMS.get(sf_dir)
+    if got is None:
+        import pyarrow.parquet as paq
+
+        t = paq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        x = np.array(t.to_pandas()["embedding"].tolist(), dtype=np.float64)
+        dmin = x.min(axis=0)
+        scale = (x.max(axis=0) - dmin) / float(SQ8_LEVELS)
+        got = _SQ8_PARAMS[sf_dir] = (dmin, scale)
+    return got
+
+
+def _dequant_expr(vec_col: str, dmin, scale):
+    """embedding → its SQ8 round-trip (quantize then dequantize), as a pure
+    Catalyst expression: the vector zipped with the per-dim (min, scale)
+    literal arrays — O(dim) per row (an element_at-indexed form would be
+    O(dim²) and fall out of codegen), JVM-side, no Python."""
+    from ..constants import SQ8_LEVELS
+    from ..functions.vector import as_double
+
+    z = F.arrays_zip(
+        as_double(F.col(vec_col)),
+        F.array(*[F.lit(float(m)) for m in dmin]),
+        F.array(*[F.lit(float(s)) for s in scale]),
+    )
+
+    def deq(s):
+        v, m, sc = s["0"], s["1"], s["2"]
+        code = F.least(
+            F.lit(SQ8_LEVELS),
+            F.greatest(F.lit(0), F.floor((v - m) / sc + F.lit(0.5)).cast("int")),
+        )
+        return m + code.cast("double") * sc
+
+    return F.transform(z, deq)
+
+
+def ann_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k search in the SQ8-COMPRESSED domain: both sides of the
+    distance are the int8 round-trip of the raw vectors — the scan reads
+    8×-smaller data at scale, and this query measures exactly what that
+    compression does to the ranking (its recall twin is ann_recall_sq8).
+    Completes the family: LSH/IVF prune candidates, PQ compresses to ADC
+    codes, SQ8 compresses the scan itself.
+
+    Same plan shape as knn_exact: broadcast query side, per-partition
+    top-k before the only shuffle; the dequantization is a narrow
+    zip-transform in whole-stage codegen."""
+    from .knn import knn_exact
+
+    configure(spark)
+    emb = _emb(spark, sf_dir)
+    dmin, scale = _sq8_params(sf_dir)
+    deq = emb.select("vec_id", _dequant_expr("embedding", dmin, scale).alias("embedding"))
+    return knn_exact(deq, deq.where(F.col("vec_id") < N_QUERIES), metric="euclidean")
+
+
+def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of SQ8-domain search vs exact kNN on the raw vectors — the
+    compression-quality metric, on the same axis as the LSH/IVF/PQ recalls."""
+    from .knn import _recall_of, knn_exact_euclidean_q
+
+    ann = ann_search_sq8(spark, sf_dir).select("query_id", "neighbor_id")
+    exact = knn_exact_euclidean_q(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_of(ann, exact)

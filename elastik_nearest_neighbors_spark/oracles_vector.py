@@ -531,3 +531,75 @@ SELECT vec_id, e.dim,
             * ((r.dmax - r.dmin) / {SQ8_LEVELS}.0)), 6) AS err
 FROM exploded e JOIN rng r ON r.dim = e.dim
 """
+
+
+def _sq8_deq_cte() -> str:
+    """embeddings → SQ8 round-trip vectors (exact mirror of
+    operators/pq._dequant_expr, with MIN/MAX computed in SQL — identical
+    doubles to the driver-side numpy fit)."""
+    from .constants import SQ8_LEVELS
+
+    deq_val = (
+        f"r.dmin + LEAST({SQ8_LEVELS}, GREATEST(0, "
+        f"CAST(FLOOR((e.v - r.dmin) / r.scale + 0.5) AS INT)))::DOUBLE * r.scale"
+    )
+    return f"""
+exploded AS (
+  SELECT vec_id, CAST(u.idx - 1 AS INT) AS dim, u.v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS idx) u
+), rng AS (
+  SELECT dim, MIN(v) AS dmin, (MAX(v) - MIN(v)) / {SQ8_LEVELS}.0 AS scale
+  FROM exploded GROUP BY dim
+), deq AS (
+  SELECT vec_id, list({deq_val} ORDER BY e.dim) AS dv
+  FROM exploded e JOIN rng r ON r.dim = e.dim
+  GROUP BY vec_id
+)"""
+
+
+def ann_search_sq8(sf_dir: str) -> str:
+    from .constants import KNN_K
+
+    return f"""
+WITH {_sq8_deq_cte()},
+q AS (SELECT vec_id AS qid, dv AS qv FROM deq WHERE vec_id < {N_QUERIES}),
+i AS (SELECT vec_id AS nid, dv AS nv FROM deq)
+SELECT query_id, neighbor_id, distance FROM (
+  SELECT q.qid AS query_id, i.nid AS neighbor_id,
+         round(list_distance(q.qv, i.nv), 6) AS distance,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY round(list_distance(q.qv, i.nv), 6), i.nid) AS rn
+  FROM q JOIN i ON i.nid <> q.qid)
+WHERE rn <= {KNN_K}
+"""
+
+
+def ann_recall_sq8(sf_dir: str) -> str:
+    from .constants import KNN_K
+
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    return f"""
+WITH {_sq8_deq_cte()},
+q AS (SELECT vec_id AS qid, dv AS qv FROM deq WHERE vec_id < {N_QUERIES}),
+i AS (SELECT vec_id AS nid, dv AS nv FROM deq),
+ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.qid AS query_id, i.nid AS neighbor_id,
+           row_number() OVER (PARTITION BY q.qid
+                              ORDER BY round(list_distance(q.qv, i.nv), 6), i.nid) AS rn
+    FROM q JOIN i ON i.nid <> q.qid)
+  WHERE rn <= {KNN_K}
+),
+exact AS ({exact}),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+)
+SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
+FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+"""

@@ -44,6 +44,8 @@ _QUERIES: dict[str, QueryFn] = {
     "range_search": knn.range_search_q,
     "knn_graph": ivf.knn_graph,
     "sq8_quantize": pq.sq8_quantize,
+    "ann_search_sq8": pq.ann_search_sq8,
+    "ann_recall_sq8": pq.ann_recall_sq8,
     # LLM-pipeline dedup + text analysis
     "dedup_exact": dedup.dedup_exact,
     "minhash_signatures": dedup.minhash_signatures,
@@ -135,6 +137,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "range_search": oracles_vector.range_search,
     "knn_graph": oracles_vector.knn_graph,
     "sq8_quantize": oracles_vector.sq8_quantize,
+    "ann_search_sq8": oracles_vector.ann_search_sq8,
+    "ann_recall_sq8": oracles_vector.ann_recall_sq8,
     "streaming_ann_search": oracles_vector.ann_search_lsh,
     # complete-mode availableNow replay == batch result → same oracle
     "streaming_sliding_window": lambda sf: oracles.events_sliding_window(),
