@@ -56,6 +56,9 @@ HEADLINE = [
     "token_histogram",
     "doc_repetition",
     "decontaminate",
+    "seq_pack",
+    "source_cap",
+    "quality_quantile",
     "dedup_semantic",
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -128,6 +128,13 @@ REP_NGRAM = 2  # bigram repetition metrics (Gopher-style quality filter)
 DECONTAM_N = 4
 DECONTAM_MOD = 40  # doc_id % MOD == 0 → held-out "benchmark" docs
 
+# ---- packing / caps / quantile gating (training-pipeline prep) --------------
+PACK_LEN = 512  # tokens per packed training sequence (concat-and-chunk)
+PACK_SHARDS = 8  # independent packing shards — the cumsum parallelism unit
+SOURCE_CAP = 15  # max docs kept per source (contribution cap; sf0.01 has
+# 20 sources x ~25 docs, so the cap really prunes at gate scale)
+QUALITY_PCT = 0.5  # keep docs at/above this per-lang quality percent_rank
+
 # ---- semantic dedup (SemDeDup-style: cluster-scoped embedding near-dups) ----
 # within-list cosine threshold; the test embeddings have weak cluster
 # structure (max within-list cosine ≈ 0.49 at sf0.01), so the threshold sits

@@ -319,6 +319,108 @@ def idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the concat-and-chunk step that turns a curated
+    corpus into fixed-length training sequences: documents are concatenated
+    in a deterministic order and the token stream is cut every PACK_LEN
+    tokens; each doc learns which sequence(s) it lands in and at what offset.
+
+    Scale shape: a GLOBAL ordered cumsum would serialize the corpus through
+    one partition, so packing is sharded — doc_id % PACK_SHARDS picks an
+    independent packing stream and the running-sum window partitions on the
+    shard. One exchange (by shard), sort within shard, pure Catalyst window
+    after; at 1000 executors you raise PACK_SHARDS, not the algorithm.
+    Training runs shuffle shards anyway, so cross-shard order is free to give
+    up.
+
+    Output: (doc_id, shard, n_tokens, seq_first, seq_last, seq_offset)."""
+    from pyspark.sql.window import Window
+
+    from ..constants import PACK_LEN, PACK_SHARDS
+
+    configure(spark)
+    # no widen: the shard exchange below redistributes the scan anyway
+    docs = io.table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(cum / PACK_LEN).cast("int").alias("seq_first"),
+        F.floor((cum + F.col("n_tokens") - 1) / PACK_LEN).cast("int").alias(
+            "seq_last"
+        ),
+        F.pmod(cum, F.lit(PACK_LEN)).cast("int").alias("seq_offset"),
+    )
+
+
+def source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contribution cap — keep at most SOURCE_CAP docs from any
+    one source (longest first, doc_id tiebreak), the diversity guard that
+    stops one crawl domain from dominating the training mix.
+
+    Scale shape: one exchange keyed on source, a per-source sort bounded by
+    row_number's early-out (rows past the cap never leave the sort), output
+    bounded at sources x CAP. A mega-source skews its one partition; AQE
+    splits the exchange and the sort spills — the cap itself bounds what
+    survives. Pure Catalyst, no joins.
+
+    Output: (doc_id, source, n_chars, rk)."""
+    from pyspark.sql.window import Window
+
+    from ..constants import SOURCE_CAP
+
+    configure(spark)
+    # no widen: reads 3 narrow columns (never `text`) and goes straight
+    # into the source-keyed exchange
+    docs = io.table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= SOURCE_CAP)
+    )
+
+
+def quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-percentile gate — keep each language's top half
+    by blended quality score. Fixed thresholds (corpus_clean's tau) drift as
+    the mix shifts; a percentile gate self-calibrates per language, which is
+    how production pipelines actually budget quality cuts across languages.
+
+    Scale shape: the score is the same single-scan Catalyst expression as
+    quality_score; the gate is one exchange keyed on lang + a within-language
+    sort for percent_rank (ties broken by doc_id, so the rank — and the
+    result — is deterministic). At 100 TB a full per-lang sort is a real
+    range-sort; the documented relaxation is approx_percentile to pick the
+    cut value in one aggregate, trading exactness for no sort — kept exact
+    here because the oracle gate demands bit-equality.
+
+    Output: (doc_id, lang, quality, pr)."""
+    from pyspark.sql.window import Window
+
+    from ..constants import QUALITY_PCT
+
+    docs = _docs(spark, sf_dir)
+    cols = _quality_cols(F.split(F.col("text"), " "))
+    scored = docs.select("doc_id", "lang", cols["quality"].alias("quality"))
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        scored.withColumn("pr", F.round(F.percent_rank().over(w), 6))
+        .where(F.col("pr") >= QUALITY_PCT)
+    )
+
+
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the lang_id heuristic against the corpus's
     ground-truth `lang` column — the evaluation rollup a pipeline publishes

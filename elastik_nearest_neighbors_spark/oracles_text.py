@@ -452,6 +452,66 @@ FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_
 """
 
 
+def seq_pack(sf_dir: str) -> str:
+    from .constants import PACK_LEN, PACK_SHARDS
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+  CAST(c // {PACK_LEN} AS INT) AS seq_first,
+  CAST((c + n_tokens - 1) // {PACK_LEN} AS INT) AS seq_last,
+  CAST(c % {PACK_LEN} AS INT) AS seq_offset
+FROM cum
+"""
+
+
+def source_cap(sf_dir: str) -> str:
+    from .constants import SOURCE_CAP
+
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+    CAST(row_number() OVER (PARTITION BY source
+      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rk FROM ranked WHERE rk <= {SOURCE_CAP}
+"""
+
+
+def quality_quantile(sf_dir: str) -> str:
+    from .constants import QUALITY_PCT
+
+    stop = _score(STOPWORDS_EN)
+    n_tok = "len(string_split(text, ' '))"
+    punct = "len(regexp_extract_all(text, '[^a-z0-9 ]'))"
+    quality = (
+        f"round(0.4 * round({stop} / {n_tok}, 6)"
+        f" + 0.3 * least(1.0, {n_tok} / 100.0)"
+        f" + 0.3 * (1.0 - round({punct} / length(text), 6)), 6)"
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, {quality} AS quality FROM documents
+), ranked AS (
+  SELECT doc_id, lang, quality,
+    round(percent_rank() OVER (PARTITION BY lang
+      ORDER BY quality, doc_id), 6) AS pr
+  FROM scored
+)
+SELECT doc_id, lang, quality, pr FROM ranked WHERE pr >= {QUALITY_PCT}
+"""
+
+
 def lang_confusion(sf_dir: str) -> str:
     scores = {lang: _score(words) for lang, words in LANG_MARKERS}
     greatest = "greatest(" + ", ".join(scores.values()) + ")"

@@ -68,6 +68,9 @@ _QUERIES: dict[str, QueryFn] = {
     "token_histogram": textops.token_histogram,
     "doc_repetition": textops.doc_repetition,
     "decontaminate": textops.decontaminate,
+    "seq_pack": textops.seq_pack,
+    "source_cap": textops.source_cap,
+    "quality_quantile": textops.quality_quantile,
     # generic analytics
     "q1_pricing_summary": analytics.q1_pricing_summary,
     "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -166,6 +169,9 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "token_histogram": oracles_text.token_histogram,
     "doc_repetition": oracles_text.doc_repetition,
     "decontaminate": oracles_text.decontaminate,
+    "seq_pack": oracles_text.seq_pack,
+    "source_cap": oracles_text.source_cap,
+    "quality_quantile": oracles_text.quality_quantile,
     "q1_pricing_summary": lambda sf: oracles.q1_pricing_summary(),
     "q3_shipping_priority": lambda sf: oracles.q3_shipping_priority(),
     "q4_order_priority": lambda sf: oracles.q4_order_priority(),

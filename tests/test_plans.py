@@ -340,3 +340,47 @@ def test_lang_confusion_totals(spark):
     df = textops.lang_confusion(spark, SF_SMALL)
     n = df.agg(F.sum("n_docs")).collect()[0][0]
     assert n == io.table(spark, SF_SMALL, "documents").count()
+
+
+def test_seq_pack_single_shard_exchange(spark):
+    """Packing must parallelize: exactly one exchange, keyed on the shard —
+    a global-order cumsum (single partition) would show an extra sort-only
+    Exchange with no hashpartitioning(shard...)."""
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    df = textops.seq_pack(spark, SF_SMALL)
+    assert plans.shuffle_count(df) == 2  # one Exchange (tree + detail line)
+    assert "hashpartitioning(shard" in plans.formatted_plan(df)
+
+
+def test_seq_pack_offsets_consistent(spark):
+    """Within a shard, each doc's cumsum-derived start equals the previous
+    doc's start + its tokens (the packed stream has no gaps or overlaps)."""
+    from pyspark.sql.window import Window
+
+    from elastik_nearest_neighbors_spark.constants import PACK_LEN
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    df = textops.seq_pack(spark, SF_SMALL)
+    start = (F.col("seq_first").cast("bigint") * PACK_LEN + F.col("seq_offset"))
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    chk = df.select(
+        "shard",
+        "doc_id",
+        start.alias("start"),
+        (start + F.col("n_tokens")).alias("end"),
+    ).withColumn("prev_end", F.lag("end").over(w))
+    bad = chk.where(
+        F.col("prev_end").isNotNull() & (F.col("start") != F.col("prev_end"))
+    )
+    assert bad.count() == 0
+
+
+def test_source_cap_single_exchange_and_bound(spark):
+    from elastik_nearest_neighbors_spark.constants import SOURCE_CAP
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    df = textops.source_cap(spark, SF_SMALL)
+    assert plans.shuffle_count(df) == 2  # one Exchange: hash by source
+    per_src = df.groupBy("source").count()
+    assert per_src.agg(F.max("count")).collect()[0][0] <= SOURCE_CAP
