@@ -60,6 +60,8 @@ HEADLINE = [
     "source_cap",
     "quality_quantile",
     "dedup_semantic",
+    "q12_priority_lateness",
+    "q21_waiting_supplier",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

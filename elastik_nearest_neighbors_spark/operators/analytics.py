@@ -658,6 +658,98 @@ def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q12_priority_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style late-shipment audit, adapted to this schema (the
+    synthetic lineitem has no shipmode/commit/receipt dates): per order
+    priority, how many lineitems shipped more than LATE_DAYS after the order
+    date vs total — the on-time-delivery breakdown by urgency class.
+
+    Scale shape: one shuffle (lineitem⋈orders on orderkey), conditional
+    partial aggregates map-side after the join, result bounded at the
+    priority cardinality. Only 2 orders columns and 2 lineitem columns are
+    read (pruned scan).
+
+    Output: (o_orderpriority, n_late, n_total, late_ratio)."""
+    from ..constants import Q12_LATE_DAYS
+
+    configure(spark)
+    orders = io.table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = io.table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q12_LATE_DAYS} DAYS"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_late",
+            "n_total",
+            F.round(F.col("n_late") / F.col("n_total"), 6).alias("late_ratio"),
+        )
+    )
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style "suppliers who kept orders waiting": for finished
+    ('F') orders with lineitems from >1 distinct supplier where EXACTLY ONE
+    supplier shipped late (> LATE_DAYS past the order date), attribute the
+    wait to that supplier and count per supplier.
+
+    The classic formulation is a triple self-join on lineitem
+    (EXISTS + NOT EXISTS); here it collapses into ONE aggregation: per
+    order, count distinct suppliers and distinct LATE suppliers, keep
+    (n_supp > 1 AND n_late = 1), then join the single late supplier's key
+    back out via max(CASE). At scale that is one orderkey shuffle and a
+    supplier-keyed count over qualifying orders — the lineitem table is
+    touched once, not three times.
+
+    Output: top-Q21_TOPK (s_name, numwait), ties broken by name."""
+    from ..constants import Q21_LATE_DAYS, Q21_TOPK
+
+    configure(spark)
+    orders = io.table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = io.table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+    ).cast("int")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+                "n_late"
+            ),
+            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+                "late_supp"
+            ),
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = io.table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(Q21_TOPK)
+    )
+
+
 def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus health: doc count, token volume, mean quality —
     the monitoring rollup a data pipeline reports per crawl/source."""

@@ -271,6 +271,47 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
 
+def q12_priority_lateness() -> str:
+    from .constants import Q12_LATE_DAYS
+
+    return f"""
+SELECT o.o_orderpriority,
+  CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  round(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+                 THEN 1 ELSE 0 END) / COUNT(*), 6) AS late_ratio
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def q21_waiting_supplier() -> str:
+    from .constants import Q21_LATE_DAYS, Q21_TOPK
+
+    return f"""
+WITH j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+         THEN 1 ELSE 0 END AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+    COUNT(DISTINCT l_suppkey) AS n_supp,
+    COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+    MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM j GROUP BY 1
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per_order p JOIN supplier s ON s.s_suppkey = p.late_supp
+WHERE p.n_supp > 1 AND p.n_late = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name ASC
+LIMIT {Q21_TOPK}
+"""
+
+
 def q13_customer_distribution() -> str:
     return """
 WITH ocnt AS (

@@ -342,6 +342,16 @@ def test_lang_confusion_totals(spark):
     assert n == io.table(spark, SF_SMALL, "documents").count()
 
 
+def test_q21_single_lineitem_scan(spark):
+    """The classic Q21 is a triple lineitem self-join; the aggregate
+    formulation must touch lineitem exactly once."""
+    import re
+
+    df = analytics.q21_waiting_supplier(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    assert len(re.findall(r"lineitem\.parquet", plan)) == 1, plan
+
+
 def test_seq_pack_single_shard_exchange(spark):
     """Packing must parallelize: exactly one exchange, keyed on the shard —
     a global-order cumsum (single partition) would show an extra sort-only
