@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_semantic",
     "q12_priority_lateness",
     "q21_waiting_supplier",
+    "bucketed_join_revenue",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

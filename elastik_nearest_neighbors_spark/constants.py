@@ -108,6 +108,7 @@ Q10_DATE_LO = "1997-01-01"
 Q10_DATE_HI = "1997-04-01"
 Q10_TOPK = 20
 Q18_QTY = 250  # order total-quantity threshold (99th pct ≈ 262 at sf0.01)
+BUCKET_N = 16  # bucket count for co-located fact⋈fact joins (scale: O(1000))
 Q12_LATE_DAYS = 60  # lineitem is "late" if shipped > this many days after order
 Q21_LATE_DAYS = 60  # same lateness cutoff for the waiting-supplier audit
 Q21_TOPK = 10  # suppliers reported by q21_waiting_supplier

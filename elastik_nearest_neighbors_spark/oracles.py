@@ -271,6 +271,16 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
 
+def bucketed_join_revenue() -> str:
+    return f"""
+SELECT o.o_orderpriority,
+  CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
 def q12_priority_lateness() -> str:
     from .constants import Q12_LATE_DAYS
 

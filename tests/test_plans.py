@@ -342,6 +342,18 @@ def test_lang_confusion_totals(spark):
     assert n == io.table(spark, SF_SMALL, "documents").count()
 
 
+def test_bucketed_join_no_orderkey_exchange(spark):
+    """The whole point of the bucketed layout: both scans come up bucketed
+    and the forced sort-merge join runs with no exchange on the join key —
+    the only Exchange in the plan is the final priority aggregate."""
+    df = analytics.bucketed_join_revenue(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "hashpartitioning(l_orderkey" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan
+
+
 def test_q21_single_lineitem_scan(spark):
     """The classic Q21 is a triple lineitem self-join; the aggregate
     formulation must touch lineitem exactly once."""
