@@ -199,7 +199,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_a, doc_b, hamming)."""
     from ..functions.blocking import capped_bucket_pairs
 
-    sims = _simhash_bands(_docs(spark, sf_dir))
+    # persist: the signature table feeds three plan branches (band explode
+    # + both pair-gather sides); uncached, the token-explode + 64 bit-sum
+    # aggregation runs three times (measured 5.1 → 3.8s at sf0.1). At scale
+    # this is the standard "materialize the signatures" step — N rows of 5
+    # ints, MEMORY_AND_DISK, dwarfed by the token stream it replaces.
+    sims = _simhash_bands(_docs(spark, sf_dir)).persist()
     # one posexplode pass over the 4 bands (see dedup_minhash_lsh)
     bands = sims.select(
         "doc_id",
@@ -358,9 +363,12 @@ def minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     sh = _shingle_hashes(docs)
+    # persist: sig feeds three branches (bands + both gather sides); each
+    # uncached recompute replays the full shingle explode — the dominant
+    # scan at scale. N × (K+1) ints, MEMORY_AND_DISK.
     sig = sh.groupBy("doc_id").agg(
         *[F.min(universal_hash(F.col("h"), j)).alias(f"mh_{j}") for j in range(MINHASH_K)]
-    )
+    ).persist()
     cand = capped_bucket_pairs(_minhash_bands(sig), ["band", "bval"], "doc_id")
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(MINHASH_K)])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(MINHASH_K)])
