@@ -57,6 +57,7 @@ HEADLINE = [
     "doc_repetition",
     "decontaminate",
     "seq_pack",
+    "corpus_to_sequences",
     "source_cap",
     "quality_quantile",
     "dedup_semantic",

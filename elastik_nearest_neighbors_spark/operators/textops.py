@@ -319,6 +319,44 @@ def idf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_to_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation-to-training handoff in ONE Catalyst plan:
+    corpus_clean's survivors (exact-dedup keep-first ∧ language ∧ quality)
+    flow straight into seq_pack's sharded concat-and-chunk packing — the
+    end-to-end "raw crawl → fixed-length training sequences" pipeline query.
+
+    Composition is the point: the packer reuses the n_tokens the clean pass
+    already computed (no re-tokenization, no extra scan), so the whole
+    pipeline is one documents scan + two keyed exchanges (content-hash
+    window for dedup, shard window for the running sum). At 100 TB those
+    are exactly the two shuffles you cannot avoid and nothing else.
+
+    Output: (doc_id, shard, n_tokens, seq_first, seq_offset)."""
+    from pyspark.sql.window import Window
+
+    from ..constants import PACK_LEN, PACK_SHARDS
+
+    survivors = corpus_clean(spark, sf_dir)
+    base = survivors.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int").alias("shard"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(cum / PACK_LEN).cast("int").alias("seq_first"),
+        F.pmod(cum, F.lit(PACK_LEN)).cast("int").alias("seq_offset"),
+    )
+
+
 def seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — the concat-and-chunk step that turns a curated
     corpus into fixed-length training sequences: documents are concatenated

@@ -452,6 +452,29 @@ FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_
 """
 
 
+def corpus_to_sequences(sf_dir: str) -> str:
+    from .constants import PACK_LEN, PACK_SHARDS
+
+    clean = corpus_clean(sf_dir)
+    return f"""
+WITH clean AS ({clean}),
+base AS (
+  SELECT doc_id, CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
+         CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM clean
+), cum AS (
+  SELECT doc_id, shard, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+  FROM base
+)
+SELECT doc_id, shard, n_tokens,
+  CAST(c // {PACK_LEN} AS INT) AS seq_first,
+  CAST(c % {PACK_LEN} AS INT) AS seq_offset
+FROM cum
+"""
+
+
 def seq_pack(sf_dir: str) -> str:
     from .constants import PACK_LEN, PACK_SHARDS
 

@@ -398,6 +398,20 @@ def test_seq_pack_offsets_consistent(spark):
     assert bad.count() == 0
 
 
+def test_corpus_to_sequences_single_scan(spark):
+    """The composed clean→pack pipeline must stay one documents scan with
+    exactly the two keyed exchanges (dedup window + shard window) plus the
+    widen repartition — a naive compose would rescan per stage."""
+    import re
+
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    df = textops.corpus_to_sequences(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    assert len(re.findall(r"documents\.parquet", plan)) == 1, plan
+    assert plan.count("hashpartitioning(") <= 4  # 2 keyed exchanges × 2 mentions
+
+
 def test_source_cap_single_exchange_and_bound(spark):
     from elastik_nearest_neighbors_spark.constants import SOURCE_CAP
     from elastik_nearest_neighbors_spark.operators import textops
