@@ -58,6 +58,8 @@ HEADLINE = [
     "decontaminate",
     "seq_pack",
     "corpus_to_sequences",
+    "stratified_sample",
+    "doc_logprob",
     "source_cap",
     "quality_quantile",
     "dedup_semantic",

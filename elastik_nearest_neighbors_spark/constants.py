@@ -138,6 +138,9 @@ PACK_SHARDS = 8  # independent packing shards — the cumsum parallelism unit
 SOURCE_CAP = 15  # max docs kept per source (contribution cap; sf0.01 has
 # 20 sources x ~25 docs, so the cap really prunes at gate scale)
 QUALITY_PCT = 0.5  # keep docs at/above this per-lang quality percent_rank
+STRATA_QUOTA = 50  # docs kept per language by stratified_sample (sf0.01 has
+# 64-218 docs per lang, so the quota binds for every stratum)
+LM_ROUND = 6  # per-token negative-log-prob rounding (then decimal-summed)
 
 # ---- semantic dedup (SemDeDup-style: cluster-scoped embedding near-dups) ----
 # within-list cosine threshold; the test embeddings have weak cluster

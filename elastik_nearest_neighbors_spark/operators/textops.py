@@ -459,6 +459,71 @@ def quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: a FIXED quota of docs per language, selected by
+    content-hash order — the "equal representation" mix step (contrast:
+    corpus_sample keeps a global %, source_cap prefers long docs). Hash
+    order makes the pick unbiased w.r.t. any corpus ordering and
+    reproducible on any cluster.
+
+    Scale shape: one exchange keyed on lang + a per-stratum sort bounded by
+    row_number's early-out. Languages are few and large → per-stratum
+    volume is the skew axis; the documented relaxation at 100 TB is a
+    two-level quota (hash-bucket pre-sample per stratum, then exact top-up)
+    — kept single-pass exact here for the oracle.
+
+    Output: (doc_id, lang, pick_rank)."""
+    from pyspark.sql.window import Window
+
+    from ..constants import STRATA_QUOTA
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).cast("int").alias("pick_rank"))
+        .where(F.col("pick_rank") <= STRATA_QUOTA)
+    )
+
+
+def doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the perplexity-style quality signal:
+    train token → -ln(count/total) over the corpus in one aggregate, then
+    score each doc by mean token NLL. High-NLL docs are gibberish/outliers;
+    low-NLL docs are boilerplate — both tails get cut in real pipelines.
+
+    Determinism contract: per-token NLL is rounded at LM_ROUND then summed
+    as decimal (order-free), so the result is bit-stable on any
+    partitioning and matches DuckDB exactly.
+
+    Scale shape: token explode → vocab aggregate (map-side partial); the
+    vocab table is tiny (words follow Zipf — even web-scale vocab is MBs)
+    and BROADCASTS into the scoring join, so the only real shuffle is the
+    per-doc aggregation keyed on doc_id.
+
+    Output: (doc_id, n_tokens, avg_nll)."""
+    from ..constants import DEC, LM_ROUND
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    total = tok.count()  # driver-side scalar (same rationale as idf_scores)
+    vocab = tok.groupBy("token").agg(
+        F.round(-F.log(F.count(F.lit(1)) / F.lit(float(total))), LM_ROUND).alias("nll")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            # exact decimal sum (order-free) → double division at the edge:
+            # identical arithmetic on both engines
+            F.round(
+                F.sum(F.col("nll").cast(DEC)).cast("double") / F.count(F.lit(1)),
+                LM_ROUND,
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the lang_id heuristic against the corpus's
     ground-truth `lang` column — the evaluation rollup a pipeline publishes

@@ -535,6 +535,39 @@ SELECT doc_id, lang, quality, pr FROM ranked WHERE pr >= {QUALITY_PCT}
 """
 
 
+def stratified_sample(sf_dir: str) -> str:
+    from .constants import STRATA_QUOTA
+
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+    CAST(row_number() OVER (PARTITION BY lang
+      ORDER BY md5(text), doc_id ASC) AS INT) AS pick_rank
+  FROM documents
+)
+SELECT doc_id, lang, pick_rank FROM ranked WHERE pick_rank <= {STRATA_QUOTA}
+"""
+
+
+def doc_logprob(sf_dir: str) -> str:
+    from .constants import DEC, LM_ROUND
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), total AS (SELECT COUNT(*) AS n FROM tok),
+vocab AS (
+  SELECT token,
+    round(-ln(COUNT(*) / CAST((SELECT n FROM total) AS DOUBLE)), {LM_ROUND}) AS nll
+  FROM tok GROUP BY token
+)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  round(CAST(SUM(CAST(v.nll AS {DEC})) AS DOUBLE) / COUNT(*), {LM_ROUND}) AS avg_nll
+FROM tok t JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
 def lang_confusion(sf_dir: str) -> str:
     scores = {lang: _score(words) for lang, words in LANG_MARKERS}
     greatest = "greatest(" + ", ".join(scores.values()) + ")"
