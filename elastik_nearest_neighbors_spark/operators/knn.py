@@ -457,33 +457,21 @@ def knn_exact_mips_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="dot")
 
 
-def ann_search_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH search through the PERSISTED index layout — the reference's
-    actual workflow (index once into ES, search many times), Spark-native:
-    the exploded index is written partitioned by (tbl, bucket=pmod(hash,n))
-    once per process (sources/index_store), and each query batch reads back
-    ONLY its own (tbl, bucket) directories via literal partition filters.
-    Results are identical to the in-memory ann_search_lsh — same oracle —
-    proving the pruned store path is lossless (mirror of ann_search_ivf_store
-    for the IVF family). At 100 TB a batch of Q queries touches ≤ Q·T of
-    the T·n_buckets directories instead of the whole index."""
-    import os
-
-    from ..sources.index_store import load_lsh_partitions, save_lsh_index
+def search_lsh_store(spark: SparkSession, sf_dir: str, store: str) -> DataFrame:
+    """Search through a persisted (tbl, bucket)-partitioned LSH store at
+    `store`: hash the query batch, read back ONLY its own (tbl, bucket)
+    directories via explicit partition paths, term-match-count, re-rank.
+    Shared by the batch-built store (ann_search_lsh_store) and the
+    streaming-appended store (streaming/ingest.streaming_index_store) —
+    one search path, two index producers."""
+    from ..sources.index_store import DEFAULT_HASH_BUCKETS, load_lsh_partitions
 
     emb = _emb(spark, sf_dir)
     model = _model_for(emb, sf_dir)
-    out = io.scratch_dir("lsh_store", sf_dir)
-    store = os.path.join(out, "data")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
-        save_lsh_index(lsh_index(spark, sf_dir), store)
-
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     q_exp = explode_hashes(build_index(queries, model), "vec_id", "query_id")
     # the query batch's (tbl, bucket) set: ≤ Q·T entries, KB-sized — the
     # same justified driver-side collect as the IVF probe list
-    from ..sources.index_store import DEFAULT_HASH_BUCKETS
-
     parts = [
         (r.tbl, r.bucket)
         for r in q_exp.select(
@@ -502,6 +490,27 @@ def ann_search_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_match"))
     )
     return rank_term_matches(counts, emb, queries)
+
+
+def ann_search_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH search through the PERSISTED index layout — the reference's
+    actual workflow (index once into ES, search many times), Spark-native:
+    the exploded index is written partitioned by (tbl, bucket=pmod(hash,n))
+    once per process (sources/index_store), and each query batch reads back
+    ONLY its own (tbl, bucket) directories via literal partition filters.
+    Results are identical to the in-memory ann_search_lsh — same oracle —
+    proving the pruned store path is lossless (mirror of ann_search_ivf_store
+    for the IVF family). At 100 TB a batch of Q queries touches ≤ Q·T of
+    the T·n_buckets directories instead of the whole index."""
+    import os
+
+    from ..sources.index_store import save_lsh_index
+
+    out = io.scratch_dir("lsh_store", sf_dir)
+    store = os.path.join(out, "data")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        save_lsh_index(lsh_index(spark, sf_dir), store)
+    return search_lsh_store(spark, sf_dir, store)
 
 
 def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -62,6 +62,60 @@ def streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out}/data")
 
 
+def streaming_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL online workflow, Spark-native: vectors stream
+    in, each micro-batch is hashed and APPENDED into the (tbl, bucket)-
+    partitioned store via foreachBatch, and searches read through the
+    store's partition pruning — index maintenance and serving on the same
+    layout. After the stream drains, the store holds exactly the batch
+    index content, so the batch ann_search_lsh oracle gates this whole
+    path end-to-end (stream → store → pruned search).
+
+    foreachBatch clusters each micro-batch on the partition keys before
+    the append (one file per touched directory per batch — the same
+    write shape save_lsh_index uses); the checkpoint makes re-invocations
+    no-ops instead of duplicate appends."""
+    from ..operators.knn import search_lsh_store
+    from ..operators.lsh import explode_hashes
+    from ..oracles_vector import lsh_model_for
+    from ..sources.index_store import DEFAULT_HASH_BUCKETS
+
+    configure(spark)
+    batch = io.table(spark, sf_dir, "embeddings")
+    model = lsh_model_for(sf_dir)
+    out = io.scratch_dir("lsh_stream_store", sf_dir)
+    store = f"{out}/data"
+    src = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    hashed = build_index(src, model).select("vec_id", "hashes")
+    exploded = explode_hashes(hashed, "vec_id", "vec_id").select(
+        "vec_id",
+        F.col("tbl").cast("int").alias("tbl"),
+        "hash",
+        F.pmod("hash", F.lit(DEFAULT_HASH_BUCKETS)).cast("int").alias("bucket"),
+    )
+
+    def _append(bdf: DataFrame, _bid: int) -> None:
+        (
+            bdf.repartition("tbl", "bucket")
+            .write.mode("append")
+            .partitionBy("tbl", "bucket")
+            .parquet(store)
+        )
+
+    q = (
+        exploded.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", f"{out}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return search_lsh_store(spark, sf_dir, store)
+
+
 def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked hourly tumbling-window counts over the events stream."""
     configure(spark)
