@@ -93,6 +93,67 @@ def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_WINDOWS = 4
+AUDIO_SCHEMA = "doc_id bigint, n_bytes int, window_idx int, rms double"
+
+
+def decode_audio(payload: bytes) -> "np.ndarray":
+    """Real decode path — requires an audio library not present here.
+
+    STUB: replace with soundfile/librosa decode in production."""
+    raise NotImplementedError(
+        "audio decoding requires soundfile/librosa; not available in this container"
+    )
+
+
+def audio_window_stats(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """binary audio payload → per-window RMS energy via mapInPandas — the
+    audio twin of featurize_binary (same batch shape, same stub contract).
+    The digest stand-in derives window w's RMS from md5(payload ∥ '#w'),
+    first 2 digest bytes / 65536 — exactly representable and reproducible
+    from SQL, so the registry entry is fully oracle-gated."""
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "window_idx": [], "rms": []}
+            for i, b in zip(pdf[id_col], pdf[payload_col]):
+                bb = bytes(b)
+                try:
+                    wave = decode_audio(bb)  # real path, stubbed here
+                    win = np.array_split(np.asarray(wave, dtype=np.float64), AUDIO_WINDOWS)
+                    vals = [float(np.sqrt(np.mean(w * w))) for w in win]
+                except NotImplementedError:
+                    vals = [
+                        int.from_bytes(
+                            hashlib.md5(bb + f"#{w}".encode()).digest()[:2], "big"
+                        )
+                        / 65536.0
+                        for w in range(AUDIO_WINDOWS)
+                    ]
+                for w, v in enumerate(vals):
+                    out["doc_id"].append(i)
+                    out["n_bytes"].append(len(bb))
+                    out["window_idx"].append(w)
+                    out["rms"].append(v)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, AUDIO_SCHEMA)
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: documents' text bytes stand in for audio payloads
+    (same convention as multimodal_featurize). Fully oracle-gated — the
+    digest windows are reproducible from md5 hex in SQL.
+
+    Output: (doc_id, n_bytes, window_idx, rms)."""
+    configure(spark)
+    docs = io.table(spark, sf_dir, "documents", widen=True)
+    payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return audio_window_stats(payload)
+
+
 N_FRAMES = 4
 FRAMESAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_digest string"
 

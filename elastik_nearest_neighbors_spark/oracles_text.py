@@ -432,6 +432,21 @@ FROM documents, LATERAL (SELECT unnest(range(0, {FEATURE_DIM})) AS i) r
 """
 
 
+def multimodal_audio_stats(sf_dir: str) -> str:
+    """Digest twin of operators/multimodal.audio_window_stats: window w's
+    RMS stand-in is md5(text || '#w') first 2 digest bytes (hex chars 1-4)
+    as a big-endian word / 65536."""
+    from .operators.multimodal import AUDIO_WINDOWS
+
+    return f"""
+SELECT doc_id,
+       CAST(strlen(text) AS INT) AS n_bytes,
+       CAST(w AS INT) AS window_idx,
+       (('0x' || substr(md5(text || '#' || w), 1, 4))::BIGINT) / 65536.0 AS rms
+FROM documents, LATERAL (SELECT unnest(range(0, {AUDIO_WINDOWS})) AS w) r
+"""
+
+
 def minhash_est_jaccard(sf_dir: str) -> str:
     n_bands = MINHASH_K // MINHASH_BAND_ROWS
     band_selects = []
