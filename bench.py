@@ -66,6 +66,7 @@ HEADLINE = [
     "q12_priority_lateness",
     "q21_waiting_supplier",
     "bucketed_join_revenue",
+    "events_daily_pivot",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",

@@ -113,6 +113,9 @@ Q12_LATE_DAYS = 60  # lineitem is "late" if shipped > this many days after order
 Q21_LATE_DAYS = 60  # same lateness cutoff for the waiting-supplier audit
 Q21_TOPK = 10  # suppliers reported by q21_waiting_supplier
 FUNNEL_WINDOW_MS = 30 * 60 * 1000  # click→purchase conversion window
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]  # pivot columns
+# (explicit list => Catalyst skips the distinct-discovery job AND the pivot
+# column set is schema-stable at any scale — never derive it from the data)
 
 # ---- PII scrubbing / sampling (training-pipeline prep) ----------------------
 # RE2-compatible patterns (DuckDB) that are also valid Java regex (Spark):

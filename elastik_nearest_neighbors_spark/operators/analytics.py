@@ -750,6 +750,26 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity matrix: one row per day, one count column per event
+    type — the wide monitoring table dashboards read. Spark `pivot` with an
+    EXPLICIT value list (constants.EVENT_TYPES): no distinct-discovery job,
+    stable output schema at any scale, and the pivot compiles to conditional
+    partial aggregates — one small keyed shuffle of (days × types) rows.
+
+    Output: (day, click, error, purchase, signup, view)."""
+    from ..constants import EVENT_TYPES
+
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
 def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by order priority through BUCKETED tables — the co-located
     fact⋈fact join strategy: orders and lineitem are written once bucketed

@@ -271,6 +271,21 @@ JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
 
+def events_daily_pivot() -> str:
+    from .constants import EVENT_TYPES
+
+    cells = ",\n  ".join(
+        f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+        for t in EVENT_TYPES
+    )
+    return f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+  {cells}
+FROM events
+GROUP BY 1
+"""
+
+
 def bucketed_join_revenue() -> str:
     return f"""
 SELECT o.o_orderpriority,
