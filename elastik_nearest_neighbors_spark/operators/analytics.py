@@ -770,6 +770,26 @@ def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based distinct users per event type — approx_count_distinct
+    (HyperLogLog++) is THE cardinality path at 100 TB: fixed-size sketch per
+    group, map-side mergeable, no distinct-shuffle of the key universe
+    (exact count_distinct re-shuffles every distinct (type, user) pair).
+
+    Honestly gated: the sketch estimate is engine-specific, so this entry
+    is rows-only in the driver gate; tests/test_operators.py asserts the
+    estimate lands within 5% of the exact count, and the exact twin is what
+    the SQL-gated events_topk_users family already covers.
+
+    Output: (event_type, n_events, approx_users)."""
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+
+
 def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by order priority through BUCKETED tables — the co-located
     fact⋈fact join strategy: orders and lineitem are written once bucketed

@@ -279,3 +279,29 @@ def test_binary_dir_roundtrip_and_featurize(spark, tmp_path):
     feats = featurize_binary(payload)
     assert feats.count() == 4
     assert feats.where(F.size("features") <= 0).count() == 0
+
+
+def test_events_approx_distinct_within_tolerance(spark):
+    """The HLL estimate must land within 5% of the exact distinct count
+    (its rows-only gate: the sketch value is engine-specific by design)."""
+    import pyspark.sql.functions as F
+
+    from elastik_nearest_neighbors_spark import io
+    from elastik_nearest_neighbors_spark.operators import analytics
+    from tests.conftest import SF_SMALL
+
+    approx = analytics.events_approx_distinct(spark, SF_SMALL)
+    exact = (
+        io.table(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    bad = (
+        approx.join(exact, "event_type")
+        .where(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            > 0.05
+        )
+    )
+    assert bad.count() == 0
