@@ -208,11 +208,10 @@ def ann_recall_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of IVF ANN vs exact kNN — the IVF twin of knn.ann_recall_q,
     so the two ANN paths are benchmarked on the same quality metric (shared
     _recall_of helper: both subtrees checkpoint and execute exactly once)."""
-    from .knn import _recall_of, knn_exact_euclidean_q
+    from .knn import _recall_of, exact_ground_truth
 
     ann = ann_search_ivf_q(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = knn_exact_euclidean_q(spark, sf_dir).select("query_id", "neighbor_id")
-    return _recall_of(ann, exact)
+    return _recall_of(ann, exact_ground_truth(spark, sf_dir))
 
 
 def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:

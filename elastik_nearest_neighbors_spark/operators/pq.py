@@ -191,11 +191,10 @@ def ann_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of PQ-ADC vs exact kNN — same quality metric as the LSH and
     IVF paths, so all three ANN families compare on one axis."""
-    from .knn import _recall_of, knn_exact_euclidean_q
+    from .knn import _recall_of, exact_ground_truth
 
     ann = ann_search_pq(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = knn_exact_euclidean_q(spark, sf_dir).select("query_id", "neighbor_id")
-    return _recall_of(ann, exact)
+    return _recall_of(ann, exact_ground_truth(spark, sf_dir))
 
 
 def sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,8 +315,7 @@ def ann_search_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of SQ8-domain search vs exact kNN on the raw vectors — the
     compression-quality metric, on the same axis as the LSH/IVF/PQ recalls."""
-    from .knn import _recall_of, knn_exact_euclidean_q
+    from .knn import _recall_of, exact_ground_truth
 
     ann = ann_search_sq8(spark, sf_dir).select("query_id", "neighbor_id")
-    exact = knn_exact_euclidean_q(spark, sf_dir).select("query_id", "neighbor_id")
-    return _recall_of(ann, exact)
+    return _recall_of(ann, exact_ground_truth(spark, sf_dir))
