@@ -8,7 +8,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from . import TABLES
 from .session import configure
@@ -43,10 +43,18 @@ def table(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> D
     df = spark.read.parquet(path)
     # TIMESTAMP(NANOS) columns arrive as long (see session.configure);
     # convert to micro-precision timestamps, matching DuckDB truncation.
-    for field, col in (("ts", "ts"), ("o_orderdate", "o_orderdate"), ("l_shipdate", "l_shipdate")):
-        if field in df.columns and isinstance(df.schema[field].dataType, LongType):
+    for field in ("ts", "o_orderdate", "l_shipdate"):
+        if field not in df.columns:
+            continue
+        dt = df.schema[field].dataType
+        if isinstance(dt, LongType):
             # integer `div`, not `/` — float division loses precision at 1e18 ns
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{field} div 1000")))
+            df = df.withColumn(field, F.timestamp_micros(F.expr(f"{field} div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # micros-encoded parquet reads as TIMESTAMP_NTZ; operators use
+            # TIMESTAMP functions (unix_millis, window, ...). Session tz is
+            # UTC (session.configure), so the cast is value-preserving.
+            df = df.withColumn(field, F.col(field).cast("timestamp"))
     if widen and _input_bytes(path) < _WIDEN_BYTES:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

@@ -21,10 +21,23 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import LongType
+
 from .. import io
 from ..constants import DEC
 from ..operators.lsh import LshModel, build_index
 from ..session import configure
+
+
+def _event_time(df: DataFrame) -> DataFrame:
+    """Normalize `ts` to a TIMESTAMP column. Mirrors io.table's gate:
+    TIMESTAMP(NANOS) parquet arrives as long (nanosAsLong) and needs the
+    div-1000 conversion; micros-encoded parquet reads as TIMESTAMP_NTZ and
+    is cast (value-preserving — session tz is UTC)."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,7 +139,7 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     # ts arrives as nanos-long (see session.configure) — same conversion as io.table
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _event_time(src)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
@@ -164,7 +177,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _event_time(src)
     agg = ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
@@ -204,7 +217,7 @@ def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _event_time(src)
     agg = (
         ev.withWatermark("ts", "30 minutes")
         .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
@@ -346,7 +359,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = _event_time(src)
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("win"))
