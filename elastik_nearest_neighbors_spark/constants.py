@@ -54,9 +54,14 @@ NGRAM_JACCARD_TAU = 0.8
 # ≈ 0.46 at 500 vectors / 0.28 at 2000 with ~100-500 candidates per query.
 LSH_TABLES = 16
 LSH_BITS = 6
-# recall-sweep axis: table-count prefixes of the fitted model (the
-# reference's published evaluation sweeps recall/latency over index params)
+# recall-sweep axes: table-count and bits-per-table prefixes of the fitted
+# model (the reference's published evaluation sweeps recall/latency over
+# BOTH index params, nb_tables and nb_bits_per_table)
 LSH_SWEEP_TABLES = [2, 4, 8, 16]
+LSH_SWEEP_BITS = [2, 4, 6]
+# filtered ANN: the metadata predicate composed with _aknn_search (the ES
+# host filters candidates by ordinary query clauses; label is our stand-in)
+ANN_FILTER_LABEL = 3
 ANN_K1 = 100  # candidates from hash-table term match
 ANN_K2 = 10  # final neighbors after exact re-rank
 # PQ (product quantization): M subspaces × ksub centroids — 64 float64 dims

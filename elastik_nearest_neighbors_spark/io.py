@@ -30,6 +30,31 @@ def _input_bytes(path: str) -> int:
     )
 
 
+def normalize_ts(df: DataFrame, field: str) -> DataFrame:
+    """Normalize a timestamp-ish column to micro-precision TIMESTAMP — the
+    single copy shared by batch (table) and streaming (ingest._event_time).
+
+    TIMESTAMP(NANOS) parquet arrives as long under nanosAsLong: integer
+    `div`, not `/` — float division loses precision at 1e18 ns; floor(ns/1000)
+    matches DuckDB's nanos→micros truncation exactly. Micros-encoded parquet
+    reads as TIMESTAMP_NTZ and is cast, which is value-preserving ONLY under
+    a UTC session timezone — configure() sets that but swallows conf-set
+    failures, so fail loudly here instead of silently shifting event times
+    (and every window/watermark boundary downstream)."""
+    dt = df.schema[field].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(field, F.timestamp_micros(F.expr(f"{field} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise RuntimeError(
+                f"spark.sql.session.timeZone={tz!r} but the NTZ→TIMESTAMP cast "
+                "is value-preserving only under UTC; refusing to shift event times"
+            )
+        return df.withColumn(field, F.col(field).cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> DataFrame:
     """Load a table. `widen=True` round-robin-repartitions SMALL inputs to
     the session's core count: parquet splits at row-group granularity, so a
@@ -41,20 +66,9 @@ def table(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> D
     configure(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    # TIMESTAMP(NANOS) columns arrive as long (see session.configure);
-    # convert to micro-precision timestamps, matching DuckDB truncation.
     for field in ("ts", "o_orderdate", "l_shipdate"):
-        if field not in df.columns:
-            continue
-        dt = df.schema[field].dataType
-        if isinstance(dt, LongType):
-            # integer `div`, not `/` — float division loses precision at 1e18 ns
-            df = df.withColumn(field, F.timestamp_micros(F.expr(f"{field} div 1000")))
-        elif isinstance(dt, TimestampNTZType):
-            # micros-encoded parquet reads as TIMESTAMP_NTZ; operators use
-            # TIMESTAMP functions (unix_millis, window, ...). Session tz is
-            # UTC (session.configure), so the cast is value-preserving.
-            df = df.withColumn(field, F.col(field).cast("timestamp"))
+        if field in df.columns:
+            df = normalize_ts(df, field)
     if widen and _input_bytes(path) < _WIDEN_BYTES:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

@@ -259,6 +259,30 @@ def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= ANN_K2).drop("rn")
 
 
+# IVF assignment (vec_id, list_id), materialized once per (SparkContext,
+# sf_dir): dedup_semantic and knn_graph each self-join it (two reads of the
+# same centroid-distance pass — measured 2.4 → 0.8 s at sf0.1 when shared).
+# r2 used a per-invocation .persist(), which pinned one N×2-int RDD per CALL
+# for the session's lifetime — a slow leak in a long-lived session issuing
+# many queries. Same fix as exact_ground_truth (knn.py): one localCheckpoint
+# per (context, sf_dir), reused by every later invocation.
+_ASSIGN_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def list_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, list_id) for every vector — already localCheckpoint-ed."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _ASSIGN_CACHE.get(key)
+    if df is None:
+        df = (
+            build_ivf_index(_emb(spark, sf_dir), model_for(sf_dir))
+            .select("vec_id", "list_id")
+            .localCheckpoint(eager=True)
+        )
+        _ASSIGN_CACHE[key] = df
+    return df
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: embedding near-duplicate pairs scoped
     to one coarse k-means list — the clustering bounds the quadratic pair
@@ -278,13 +302,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import dot, l2_norm
 
     emb = _emb(spark, sf_dir)
-    # persist: both self-join sides read the assignment; uncached, the full
-    # centroid-distance pass runs twice (measured 2.4 -> 0.8s at sf0.1).
-    # N x 2 ints, MEMORY_AND_DISK - the SemDeDup paper's own "materialize
-    # cluster assignments" step.
-    assigned = (
-        build_ivf_index(emb, model_for(sf_dir)).select("vec_id", "list_id").persist()
-    )
+    # the SemDeDup paper's own "materialize cluster assignments" step —
+    # shared, session-cached (see list_assignments)
+    assigned = list_assignments(spark, sf_dir)
     aa = assigned.select(F.col("vec_id").alias("vec_a"), "list_id")
     bb = assigned.select(F.col("vec_id").alias("vec_b"), "list_id")
     cand = aa.join(bb, "list_id").where(F.col("vec_a") < F.col("vec_b"))
@@ -327,10 +347,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..constants import KNN_GRAPH_K
 
     emb = _emb(spark, sf_dir)
-    # persist: same two-sided assignment reuse as dedup_semantic above
-    assigned = (
-        build_ivf_index(emb, model_for(sf_dir)).select("vec_id", "list_id").persist()
-    )
+    assigned = list_assignments(spark, sf_dir)
     aa = assigned.select(F.col("vec_id").alias("vec_a"), "list_id")
     bb = assigned.select(F.col("vec_id").alias("vec_b"), "list_id")
     cand = aa.join(bb, "list_id").where(F.col("vec_a") != F.col("vec_b"))

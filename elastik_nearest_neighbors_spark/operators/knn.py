@@ -218,6 +218,33 @@ def ann_search_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search_lsh(emb, queries, model)
 
 
+def ann_search_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #99: `_aknn_search` composed with a metadata predicate —
+    the ES host runs the hash term-match alongside ordinary query filters,
+    so a production user's first request is "top-k neighbors WHERE <attr>".
+
+    PRE-filter semantics (the correct composition): the label predicate is
+    applied to the index side BEFORE candidate generation, so hashing,
+    term-match and re-rank only touch qualifying vectors, and the top-k2 is
+    the top-k2 of the filtered universe — post-filtering an unfiltered
+    top-k2 would under-fill k whenever the predicate is selective.
+
+    Scale shape: the filter lands in the parquet scan (PushedFilters —
+    plan-contract tested; the index side is loaded un-widened precisely so
+    no repartition sits between scan and filter), then the same
+    broadcast-join candidate generation as ann_search_lsh. At 100 TB with a
+    label-partitioned store this becomes partition pruning for free."""
+    from ..constants import ANN_FILTER_LABEL
+
+    emb = _emb(spark, sf_dir)
+    model = _model_for(emb, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    filtered = io.table(spark, sf_dir, "embeddings").where(
+        F.col("label") == ANN_FILTER_LABEL
+    )
+    return ann_search_lsh(filtered, queries, model)
+
+
 def knn_exact_euclidean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="euclidean")
@@ -280,23 +307,25 @@ def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SURVEY §2 #46: the reference's published evaluation axis — recall@k2
-    as a function of the number of hash tables T, evaluated on table-count
-    PREFIXES of the one fitted model (no refit; each table's hyperplanes
-    are independent, so the first T tables ARE the T-table model).
+    """SURVEY §2 #46: the reference's published evaluation GRID — recall@k2
+    as a function of BOTH index params, nb_tables T and nb_bits_per_table B,
+    evaluated on prefixes of the one fitted model (no refit: each table's
+    hyperplanes are independent, and within a table the first-B-hyperplane
+    hash equals `hash % 2^B` because hashes are LSB-first bit-packed —
+    LshModel.subset_bits).
 
-    Per-query rows (n_tables, query_id, recall): no cross-row float
+    Per-query rows (n_tables, n_bits, query_id, recall): no cross-row float
     aggregation, so the output is bit-stable across engines.
 
-    One bucket join feeds EVERY sweep point: a table match for prefix T is a
-    match for every larger prefix, so the single aggregation emits all the
-    prefix match-counts at once (sum of tbl < T per pair). The sweep axis is
-    then EXPLODED into (n_tables, pair, n_match) rows so rank → re-rank →
-    recall run as ONE plan whose windows partition by (n_tables, query_id) —
-    one rank/join/recall pipeline for all 4 sweep points instead of 4
-    unioned branches re-walking the same shape (measured ~2×; the earlier
-    per-branch form was itself ~3× over per-point hash passes)."""
-    from ..constants import LSH_SWEEP_TABLES
+    ONE hash pass feeds the whole T×B grid: the B axis is derived per index
+    entry by pmod (explode ×|B|, a narrow projection — no rehash), the bucket
+    join runs once on (n_bits, tbl, phash), and the single aggregation emits
+    every T prefix's match count at once (sum of tbl < T per pair, a match
+    for prefix T being a match for every larger prefix). The sweep axes are
+    then EXPLODED so rank → re-rank → recall run as ONE plan whose windows
+    partition by (n_tables, n_bits, query_id) — one pipeline for all 12 grid
+    points instead of 12 unioned branches re-walking the same shape."""
+    from ..constants import LSH_SWEEP_BITS, LSH_SWEEP_TABLES
 
     emb = _emb(spark, sf_dir)
     model = _model_for(emb, sf_dir)
@@ -307,15 +336,37 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_index(emb, model).select("vec_id", "hashes"), "vec_id", "neighbor_id"
     )
     q_exp = explode_hashes(build_index(queries, model), "vec_id", "query_id")
-    counts_all = idx_exp.join(F.broadcast(q_exp), ["tbl", "hash"]).where(
-        F.col("neighbor_id") != F.col("query_id")
-    ).groupBy("query_id", "neighbor_id").agg(
+
+    def with_bit_prefixes(df: DataFrame, id_name: str) -> DataFrame:
+        """(id, tbl, hash) → (id, tbl, n_bits, phash) for every B prefix."""
+        return df.select(
+            id_name,
+            "tbl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).cast("int").alias("n_bits"),
+                            (F.col("hash") % F.lit(1 << b)).alias("phash"),
+                        )
+                        for b in LSH_SWEEP_BITS
+                    ]
+                )
+            ).alias("s"),
+        ).select(id_name, "tbl", "s.n_bits", "s.phash")
+
+    counts_all = with_bit_prefixes(idx_exp, "neighbor_id").join(
+        F.broadcast(with_bit_prefixes(q_exp, "query_id")), ["n_bits", "tbl", "phash"]
+    ).where(F.col("neighbor_id") != F.col("query_id")).groupBy(
+        "n_bits", "query_id", "neighbor_id"
+    ).agg(
         *[
             F.sum(F.when(F.col("tbl") < t, 1).otherwise(0)).alias(f"m_{t}")
             for t in LSH_SWEEP_TABLES
         ]
     )
     swept = counts_all.select(
+        "n_bits",
         "query_id",
         "neighbor_id",
         F.explode(
@@ -329,10 +380,10 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("s"),
-    ).select("query_id", "neighbor_id", "s.n_tables", "s.n_match").where(
+    ).select("s.n_tables", "n_bits", "query_id", "neighbor_id", "s.n_match").where(
         F.col("n_match") > 0
     )
-    w1 = Window.partitionBy("n_tables", "query_id").orderBy(
+    w1 = Window.partitionBy("n_tables", "n_bits", "query_id").orderBy(
         F.desc("n_match"), F.asc("neighbor_id")
     )
     k1_sel = swept.withColumn("rn", F.row_number().over(w1)).where(
@@ -345,30 +396,33 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(qvec), "query_id")
         .select(
             "n_tables",
+            "n_bits",
             "query_id",
             "neighbor_id",
             F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
         )
     )
-    w2 = Window.partitionBy("n_tables", "query_id").orderBy(
+    w2 = Window.partitionBy("n_tables", "n_bits", "query_id").orderBy(
         F.asc("distance"), F.asc("neighbor_id")
     )
     ann = (
         scored.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= ANN_K2)
-        .select("n_tables", "query_id", "neighbor_id")
+        .select("n_tables", "n_bits", "query_id", "neighbor_id")
     )
     hits = ann.join(F.broadcast(exact), ["query_id", "neighbor_id"]).groupBy(
-        "n_tables", "query_id"
+        "n_tables", "n_bits", "query_id"
     ).agg(F.count(F.lit(1)).alias("n_hit"))
     denom = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_exact"))
     grid = denom.crossJoin(
         spark.createDataFrame(
-            [(int(t),) for t in LSH_SWEEP_TABLES], "n_tables int"
+            [(int(t), int(b)) for t in LSH_SWEEP_TABLES for b in LSH_SWEEP_BITS],
+            "n_tables int, n_bits int",
         )
     )
-    return grid.join(hits, ["n_tables", "query_id"], "left").select(
+    return grid.join(hits, ["n_tables", "n_bits", "query_id"], "left").select(
         "n_tables",
+        "n_bits",
         "query_id",
         F.round(F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_exact"), 4).alias(
             "recall"

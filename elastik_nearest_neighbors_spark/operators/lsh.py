@@ -102,6 +102,17 @@ class LshModel:
         n = tables * self.bits
         return LshModel(self.normals[:n], self.offsets[:n], tables, self.bits)
 
+    def subset_bits(self, bits: int) -> "LshModel":
+        """First-`bits` hyperplanes of EACH table — the B axis of the recall
+        sweep. Because hashes are LSB-first bit-packed (bit i weighs 2^i),
+        this model's hash equals the full model's `hash % 2**bits`, which is
+        how the Spark sweep derives every B point from one hash pass."""
+        n3 = self.normals.reshape(self.tables, self.bits, -1)[:, :bits, :]
+        o2 = self.offsets.reshape(self.tables, self.bits)[:, :bits]
+        return LshModel(
+            n3.reshape(self.tables * bits, -1), o2.reshape(-1), self.tables, bits
+        )
+
     # -- persistence (reference stores the model as an ES doc) --------------
     def to_json(self) -> str:
         return json.dumps(

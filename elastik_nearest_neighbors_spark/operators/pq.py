@@ -210,7 +210,12 @@ def sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the output bit-stable on any partitioning; `floor(x + 0.5)` is the
     shared round-half-up both engines compute identically.
 
-    Output: (vec_id, dim, code ∈ [0,255], err = v − dequant(code), rounded)."""
+    Output: (vec_id, dim, code ∈ [0,255], err_micros = the reconstruction
+    error v − dequant(code) in integer micro-units). err_micros is
+    floor(err·1e6 + 0.5) — ONLY IEEE subtract/multiply/floor, no library
+    round — so Spark and DuckDB produce bit-identical BIGINTs (library
+    `round` differs on half-way/last-ulp cases and stringifies −0.0 vs 0.0
+    differently, which failed the r2 driver hash gate)."""
     from ..constants import SQ8_LEVELS
     from ..functions.vector import as_double
 
@@ -236,9 +241,12 @@ def sq8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "dim",
             "code",
-            F.round(
-                F.col("v") - (F.col("dmin") + F.col("code") * scale), DIST_ROUND
-            ).alias("err"),
+            F.floor(
+                (F.col("v") - (F.col("dmin") + F.col("code") * scale)) * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("err_micros"),
         )
     )
 

@@ -31,14 +31,14 @@ DEC = "DECIMAL(18,6)"
 def q1_pricing_summary() -> str:
     return f"""
 SELECT l_returnflag, l_linestatus,
-  CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS sum_disc_price,
-  CAST(SUM(CAST(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC})) AS {DEC})
-           * (CAST(1 AS {DEC}) + CAST(l_tax AS {DEC}))) AS DOUBLE) AS sum_charge,
+  CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC})) AS {DEC})
+           * (CAST(1 AS {DEC}) + CAST(l_tax AS {DEC}))) AS VARCHAR) AS DOUBLE) AS sum_charge,
   CAST(COUNT(*) AS BIGINT) AS count_order,
-  CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_qty,
-  CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_price
+  CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(CAST(SUM(CAST(l_extendedprice AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
 """
@@ -48,7 +48,7 @@ def q3_shipping_priority() -> str:
     return f"""
 SELECT l_orderkey AS orderkey,
        strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-       CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue
+       CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -64,7 +64,7 @@ LIMIT 10
 def q6_revenue_delta() -> str:
     return f"""
 SELECT
-  CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC})) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * CAST(l_discount AS {DEC})) AS VARCHAR) AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
@@ -79,7 +79,7 @@ def events_hourly() -> str:
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value,
+       CAST(CAST(SUM(CAST(value AS {DEC})) AS VARCHAR) AS DOUBLE) AS sum_value,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events
 GROUP BY 1, 2
@@ -102,7 +102,33 @@ WITH ev AS (
 SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(v) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM sess
+GROUP BY user_id, sess_id
+"""
+
+
+def streaming_sessionize() -> str:
+    """Batch-twin oracle for the streaming sessionizer: identical session
+    definition (>30-min gap per user), minus the running sess_id the
+    streaming output doesn't carry — (user_id, session_start) is still a
+    unique key because two sessions of one user are ≥30 min apart."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, ts, epoch_ms(ts) AS ms, CAST(value AS {DEC}) AS v FROM events
+), flagged AS (
+  SELECT user_id, ts, v,
+    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, ts)
+), sess AS (
+  SELECT user_id, ts, v,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, ts ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM (SELECT *, epoch_ms(ts) AS ms FROM flagged)
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(v) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM sess
 GROUP BY user_id, sess_id
 """
@@ -123,7 +149,7 @@ GROUP BY o_orderpriority
 def q5_local_supplier_volume() -> str:
     return f"""
 SELECT n.n_name,
-  CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS VARCHAR) AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -142,11 +168,11 @@ GROUP BY n.n_name
 def q14_promo_revenue() -> str:
     return f"""
 SELECT
-  round(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+  round(100.0 * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
         THEN CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))
-        ELSE CAST(0 AS {DEC}) END) AS DOUBLE)
-      / CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE), 6) AS promo_pct,
-  CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+        ELSE CAST(0 AS {DEC}) END) AS VARCHAR) AS DOUBLE)
+      / CAST(CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS VARCHAR) AS DOUBLE), 6) AS promo_pct,
+  CAST(CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS VARCHAR) AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01 00:00:00'
@@ -160,10 +186,10 @@ def events_topk_users() -> str:
     return f"""
 SELECT event_type, user_id, total_value, n_events FROM (
   SELECT event_type, user_id,
-    CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS total_value,
+    CAST(CAST(SUM(CAST(value AS {DEC})) AS VARCHAR) AS DOUBLE) AS total_value,
     CAST(COUNT(*) AS BIGINT) AS n_events,
     row_number() OVER (PARTITION BY event_type
-                       ORDER BY CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) DESC, user_id) AS rn
+                       ORDER BY CAST(CAST(SUM(CAST(value AS {DEC})) AS VARCHAR) AS DOUBLE) DESC, user_id) AS rn
   FROM events GROUP BY 1, 2)
 WHERE rn <= {TOPK_USERS}
 """
@@ -206,7 +232,7 @@ WITH q AS (
 )
 SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens,
-       round(CAST(SUM(CAST(q.quality AS {DEC})) AS DOUBLE) / COUNT(*), 6) AS mean_quality
+       round(CAST(CAST(SUM(CAST(q.quality AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_quality
 FROM documents d JOIN q ON q.doc_id = d.doc_id
 GROUP BY d.source
 """
@@ -218,7 +244,7 @@ def q7_volume_shipping() -> str:
     return f"""
 SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
   CAST(year(l.l_shipdate) AS INT) AS ship_year,
-  CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS VARCHAR) AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -239,7 +265,7 @@ def q10_returned_revenue() -> str:
     return f"""
 SELECT c.c_custkey AS custkey, c.c_name,
   round(c.c_acctbal, 2) AS acctbal,
-  CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue
+  CAST(CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS VARCHAR) AS DOUBLE) AS revenue
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -257,9 +283,9 @@ def q18_large_orders() -> str:
 
     return f"""
 WITH big AS (
-  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS total_qty
+  SELECT l_orderkey, CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS VARCHAR) AS DOUBLE) AS total_qty
   FROM lineitem GROUP BY 1
-  HAVING CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) > {Q18_QTY}
+  HAVING CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS VARCHAR) AS DOUBLE) > {Q18_QTY}
 )
 SELECT o.o_orderkey AS orderkey, c.c_name,
   strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
@@ -289,7 +315,7 @@ GROUP BY 1
 def bucketed_join_revenue() -> str:
     return f"""
 SELECT o.o_orderpriority,
-  CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS VARCHAR) AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
@@ -356,7 +382,7 @@ def q15_top_supplier() -> str:
     return f"""
 WITH per_supp AS (
   SELECT l_suppkey,
-    CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS total_revenue
+    CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS VARCHAR) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO} 00:00:00'
     AND l_shipdate < TIMESTAMP '{Q15_DATE_HI} 00:00:00'
@@ -378,7 +404,7 @@ def q19_disjunctive_revenue() -> str:
     )
     return f"""
 SELECT
-  CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+  CAST(CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l.l_discount AS {DEC}))) AS VARCHAR) AS DOUBLE) AS revenue,
   CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
@@ -390,8 +416,8 @@ def sales_rollup() -> str:
     return f"""
 SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
        COALESCE(l_linestatus, 'ALL') AS linestatus,
-       CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS DOUBLE) AS revenue,
+       CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS VARCHAR) AS DOUBLE) AS sum_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS {DEC}) * (CAST(1 AS {DEC}) - CAST(l_discount AS {DEC}))) AS VARCHAR) AS DOUBLE) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -457,7 +483,7 @@ def events_sliding_window() -> str:
 SELECT strftime(time_bucket(INTERVAL '15 minutes', ts) - (offs.j * INTERVAL '15 minutes'),
                 '%Y-%m-%d %H:%M:%S') AS window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS sum_value
+       CAST(CAST(SUM(CAST(value AS {DEC})) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS offs(j)
 GROUP BY 1
 """
@@ -472,7 +498,7 @@ SELECT event_type,
        CAST(COUNT(k) AS BIGINT) AS n_events,
        CAST(MIN(k) AS INT) AS min_k,
        CAST(MAX(k) AS INT) AS max_k,
-       round(CAST(SUM(CAST(k AS {DEC})) AS DOUBLE) / COUNT(k), 6) AS avg_k
+       round(CAST(CAST(SUM(CAST(k AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT(k), 6) AS avg_k
 FROM ev GROUP BY 1
 """
 
@@ -484,8 +510,8 @@ def events_anomaly() -> str:
 WITH mom AS (
   SELECT event_type,
          COUNT(*) AS n,
-         CAST(SUM(CAST(value AS {DEC})) AS DOUBLE) AS s1,
-         CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s2
+         CAST(CAST(SUM(CAST(value AS {DEC})) AS VARCHAR) AS DOUBLE) AS s1,
+         CAST(CAST(SUM(CAST(round(value * value, 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS s2
   FROM events GROUP BY 1
 ), stats AS (
   SELECT event_type, s1 / n AS mean, sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std FROM mom
@@ -500,9 +526,9 @@ WHERE ABS((e.value - s.mean) / s.std) > {ZSCORE_TAU}
 def events_user_ltv() -> str:
     return f"""
 SELECT event_id, user_id,
-       CAST(SUM(CAST(value AS {DEC})) OVER (
+       CAST(CAST(SUM(CAST(value AS {DEC})) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_value
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS cum_value
 FROM events
 """
 
@@ -531,8 +557,8 @@ WITH rcust AS (
   GROUP BY 1
 )
 SELECT CAST(order_year AS INT) AS order_year,
-       round(CAST(tgt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mkt_share,
-       CAST(tot AS DOUBLE) AS region_revenue
+       round(CAST(CAST(tgt AS VARCHAR) AS DOUBLE) / CAST(CAST(tot AS VARCHAR) AS DOUBLE), 6) AS mkt_share,
+       CAST(CAST(tot AS VARCHAR) AS DOUBLE) AS region_revenue
 FROM peryear
 """
 
@@ -542,7 +568,7 @@ def q9_product_profit() -> str:
 
     return f"""
 SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS order_year,
-       CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (1 - CAST(l.l_discount AS {DEC}))) AS DOUBLE) AS profit
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS {DEC}) * (1 - CAST(l.l_discount AS {DEC}))) AS VARCHAR) AS DOUBLE) AS profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%{Q9_PART_WORD}%'
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -575,10 +601,10 @@ WITH li AS (
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = '{Q17_BRAND}'
 ), avg_q AS (
   SELECT l_partkey,
-         CAST(SUM(CAST(l_quantity AS {DEC})) AS DOUBLE) / COUNT(*) AS aq
+         CAST(CAST(SUM(CAST(l_quantity AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*) AS aq
   FROM li GROUP BY 1
 )
-SELECT round(CAST(SUM(CAST(li.l_extendedprice AS {DEC})) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+SELECT round(CAST(CAST(SUM(CAST(li.l_extendedprice AS {DEC})) AS VARCHAR) AS DOUBLE) / 7.0, 6) AS avg_yearly,
        CAST(COUNT(*) AS BIGINT) AS n_items
 FROM li JOIN avg_q ON avg_q.l_partkey = li.l_partkey
 WHERE li.l_quantity < {Q17_QTY_FRAC} * avg_q.aq
@@ -590,12 +616,12 @@ def q22_dormant_customers() -> str:
 
     return f"""
 WITH avg_bal AS (
-  SELECT CAST(SUM(CAST(c_acctbal AS {DEC})) AS DOUBLE) / COUNT(*) AS avg_bal
+  SELECT CAST(CAST(SUM(CAST(c_acctbal AS {DEC})) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_bal
   FROM customer WHERE c_acctbal > 0
 )
 SELECT n.n_name AS nation,
        CAST(COUNT(*) AS BIGINT) AS n_cust,
-       CAST(SUM(CAST(c.c_acctbal AS {DEC})) AS DOUBLE) AS total_acctbal
+       CAST(CAST(SUM(CAST(c.c_acctbal AS {DEC})) AS VARCHAR) AS DOUBLE) AS total_acctbal
 FROM customer c, avg_bal
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 WHERE c.c_acctbal > avg_bal.avg_bal

@@ -60,6 +60,17 @@ FROM documents GROUP BY 1
 """
 
 
+def streaming_dedup_state(sf_dir: str) -> str:
+    """Batch-twin oracle for the streaming emit-once dedup: after the stream
+    drains, the emitted set is one (content_md5, canonical = min doc_id) row
+    per distinct content hash — dedup_exact minus the copy count the
+    streaming output doesn't carry."""
+    return """
+SELECT md5(text) AS content_md5, MIN(doc_id) AS canonical_id
+FROM documents GROUP BY 1
+"""
+
+
 SHINGLES_CTE = """
 shingles AS (
   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s

@@ -65,9 +65,10 @@ def _hash_sql(model, t: int, vec: str = "embedding") -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def _hashes_cte(model) -> str:
+def _hashes_cte(model, where: str | None = None) -> str:
+    w = f" WHERE {where}" if where else ""
     parts = [
-        f"SELECT vec_id, CAST({t} AS INT) AS tbl, {_hash_sql(model, t)} AS hash FROM embeddings"
+        f"SELECT vec_id, CAST({t} AS INT) AS tbl, {_hash_sql(model, t)} AS hash FROM embeddings{w}"
         for t in range(model.tables)
     ]
     return "\nUNION ALL\n".join(parts)
@@ -109,6 +110,43 @@ hashes AS (
 def ann_search_lsh(sf_dir: str) -> str:
     model = lsh_model_for(sf_dir)
     return f"WITH {_ann_core(model, ANN_K1, ANN_K2, N_QUERIES)}\nSELECT * FROM ann"
+
+
+def ann_search_lsh_filtered(sf_dir: str) -> str:
+    """Pre-filter composition (operators/knn.ann_search_lsh_filtered): the
+    index side of the term-match is restricted to label = ANN_FILTER_LABEL
+    before candidate generation; queries stay the canonical batch."""
+    from .constants import ANN_FILTER_LABEL
+
+    model = lsh_model_for(sf_dir)
+    return f"""
+WITH ih AS (
+{_hashes_cte(model, f"label = {ANN_FILTER_LABEL}")}
+), qh AS (
+{_hashes_cte(model, f"vec_id < {N_QUERIES}")}
+), cand AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id, CAST(COUNT(*) AS BIGINT) AS n_match
+  FROM ih i JOIN qh q ON i.tbl = q.tbl AND i.hash = q.hash
+  WHERE i.vec_id <> q.vec_id
+  GROUP BY 1, 2
+), k1_sel AS (
+  SELECT query_id, neighbor_id, n_match,
+         row_number() OVER (PARTITION BY query_id ORDER BY n_match DESC, neighbor_id) AS rn
+  FROM cand
+), ann AS (
+  SELECT query_id, neighbor_id, n_match, distance
+  FROM (SELECT k.query_id, k.neighbor_id, k.n_match,
+               round(list_distance(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS distance,
+               row_number() OVER (PARTITION BY k.query_id
+                                  ORDER BY round(list_distance(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6), k.neighbor_id) AS rn2
+        FROM k1_sel k
+        JOIN embeddings qe ON qe.vec_id = k.query_id
+        JOIN embeddings ne ON ne.vec_id = k.neighbor_id
+        WHERE k.rn <= {ANN_K1})
+  WHERE rn2 <= {ANN_K2}
+)
+SELECT * FROM ann
+"""
 
 
 def _knn_sql(metric: str, k: int, nq: int) -> str:
@@ -163,17 +201,20 @@ FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
 
 
 def ann_recall_sweep(sf_dir: str) -> str:
-    """Recall per (n_tables, query) over table-count prefixes of the fitted
-    model — each sweep point is the full ann_recall SQL with the sliced
-    model's hyperplane literals inlined (LshModel.subset mirror)."""
-    from .constants import LSH_SWEEP_TABLES
+    """Recall per (n_tables, n_bits, query) over prefixes of the fitted
+    model on BOTH parameter axes — each grid point is the full ann_recall
+    SQL with the sliced model's hyperplane literals inlined
+    (LshModel.subset(t).subset_bits(b) mirror; the Spark side derives the
+    same B prefixes arithmetically via hash % 2^b)."""
+    from .constants import LSH_SWEEP_BITS, LSH_SWEEP_TABLES
 
     model = lsh_model_for(sf_dir)
     exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
     parts = []
     for t in LSH_SWEEP_TABLES:
-        sub = model.subset(t)
-        inner = f"""
+        for b in LSH_SWEEP_BITS:
+            sub = model.subset(t).subset_bits(b)
+            inner = f"""
 WITH {_ann_core(sub, ANN_K1, ANN_K2, N_QUERIES)},
 exact AS ({exact}),
 hits AS (
@@ -186,9 +227,10 @@ hits AS (
 SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
 FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
 """
-        parts.append(
-            f"SELECT CAST({t} AS INT) AS n_tables, q.query_id, q.recall FROM ({inner}) q"
-        )
+            parts.append(
+                f"SELECT CAST({t} AS INT) AS n_tables, CAST({b} AS INT) AS n_bits,"
+                f" q.query_id, q.recall FROM ({inner}) q"
+            )
     return "\nUNION ALL\n".join(parts)
 
 
@@ -526,9 +568,9 @@ rng AS (
 SELECT vec_id, e.dim,
        CAST(LEAST({SQ8_LEVELS}, GREATEST(0,
             CAST(FLOOR((e.v - r.dmin) / ((r.dmax - r.dmin) / {SQ8_LEVELS}.0) + 0.5) AS INT))) AS INT) AS code,
-       round(e.v - (r.dmin + LEAST({SQ8_LEVELS}, GREATEST(0,
+       CAST(FLOOR((e.v - (r.dmin + LEAST({SQ8_LEVELS}, GREATEST(0,
             CAST(FLOOR((e.v - r.dmin) / ((r.dmax - r.dmin) / {SQ8_LEVELS}.0) + 0.5) AS INT)))
-            * ((r.dmax - r.dmin) / {SQ8_LEVELS}.0)), 6) AS err
+            * ((r.dmax - r.dmin) / {SQ8_LEVELS}.0))) * 1000000.0 + 0.5) AS BIGINT) AS err_micros
 FROM exploded e JOIN rng r ON r.dim = e.dim
 """
 

@@ -19,8 +19,72 @@ from .streaming import ingest
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# ORDER MATTERS: the driver's correctness gate truncates at ~50 entries, in
+# registry order (r2 lesson: 48 operators shipped ungated because new keys
+# were appended at the back). Layout: (1) entries whose last driver verdict
+# was FAIL, (2) new-this-round operators, (3) never-driver-gated entries,
+# (4) r1-green-but-never-regated entries, then (5) the r2-proven greens —
+# those have their green row on record and rotate out of the window.
 _QUERIES: dict[str, QueryFn] = {
-    # core vector engine (reference parity)
+    # -- last driver verdict FAIL (fixed; must re-gate) --
+    "sq8_quantize": pq.sq8_quantize,
+    "streaming_index": ingest.streaming_index,
+    "multimodal_featurize": multimodal.multimodal_featurize,
+    # -- new in r3 --
+    "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
+    "ann_recall_sweep": knn.ann_recall_sweep,
+    # -- never driver-gated (r2 additions past the gate cut) --
+    "streaming_index_store": ingest.streaming_index_store,
+    "streaming_sliding_window": ingest.streaming_sliding_window,
+    "multimodal_audio_stats": multimodal.multimodal_audio_stats,
+    "stratified_sample": textops.stratified_sample,
+    "doc_logprob": textops.doc_logprob,
+    "q7_volume_shipping": analytics.q7_volume_shipping,
+    "q10_returned_revenue": analytics.q10_returned_revenue,
+    "q18_large_orders": analytics.q18_large_orders,
+    "q13_customer_distribution": analytics.q13_customer_distribution,
+    "q15_top_supplier": analytics.q15_top_supplier,
+    "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
+    "sales_rollup": analytics.sales_rollup,
+    "q8_market_share": analytics.q8_market_share,
+    "q9_product_profit": analytics.q9_product_profit,
+    "q16_supplier_count": analytics.q16_supplier_count,
+    "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
+    "q22_dormant_customers": analytics.q22_dormant_customers,
+    "q12_priority_lateness": analytics.q12_priority_lateness,
+    "q21_waiting_supplier": analytics.q21_waiting_supplier,
+    "bucketed_join_revenue": analytics.bucketed_join_revenue,
+    "events_daily_pivot": analytics.events_daily_pivot,
+    "events_funnel": analytics.events_funnel,
+    "events_retention": analytics.events_retention,
+    "events_percentiles": analytics.events_percentiles,
+    "events_sliding_window": analytics.events_sliding_window,
+    "events_props_extract": analytics.events_props_extract,
+    "events_anomaly": analytics.events_anomaly,
+    "events_user_ltv": analytics.events_user_ltv,
+    # never gated, weaker rows-only check (or batch-twin oracle, r3)
+    "streaming_sessionize": ingest.streaming_sessionize,
+    "streaming_dedup_state": ingest.streaming_dedup_state,
+    # rows-only: HLL estimates are engine-specific (tolerance-tested instead)
+    "events_approx_distinct": analytics.events_approx_distinct,
+    "streaming_events_hourly": ingest.streaming_events_hourly,
+    "streaming_sessionize_append": ingest.streaming_sessionize_append,
+    "multimodal_framesample": multimodal.multimodal_framesample,
+    # -- r1 green, never re-gated --
+    "streaming_ann_search": ingest.streaming_ann_search,
+    "source_stats": analytics.source_stats,
+    "events_asof_join": analytics.events_asof_join,
+    "events_topk_users": analytics.events_topk_users,
+    "events_hourly": analytics.events_hourly,
+    "events_sessionize": analytics.events_sessionize,
+    "q1_pricing_summary": analytics.q1_pricing_summary,
+    "q3_shipping_priority": analytics.q3_shipping_priority,
+    "q4_order_priority": analytics.q4_order_priority,
+    "q14_promo_revenue": analytics.q14_promo_revenue,
+    "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
+    "q6_revenue_delta": analytics.q6_revenue_delta,
+    # ---- ~gate window boundary (driver truncates around here) ----
+    # -- r2-proven greens (CORRECTNESS_r02 rows on record) --
     "lsh_index": knn.lsh_index,
     "ann_search_lsh": knn.ann_search_lsh_q,
     "ann_search_lsh_store": knn.ann_search_lsh_store,
@@ -29,7 +93,6 @@ _QUERIES: dict[str, QueryFn] = {
     "knn_exact_mips": knn.knn_exact_mips_q,
     "label_centroids": knn.label_centroids_q,
     "ann_recall": knn.ann_recall_q,
-    "ann_recall_sweep": knn.ann_recall_sweep,
     "similarity_join_lsh": knn.similarity_join_lsh_q,
     "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
     "vector_stats": knn.vector_stats_q,
@@ -43,10 +106,8 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_semantic": ivf.dedup_semantic,
     "range_search": knn.range_search_q,
     "knn_graph": ivf.knn_graph,
-    "sq8_quantize": pq.sq8_quantize,
     "ann_search_sq8": pq.ann_search_sq8,
     "ann_recall_sq8": pq.ann_recall_sq8,
-    # LLM-pipeline dedup + text analysis
     "dedup_exact": dedup.dedup_exact,
     "minhash_signatures": dedup.minhash_signatures,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
@@ -72,63 +133,13 @@ _QUERIES: dict[str, QueryFn] = {
     "corpus_to_sequences": textops.corpus_to_sequences,
     "source_cap": textops.source_cap,
     "quality_quantile": textops.quality_quantile,
-    "stratified_sample": textops.stratified_sample,
-    "doc_logprob": textops.doc_logprob,
-    # generic analytics
-    "q1_pricing_summary": analytics.q1_pricing_summary,
-    "q3_shipping_priority": analytics.q3_shipping_priority,
-    "q4_order_priority": analytics.q4_order_priority,
-    "q14_promo_revenue": analytics.q14_promo_revenue,
-    "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
-    "q6_revenue_delta": analytics.q6_revenue_delta,
-    "q7_volume_shipping": analytics.q7_volume_shipping,
-    "q10_returned_revenue": analytics.q10_returned_revenue,
-    "q18_large_orders": analytics.q18_large_orders,
-    "q13_customer_distribution": analytics.q13_customer_distribution,
-    "q15_top_supplier": analytics.q15_top_supplier,
-    "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
-    "sales_rollup": analytics.sales_rollup,
-    "q8_market_share": analytics.q8_market_share,
-    "q9_product_profit": analytics.q9_product_profit,
-    "q16_supplier_count": analytics.q16_supplier_count,
-    "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
-    "q22_dormant_customers": analytics.q22_dormant_customers,
-    "q12_priority_lateness": analytics.q12_priority_lateness,
-    "q21_waiting_supplier": analytics.q21_waiting_supplier,
-    "bucketed_join_revenue": analytics.bucketed_join_revenue,
-    "events_daily_pivot": analytics.events_daily_pivot,
-    # rows-only: HLL estimates are engine-specific (tolerance-tested instead)
-    "events_approx_distinct": analytics.events_approx_distinct,
-    "events_funnel": analytics.events_funnel,
-    "events_hourly": analytics.events_hourly,
-    "events_sessionize": analytics.events_sessionize,
-    "events_topk_users": analytics.events_topk_users,
-    "events_asof_join": analytics.events_asof_join,
-    "events_retention": analytics.events_retention,
-    "events_percentiles": analytics.events_percentiles,
-    "events_sliding_window": analytics.events_sliding_window,
-    "events_props_extract": analytics.events_props_extract,
-    "events_anomaly": analytics.events_anomaly,
-    "events_user_ltv": analytics.events_user_ltv,
-    "source_stats": analytics.source_stats,
-    # streaming + multimodal (rows-only: no oracle SQL by design)
-    "streaming_index": ingest.streaming_index,
-    "streaming_events_hourly": ingest.streaming_events_hourly,
-    "streaming_sliding_window": ingest.streaming_sliding_window,
-    "streaming_sessionize": ingest.streaming_sessionize,
-    "streaming_sessionize_append": ingest.streaming_sessionize_append,
-    "streaming_dedup_state": ingest.streaming_dedup_state,
-    "streaming_ann_search": ingest.streaming_ann_search,
-    "streaming_index_store": ingest.streaming_index_store,
-    "multimodal_featurize": multimodal.multimodal_featurize,
-    "multimodal_audio_stats": multimodal.multimodal_audio_stats,
-    "multimodal_framesample": multimodal.multimodal_framesample,
 }
 
 # oracle builders: sf_dir -> SQL
 _ORACLES: dict[str, Callable[[str], str]] = {
     "lsh_index": oracles_vector.lsh_index,
     "ann_search_lsh": oracles_vector.ann_search_lsh,
+    "ann_search_lsh_filtered": oracles_vector.ann_search_lsh_filtered,
     # store-backed search is result-identical to the in-memory path
     "ann_search_lsh_store": oracles_vector.ann_search_lsh,
     "knn_exact_euclidean": oracles_vector.knn_exact_euclidean,
@@ -154,6 +165,10 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_search_sq8": oracles_vector.ann_search_sq8,
     "ann_recall_sq8": oracles_vector.ann_recall_sq8,
     "streaming_ann_search": oracles_vector.ann_search_lsh,
+    # batch-twin oracles: after the stream drains, the emitted sets equal
+    # the batch sessionizer / exact-dedup results (schemas matched)
+    "streaming_sessionize": lambda sf: oracles.streaming_sessionize(),
+    "streaming_dedup_state": oracles_text.streaming_dedup_state,
     # stream → partitioned store → pruned search is result-identical to the
     # in-memory batch search, so the same oracle gates the whole path
     "streaming_index_store": oracles_vector.ann_search_lsh,

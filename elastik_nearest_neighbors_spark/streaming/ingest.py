@@ -9,9 +9,12 @@ pass is stateless/narrow, so streaming and batch share the exact operator.
 watermarked tumbling-window aggregation (late data handled by the 1h
 watermark at scale; availableNow here drains the backlog and stops).
 
-These entries are rows-only in the correctness gate (no oracle SQL): the
-semantics are covered by their batch twins; what's verified here is the
-streaming plumbing itself.
+Gate wiring: wherever the drained stream's output provably equals a batch
+query's rows (streaming_index, streaming_sliding_window, streaming_ann_search,
+streaming_index_store, streaming_sessionize, streaming_dedup_state), the
+batch DuckDB oracle gates the streaming path too. Only the entries whose
+output is inherently streaming-shaped (append-mode watermark prefixes) stay
+rows-only.
 """
 
 from __future__ import annotations
@@ -21,23 +24,16 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark.sql.types import LongType
-
 from .. import io
 from ..constants import DEC
-from ..operators.lsh import LshModel, build_index
+from ..operators.lsh import build_index
 from ..session import configure
 
 
 def _event_time(df: DataFrame) -> DataFrame:
-    """Normalize `ts` to a TIMESTAMP column. Mirrors io.table's gate:
-    TIMESTAMP(NANOS) parquet arrives as long (nanosAsLong) and needs the
-    div-1000 conversion; micros-encoded parquet reads as TIMESTAMP_NTZ and
-    is cast (value-preserving — session tz is UTC)."""
-    dt = df.schema["ts"].dataType
-    if isinstance(dt, LongType):
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    """Normalize `ts` to TIMESTAMP — delegates to io.normalize_ts, the one
+    shared copy of the nanos-long / NTZ handling (incl. its UTC guard)."""
+    return io.normalize_ts(df, "ts")
 
 
 def streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import math
 import os
+import struct
 
 import duckdb
 import pandas as pd
@@ -41,8 +42,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-def compare(spark_df, oracle_df: pd.DataFrame, rel_tol: float = 1e-9) -> list[str]:
-    """Return a list of mismatch descriptions (empty == pass)."""
+def compare(
+    spark_df, oracle_df: pd.DataFrame, rel_tol: float | None = None
+) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass).
+
+    Floats compare BIT-EXACT by default (so −0.0 ≠ 0.0 and last-ulp rounding
+    differences fail, exactly like the driver's stringified value-hash gate —
+    the r2 lesson: a 1e-9 tolerance here let sq8_quantize ship local-green and
+    fail the driver). Pass rel_tol ONLY where the oracle documents why the
+    output is inherently inexact."""
     errs: list[str] = []
     sp = spark_df.toPandas()
     if sorted(sp.columns) != sorted(oracle_df.columns):
@@ -56,7 +65,12 @@ def compare(spark_df, oracle_df: pd.DataFrame, rel_tol: float = 1e-9) -> list[st
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             for i, (x, y) in enumerate(zip(av.astype(float), bv.astype(float))):
-                ok = (math.isnan(x) and math.isnan(y)) or x == y or math.isclose(x, y, rel_tol=rel_tol, abs_tol=1e-9)
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                if rel_tol is None:
+                    ok = struct.pack("<d", x) == struct.pack("<d", y)
+                else:
+                    ok = x == y or math.isclose(x, y, rel_tol=rel_tol, abs_tol=1e-9)
                 if not ok:
                     errs.append(f"col {c} row {i}: spark={x!r} oracle={y!r}")
                     break

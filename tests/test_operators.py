@@ -116,6 +116,41 @@ def test_ivf_recall_vs_exact(spark):
     assert hits.sum() / len(exact) >= 0.2
 
 
+def test_streaming_state_store_is_rocksdb(spark):
+    """session.configure() must put streaming state in RocksDB (bounded
+    executor memory at 100 TB state sizes), not the default HDFS-backed
+    heap store — asserted on the query's own progress metrics, which only
+    carry rocksdb* custom metrics when the provider is actually active."""
+    from elastik_nearest_neighbors_spark.session import configure
+    from elastik_nearest_neighbors_spark.streaming.ingest import _event_time
+
+    configure(spark)
+    assert "RocksDBStateStoreProvider" in spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    )
+    schema = spark.read.parquet(f"{SF_SMALL}/events.parquet").schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_SMALL)
+    )
+    agg = (
+        _event_time(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .count()
+    )
+    q = (
+        agg.writeStream.format("noop")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    metrics = q.lastProgress["stateOperators"][0]["customMetrics"]
+    assert any("rocksdb" in k.lower() for k in metrics), metrics
+
+
 def test_streaming_sessionize_matches_batch(spark):
     from elastik_nearest_neighbors_spark.operators.analytics import events_sessionize
     from elastik_nearest_neighbors_spark.streaming.ingest import streaming_sessionize

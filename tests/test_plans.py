@@ -282,11 +282,26 @@ def test_sq8_codes_bounded_and_reconstruction_tight(spark):
 
     df = pq_ops.sq8_quantize(spark, SF_SMALL)
     row = df.agg(
-        F.min("code").alias("lo"), F.max("code").alias("hi"), F.max(F.abs("err")).alias("e")
+        F.min("code").alias("lo"),
+        F.max("code").alias("hi"),
+        F.max(F.abs("err_micros")).alias("e"),
     ).collect()[0]
     assert 0 <= row.lo and row.hi <= SQ8_LEVELS
-    # half-step bound: per-dim ranges here are ~2.2 → step ≈ 0.0086
-    assert row.e <= 0.02
+    # half-step bound: per-dim ranges here are ~2.2 → step ≈ 0.0086 = 8600 µ
+    assert row.e <= 20_000
+
+
+def test_filtered_ann_pushes_label_to_scan(spark):
+    """Filtered ANN: the metadata predicate must reach the index-side
+    parquet scan (pre-filtering at candidate generation), not sit above the
+    term-match join as a post-filter."""
+    from elastik_nearest_neighbors_spark.operators import knn as knn_ops
+
+    df = knn_ops.ann_search_lsh_filtered(spark, SF_SMALL)
+    pushed = plans.pushed_filters(df)
+    assert any("label" in f for f in pushed), pushed
+    # and the candidate-generation join stays broadcast (query side small)
+    assert plans.broadcast_join_count(df) >= 1
 
 
 def test_q17_part_and_threshold_broadcast(spark):
