@@ -19,6 +19,7 @@ from elastik_nearest_neighbors_spark.session import get_spark
 HEADLINE = [
     "lsh_index",
     "ann_search_lsh",
+    "ann_search_lsh_filtered",
     "ann_search_lsh_store",
     "ann_recall_sweep",
     "knn_exact_euclidean",
@@ -29,9 +30,11 @@ HEADLINE = [
     "ann_recall",
     "ivf_index",
     "ann_search_ivf",
+    "ann_search_ivf_filtered",
     "ann_recall_ivf",
     "pq_codes",
     "ann_search_pq",
+    "ann_search_ivfpq",
     "range_search",
     "knn_graph",
     "sq8_quantize",
@@ -96,6 +99,7 @@ HEADLINE = [
     "events_props_extract",
     "events_anomaly",
     "events_user_ltv",
+    "events_rolling_7d",
 ]
 
 
@@ -121,8 +125,13 @@ def main() -> None:
     # hit random queries (observed 3× swings between identical runs); the min
     # of two runs measures the engine, not the host's bad luck
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # optional subset (comma-separated keys): lets a regression check re-run
+    # an older round's exact key list in a session of identical length, so
+    # per-query numbers compare session-load-for-session-load
+    keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS", "")
+    keys = [k for k in keys_env.split(",") if k] or HEADLINE
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in keys:
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
@@ -132,18 +141,24 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    result = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # the driver keeps only a TAIL of captured output, and r2's JSON was
+    # clipped by trailing shutdown noise: persist the line to a file, stop
+    # Spark FIRST (its shutdown logging lands before the JSON), then print
+    # the JSON as the very last output
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        f.write(result + "\n")
     spark.stop()
+    print(result)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -41,8 +41,20 @@ def capped_bucket_pairs(
     """
     keys = list(key_cols)
     if max_bucket is not None:
-        sizes = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
-        exploded = exploded.join(sizes.where(F.col("_bsz") <= max_bucket), keys).drop("_bsz")
+        # cap via broadcast ANTI-join on the HOT-bucket list: buckets above
+        # the cap are pathological by definition, so the list is tiny at any
+        # scale — it broadcasts, the kept rows never shuffle for the cap,
+        # and the self-join below keeps its exchange untouched. (A window
+        # count was tried: it rides the same exchange but pays a full sort
+        # of the exploded rows; the agg branch here partial-aggregates
+        # map-side and reuses the self-join's shuffle via ReusedExchange.)
+        hot = (
+            exploded.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") > max_bucket)
+            .select(*keys)
+        )
+        exploded = exploded.join(F.broadcast(hot), keys, "left_anti")
     aa = exploded.select(F.col(id_col).alias(a), *keys)
     bb = exploded.select(F.col(id_col).alias(b), *keys)
     return aa.join(bb, keys).where(F.col(a) < F.col(b)).select(a, b).distinct()

@@ -990,6 +990,38 @@ def events_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling activity per user, evaluated AT each event —
+    the time-RANGE window analytic (feature-engineering staple: "activity in
+    the last N days" as a model feature), distinct from the ROWS frames of
+    events_user_ltv and the fixed hop grid of events_sliding_window.
+
+    RANGE frame over epoch-millis: rows with equal ts are frame peers on
+    every engine, so ties need no break for determinism; the value sum runs
+    in DECIMAL (exact, order-free). One user-keyed exchange, one sort —
+    the same shape at 100 TB with users as the distribution key.
+
+    Output: (event_id, user_id, n_7d, value_7d)."""
+    from pyspark.sql.window import Window
+
+    configure(spark)
+    seven_days_ms = 7 * 86400 * 1000
+    ev = io.table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_millis("ts").alias("ms"), _dec("value").alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-(seven_days_ms - 1), 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_7d"),
+        F.sum("v").over(w).cast("double").alias("value_7d"),
+    )
+
+
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-style national market share: of the revenue from customers
     in one region, the fraction supplied by one nation, per order year.

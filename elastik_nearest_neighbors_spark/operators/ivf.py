@@ -214,6 +214,23 @@ def ann_recall_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_of(ann, exact_ground_truth(spark, sf_dir))
 
 
+def ann_search_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered IVF ANN — the IVF twin of knn.ann_search_lsh_filtered: the
+    label predicate is applied to the index side BEFORE assignment/probing,
+    so candidate lists hold only qualifying vectors and top-k is over the
+    filtered universe. The filter lands in the parquet scan (un-widened
+    load); at 100 TB with a (label, list_id)-partitioned store this is
+    two-level partition pruning."""
+    from ..constants import ANN_FILTER_LABEL
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    filtered = io.table(spark, sf_dir, "embeddings").where(
+        F.col("label") == ANN_FILTER_LABEL
+    )
+    return ann_search_ivf(filtered, queries, model_for(sf_dir))
+
+
 def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search through the PERSISTED index layout: assignment written
     partitioned by list_id (sources/index_store), probed lists read back

@@ -162,19 +162,7 @@ def ann_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (query_id, neighbor_id, adc_dist) top-ANN_K2 per query."""
     from ..constants import DEC
 
-    emb = _emb(spark, sf_dir)
-    model = model_for(sf_dir)
-    qrows = (
-        emb.where(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    )
-    dtab_rows = model.dist_table(
-        np.array([r.embedding for r in qrows], dtype=np.float64),
-        [r.vec_id for r in qrows],
-    )
-    dtab = spark.createDataFrame(dtab_rows, "query_id bigint, m int, code int, d2 double")
+    dtab = _query_dist_table(spark, sf_dir)
     codes = pq_codes(spark, sf_dir).withColumnRenamed("vec_id", "neighbor_id")
     adc = (
         codes.join(F.broadcast(dtab), ["m", "code"])
@@ -194,6 +182,72 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .knn import _recall_of, exact_ground_truth
 
     ann = ann_search_pq(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_of(ann, exact_ground_truth(spark, sf_dir))
+
+
+def _query_dist_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-ready ADC distance table for the canonical query batch —
+    shared by ann_search_pq and ann_search_ivfpq (Q·M·ksub rows ≈ KB)."""
+    emb = _emb(spark, sf_dir)
+    model = model_for(sf_dir)
+    qrows = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    rows = model.dist_table(
+        np.array([r.embedding for r in qrows], dtype=np.float64),
+        [r.vec_id for r in qrows],
+    )
+    return spark.createDataFrame(rows, "query_id bigint, m int, code int, d2 double")
+
+
+def ann_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVFPQ — the composed scale path: the coarse quantizer
+    prunes candidates to the query's NPROBE nearest lists (IVF), and the
+    pruned candidates are ranked by PQ-ADC over their codes, never their
+    raw vectors. At 100 TB a query batch therefore reads codes only
+    (128× smaller than raw) of nprobe/nlist of the data — the standard
+    billion-vector serving layout, here as one Spark plan: IVF assignment
+    (session-cached) ⋈ broadcast probes → codes ⋈ broadcast distance
+    table → exact decimal ADC sum → top-k.
+
+    Output: (query_id, neighbor_id, adc_dist) top-ANN_K2 per query."""
+    from ..constants import DEC
+    from .ivf import list_assignments
+    from .ivf import model_for as ivf_model_for
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(ivf_model_for(sf_dir).probe_udf()(F.col("embedding"))).alias("list_id"),
+    )
+    cand = (
+        list_assignments(spark, sf_dir)
+        .select(F.col("vec_id").alias("neighbor_id"), "list_id")
+        .join(F.broadcast(probes), "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    codes = pq_codes(spark, sf_dir).withColumnRenamed("vec_id", "neighbor_id")
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(_query_dist_table(spark, sf_dir)), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("d2").cast(DEC)).cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return adc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= ANN_K2).drop("rn")
+
+
+def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of IVFPQ vs exact kNN — quantifies the composed loss (IVF
+    pruning + PQ quantization) on the same axis as every other ANN family."""
+    from .knn import _recall_of, exact_ground_truth
+
+    ann = ann_search_ivfpq(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_of(ann, exact_ground_truth(spark, sf_dir))
 
 

@@ -134,6 +134,22 @@ GROUP BY user_id, sess_id
 """
 
 
+def events_rolling_7d() -> str:
+    """Trailing-7-day RANGE window per user (operators/analytics mirror):
+    frame peers are rows with equal epoch-ms, identical on both engines."""
+    return f"""
+WITH ev AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ms, CAST(value AS {DEC}) AS v FROM events
+)
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_7d,
+       CAST(CAST(SUM(v) OVER w AS VARCHAR) AS DOUBLE) AS value_7d
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ms
+             RANGE BETWEEN {7 * 86400 * 1000 - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
 def q4_order_priority() -> str:
     return f"""
 SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders

@@ -342,6 +342,123 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id)
 """
 
 
+def ann_search_ivf_filtered(sf_dir: str) -> str:
+    """Pre-filter composition for the IVF family: assignment (the index
+    side) restricted to label = ANN_FILTER_LABEL; probes stay the canonical
+    query batch (operators/ivf.ann_search_ivf_filtered mirror)."""
+    from .constants import ANN_FILTER_LABEL, ANN_K2, IVF_NPROBE, N_QUERIES
+
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.label = {ANN_FILTER_LABEL}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERIES}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, CAST(a.list_id AS INT) AS list_id,
+         round(list_distance(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS distance
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+  JOIN embeddings eq ON eq.vec_id = p.query_id
+  JOIN embeddings en ON en.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, list_id, distance
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+"""
+
+
+def _ivfpq_core(sf_dir: str) -> str:
+    """CTE chain ending in `adc(query_id, neighbor_id, adc_dist)`: IVF list
+    pruning composed with PQ-ADC ranking (operators/pq.ann_search_ivfpq)."""
+    from .constants import IVF_NPROBE, N_QUERIES
+
+    pq_cte, model = _pq_codes_sql(sf_dir, name="pcent")
+    dsub = model.dsub
+    return f"""{_ivf_cent_cte(sf_dir)},
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERIES}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) <= {IVF_NPROBE}
+),
+{pq_cte},
+dtab AS (
+  SELECT q.vec_id AS query_id, c.m, c.k AS code,
+         CAST(round(power(round(list_distance(
+           (q.embedding::DOUBLE[])[c.m * {dsub} + 1 : (c.m + 1) * {dsub}], c.c), 6), 2), 6)
+           AS DECIMAL(18,6)) AS d2
+  FROM embeddings q CROSS JOIN pcent c
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+),
+adc AS (
+  SELECT ca.query_id, ca.neighbor_id, CAST(SUM(d.d2) AS DOUBLE) AS adc_dist
+  FROM cand ca
+  JOIN codes co ON co.vec_id = ca.neighbor_id
+  JOIN dtab d ON d.query_id = ca.query_id AND d.m = co.m AND d.code = co.code
+  GROUP BY 1, 2
+)"""
+
+
+def ann_search_ivfpq(sf_dir: str) -> str:
+    from .constants import ANN_K2
+
+    return f"""
+WITH {_ivfpq_core(sf_dir)}
+SELECT query_id, neighbor_id, adc_dist
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) <= {ANN_K2}
+"""
+
+
+def ann_recall_ivfpq(sf_dir: str) -> str:
+    from .constants import ANN_K2
+
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    return f"""
+WITH {_ivfpq_core(sf_dir)},
+ann AS (
+  SELECT query_id, neighbor_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) <= {ANN_K2}
+),
+exact AS ({exact}),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+)
+SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
+FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+"""
+
+
 def ann_recall_ivf(sf_dir: str) -> str:
     from .constants import IVF_NPROBE, KNN_K
 
@@ -389,10 +506,11 @@ FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
 # ---- PQ (product quantization; operators/pq.py) -----------------------------
 
 
-def _pq_cent_cte(sf_dir: str) -> str:
+def _pq_cent_cte(sf_dir: str, name: str = "cent") -> str:
     """Codebook literals from the same driver-side fit the Spark operator
     uses (PqModel.fit_path) — bit-identical by construction. One row per
-    (m, k): the dsub-dim sub-centroid."""
+    (m, k): the dsub-dim sub-centroid. `name` lets composed oracles
+    (IVFPQ) avoid clashing with the IVF centroid CTE."""
     from .operators.pq import model_for
 
     model = model_for(sf_dir)
@@ -402,11 +520,11 @@ def _pq_cent_cte(sf_dir: str) -> str:
         for mi in range(model.m)
         for k in range(model.ksub)
     )
-    return f"cent AS ({rows})", model
+    return f"{name} AS ({rows})", model
 
 
-def _pq_codes_sql(sf_dir: str) -> tuple[str, object]:
-    cent, model = _pq_cent_cte(sf_dir)
+def _pq_codes_sql(sf_dir: str, name: str = "cent") -> tuple[str, object]:
+    cent, model = _pq_cent_cte(sf_dir, name)
     dsub = model.dsub
     return (
         f"""{cent},
@@ -414,7 +532,7 @@ sub AS (
   SELECT e.vec_id, c.m, c.k,
          round(list_distance(
            (e.embedding::DOUBLE[])[c.m * {dsub} + 1 : (c.m + 1) * {dsub}], c.c), 6) AS d
-  FROM embeddings e CROSS JOIN cent c
+  FROM embeddings e CROSS JOIN {name} c
 ),
 codes AS (
   SELECT vec_id, CAST(m AS INT) AS m, CAST(k AS INT) AS code

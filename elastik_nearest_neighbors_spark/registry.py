@@ -32,6 +32,11 @@ _QUERIES: dict[str, QueryFn] = {
     "multimodal_featurize": multimodal.multimodal_featurize,
     # -- new in r3 --
     "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
+    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
+    "ann_search_ivfpq": pq.ann_search_ivfpq,
+    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
+    "streaming_index_compact": ingest.streaming_index_compact,
+    "events_rolling_7d": analytics.events_rolling_7d,
     "ann_recall_sweep": knn.ann_recall_sweep,
     # -- never driver-gated (r2 additions past the gate cut) --
     "streaming_index_store": ingest.streaming_index_store,
@@ -140,6 +145,13 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "lsh_index": oracles_vector.lsh_index,
     "ann_search_lsh": oracles_vector.ann_search_lsh,
     "ann_search_lsh_filtered": oracles_vector.ann_search_lsh_filtered,
+    "ann_search_ivf_filtered": oracles_vector.ann_search_ivf_filtered,
+    "ann_search_ivfpq": oracles_vector.ann_search_ivfpq,
+    "ann_recall_ivfpq": oracles_vector.ann_recall_ivfpq,
+    # compacted store search ≡ batch search — same oracle as the other
+    # store-backed paths
+    "streaming_index_compact": oracles_vector.ann_search_lsh,
+    "events_rolling_7d": lambda sf: oracles.events_rolling_7d(),
     # store-backed search is result-identical to the in-memory path
     "ann_search_lsh_store": oracles_vector.ann_search_lsh,
     "knn_exact_euclidean": oracles_vector.knn_exact_euclidean,

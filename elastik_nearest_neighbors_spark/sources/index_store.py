@@ -96,6 +96,22 @@ def load_lsh_partitions(
     )
 
 
+def compact_lsh_store(spark: SparkSession, src_path: str, dst_path: str) -> None:
+    """Rewrite a (possibly many-small-files) LSH store into the canonical
+    one-file-per-(tbl, bucket)-directory layout. Streaming appends create
+    one file per touched directory per micro-batch; at 100 TB the per-file
+    open/footer overhead of that accumulation dominates pruned reads long
+    before the bytes do. Same clustered write as save_lsh_index, so the
+    compacted store is content- and layout-identical to a batch-built one."""
+    df = spark.read.parquet(src_path)  # tbl/bucket come back as partition cols
+    (
+        df.repartition("tbl", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("tbl", "bucket")
+        .parquet(dst_path)
+    )
+
+
 def save_ivf_index(assigned: DataFrame, path: str) -> None:
     """Persist an IVF index (vec_id, list_id, center_dist) partitioned by
     list_id. Clustered by list_id before the write for one file per list

@@ -71,20 +71,13 @@ def streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{out}/data")
 
 
-def streaming_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's FULL online workflow, Spark-native: vectors stream
-    in, each micro-batch is hashed and APPENDED into the (tbl, bucket)-
-    partitioned store via foreachBatch, and searches read through the
-    store's partition pruning — index maintenance and serving on the same
-    layout. After the stream drains, the store holds exactly the batch
-    index content, so the batch ann_search_lsh oracle gates this whole
-    path end-to-end (stream → store → pruned search).
-
-    foreachBatch clusters each micro-batch on the partition keys before
-    the append (one file per touched directory per batch — the same
-    write shape save_lsh_index uses); the checkpoint makes re-invocations
-    no-ops instead of duplicate appends."""
-    from ..operators.knn import search_lsh_store
+def _ensure_stream_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process) the stream-appended (tbl, bucket)-partitioned
+    LSH store and return its path. Each micro-batch is hashed and APPENDED
+    via foreachBatch, clustered on the partition keys before the write (one
+    file per touched directory per batch — the same write shape
+    save_lsh_index uses); the checkpoint makes re-invocations no-ops
+    instead of duplicate appends."""
     from ..operators.lsh import explode_hashes
     from ..oracles_vector import lsh_model_for
     from ..sources.index_store import DEFAULT_HASH_BUCKETS
@@ -122,7 +115,43 @@ def streaming_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return search_lsh_store(spark, sf_dir, store)
+    return store
+
+
+def streaming_index_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL online workflow, Spark-native: vectors stream
+    in, each micro-batch is appended into the (tbl, bucket)-partitioned
+    store, and searches read through the store's partition pruning — index
+    maintenance and serving on the same layout. After the stream drains,
+    the store holds exactly the batch index content, so the batch
+    ann_search_lsh oracle gates this whole path end-to-end
+    (stream → store → pruned search)."""
+    from ..operators.knn import search_lsh_store
+
+    return search_lsh_store(spark, sf_dir, _ensure_stream_store(spark, sf_dir))
+
+
+def streaming_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store COMPACTION — the maintenance half of continuous ingestion: a
+    long-running appender leaves O(micro-batches) small files per (tbl,
+    bucket) directory, and at 100 TB the open/footer cost of those files
+    (not the bytes) comes to dominate every pruned read. Compaction
+    rewrites the store clustered on its partition keys — one file per
+    directory, content-identical by construction — and the search through
+    the compacted store returns exactly the batch ann_search_lsh result,
+    which is this entry's oracle. tests assert the one-file-per-directory
+    invariant."""
+    import os
+
+    from ..operators.knn import search_lsh_store
+    from ..sources.index_store import compact_lsh_store
+
+    store = _ensure_stream_store(spark, sf_dir)
+    cout = io.scratch_dir("lsh_stream_store_compact", sf_dir)
+    compacted = f"{cout}/data"
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        compact_lsh_store(spark, store, compacted)
+    return search_lsh_store(spark, sf_dir, compacted)
 
 
 def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

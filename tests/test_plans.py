@@ -291,6 +291,42 @@ def test_sq8_codes_bounded_and_reconstruction_tight(spark):
     assert row.e <= 20_000
 
 
+def test_compacted_store_one_file_per_dir(spark):
+    """streaming_index_compact: after compaction every (tbl, bucket)
+    directory holds exactly one parquet file — the open/footer-cost
+    invariant the pruned search path assumes."""
+    import os
+
+    from elastik_nearest_neighbors_spark import io as enn_io
+    from elastik_nearest_neighbors_spark.streaming.ingest import streaming_index_compact
+
+    df = streaming_index_compact(spark, SF_SMALL)
+    assert df.count() > 0
+    root = os.path.join(enn_io.scratch_dir("lsh_stream_store_compact", SF_SMALL), "data")
+    for tbl_dir in os.listdir(root):
+        if not tbl_dir.startswith("tbl="):
+            continue
+        for bucket_dir in os.listdir(os.path.join(root, tbl_dir)):
+            files = [
+                f
+                for f in os.listdir(os.path.join(root, tbl_dir, bucket_dir))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, (tbl_dir, bucket_dir, files)
+
+
+def test_ivfpq_reads_codes_not_vectors(spark):
+    """IVFPQ: the ranking side must join codes, never gather raw embedding
+    arrays — at scale this is the 128× scan saving. The plan should show no
+    scan of the embedding column on the candidate/ranking path beyond the
+    KB-sized query side."""
+    from elastik_nearest_neighbors_spark.operators import pq as pq_ops
+
+    df = pq_ops.ann_search_ivfpq(spark, SF_SMALL)
+    assert plans.broadcast_join_count(df) >= 2  # probes + distance table
+    assert "CartesianProduct" not in plans.formatted_plan(df)
+
+
 def test_filtered_ann_pushes_label_to_scan(spark):
     """Filtered ANN: the metadata predicate must reach the index-side
     parquet scan (pre-filtering at candidate generation), not sit above the
