@@ -61,6 +61,9 @@ HEADLINE = [
     "decontaminate",
     "seq_pack",
     "corpus_to_sequences",
+    "corpus_curate_full",
+    "source_mix",
+    "knn_join",
     "stratified_sample",
     "doc_logprob",
     "source_cap",
@@ -100,6 +103,7 @@ HEADLINE = [
     "events_anomaly",
     "events_user_ltv",
     "events_rolling_7d",
+    "events_dau_wau",
 ]
 
 

@@ -172,6 +172,9 @@ CHUNK_TOKENS = 32  # tokens per chunk
 CHUNK_STRIDE = 24  # start-to-start stride (8-token overlap)
 TOPK_USERS = 3  # grouped top-k for events_topk_users
 CORPUS_QUALITY_TAU = 0.45  # corpus_clean keep threshold
+# full-funnel repetition gate: drop docs with dup_bigram_ratio above this
+# (sf0.01: drops 9/500 — a real gate that keeps the corpus non-trivial)
+CURATE_REP_MAX = 0.1
 CORPUS_LANG = "en"
 
 # ---- range search / kNN graph / scalar quantization -------------------------

@@ -990,6 +990,41 @@ def events_user_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness per day — the product-analytics headline
+    metric. WAU needs a 7-day DISTINCT count, which no window frame
+    supports; the scalable formulation: collapse to distinct (user, day)
+    once, EXPLODE each pair onto the 7 target days it contributes to
+    (a fixed ×7, orders of magnitude below raw events), and count distinct
+    per target day. Target days are joined against the observed-day list
+    (broadcast — it's |days| rows) so no phantom trailing days appear.
+
+    Output: (day, dau, wau, stickiness = dau/wau)."""
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    days = ud.select("day").distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("tday"),
+    )
+    wau = (
+        contrib.join(F.broadcast(days), contrib["tday"] == days["day"])
+        .groupBy("tday")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, dau["day"] == wau["tday"])
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
 def events_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day rolling activity per user, evaluated AT each event —
     the time-RANGE window analytic (feature-engineering staple: "activity in

@@ -250,6 +250,24 @@ def knn_exact_euclidean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="euclidean")
 
 
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set kNN JOIN: every vector of one class (label =
+    ANN_FILTER_LABEL) against the index of all OTHER classes — the batch
+    "for each row of table A, its k nearest in table B" operator (label
+    transfer, cross-dataset linkage, retrieval-augmentation joins). Unlike
+    the canonical 8-query search entries, the query side here is a whole
+    table slice, exercising the per-partition top-k path at Q ≈ N/10.
+
+    Same scale shape as knn_exact: broadcast the (smaller) query side,
+    per-partition top-k before the single shuffle."""
+    from ..constants import ANN_FILTER_LABEL
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("label") == ANN_FILTER_LABEL)
+    idx = emb.where(F.col("label") != ANN_FILTER_LABEL)
+    return knn_exact(idx, q, metric="euclidean")
+
+
 def knn_exact_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="cosine")

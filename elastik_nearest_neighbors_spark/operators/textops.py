@@ -161,6 +161,101 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation funnel in one declarative plan — the flagship
+    pipeline a training-data team runs end-to-end: exact-dedup keep-first →
+    language gate → quality gate → Gopher repetition gate → benchmark
+    decontamination → per-source contribution cap → the final corpus
+    manifest.
+
+    Composition shape (100 TB): one documents scan feeds the dedup window
+    with the lang/quality expressions inlined (corpus_clean's single-scan
+    trick); the repetition and contamination DROP-lists are computed from
+    the SURVIVORS' gram streams — filter-first, so the expensive explodes
+    run on the thinned corpus — and applied as broadcast anti-joins (a
+    drop-list is small by construction; broadcasting it costs nothing and
+    the corpus never shuffles for it); the source cap is the final window.
+    The shuffles that remain (content-hash window, two doc-keyed gram
+    aggregations with map-side partials, source window) are each forced by
+    their semantics.
+
+    Output: (doc_id, source, quality, n_tokens, rk)."""
+    from pyspark.sql.window import Window
+
+    from ..constants import (
+        CORPUS_LANG,
+        CORPUS_QUALITY_TAU,
+        CURATE_REP_MAX,
+        DECONTAM_MOD,
+        DECONTAM_N,
+        REP_NGRAM,
+        SOURCE_CAP,
+    )
+    from ..functions.text import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    pred, _ = _lang_pred(toks)
+    cols = _quality_cols(toks)
+    w = Window.partitionBy(F.md5("text"))
+    surv = (
+        docs.withColumn("canonical_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") == F.col("canonical_id"))
+        .select(
+            "doc_id",
+            "source",
+            "text",
+            pred.alias("lang_pred"),
+            cols["quality"].alias("quality"),
+            cols["n_tokens"].alias("n_tokens"),
+        )
+        .where(
+            (F.col("lang_pred") == CORPUS_LANG)
+            & (F.col("quality") >= CORPUS_QUALITY_TAU)
+        )
+    )
+    stoks = F.split(F.col("text"), " ")
+    # Gopher gate: dup-bigram ratio over survivors only (keep multiplicity)
+    per_gram = (
+        surv.where(F.size(stoks) >= REP_NGRAM)
+        .select("doc_id", F.explode(word_shingles(stoks, REP_NGRAM)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rep_bad = (
+        per_gram.groupBy("doc_id")
+        .agg(F.sum("c").alias("ng"), F.count(F.lit(1)).alias("dg"))
+        .where(F.round(F.lit(1.0) - F.col("dg") / F.col("ng"), 6) > CURATE_REP_MAX)
+        .select("doc_id")
+    )
+    # decontamination: benchmark grams come from the FULL corpus (the
+    # held-out docs are dropped from the output regardless of dedup fate)
+    gtoks = F.split(F.col("text"), " ")
+    bench = (
+        docs.where((F.col("doc_id") % DECONTAM_MOD == 0) & (F.size(gtoks) >= DECONTAM_N))
+        .select(F.explode(F.array_distinct(word_shingles(gtoks, DECONTAM_N))).alias("g"))
+        .distinct()
+    )
+    contam = (
+        surv.where(F.size(stoks) >= DECONTAM_N)
+        .select("doc_id", F.explode(F.array_distinct(word_shingles(stoks, DECONTAM_N))).alias("g"))
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    kept = (
+        surv.where(F.col("doc_id") % DECONTAM_MOD != 0)
+        .join(F.broadcast(rep_bad), "doc_id", "left_anti")
+        .join(F.broadcast(contam), "doc_id", "left_anti")
+    )
+    wcap = Window.partitionBy("source").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    return (
+        kept.withColumn("rk", F.row_number().over(wcap).cast("int"))
+        .where(F.col("rk") <= SOURCE_CAP)
+        .select("doc_id", "source", "quality", "n_tokens", "rk")
+    )
+
+
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction — the compliance pass every training-data pipeline runs
     before packaging: emails and long digit runs (phone/account-shaped) are
@@ -201,6 +296,46 @@ def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.pmod(md5_hash60(F.col("text")), F.lit(SAMPLE_BUCKETS))
     return docs.select("doc_id", bucket.cast("int").alias("sample_bucket")).where(
         F.col("sample_bucket") < SAMPLE_KEEP
+    )
+
+
+def source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data MIXING toward a target distribution: down-sample each source to
+    an equal share of the corpus (rate_s = min(1, (N/|sources|)/n_s)),
+    deterministically by content hash — the "re-weight the crawl mix"
+    operation every pretraining run does, as one reproducible query.
+
+    Unlike source_cap (hard top-K per source), this preserves a uniform
+    RANDOM-looking but deterministic subset per source, so token statistics
+    stay unbiased. Rates are integer ppm computed with pure IEEE
+    double-multiply/divide + floor — bit-identical across engines; the
+    keep decision is the shared 60-bit md5 hash mod 1e6 < rate_ppm (same
+    doc → same decision on any cluster, any day).
+
+    Scale shape: per-source counts are |sources| rows → broadcast back;
+    the corpus itself never shuffles — scan, hash, filter.
+
+    Output: (doc_id, source, rate_ppm) for kept docs."""
+    from ..functions.text import md5_hash60
+
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = docs.agg(
+        F.count(F.lit(1)).alias("total"), F.countDistinct("source").alias("nsrc")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1_000_000).cast("bigint"),
+            F.floor(
+                F.col("total") * F.lit(1_000_000.0) / (F.col("nsrc") * F.col("n_s"))
+            ).cast("bigint"),
+        ).alias("rate_ppm"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(F.pmod(md5_hash60(F.col("text")), F.lit(1_000_000)) < F.col("rate_ppm"))
+        .select("doc_id", "source", "rate_ppm")
     )
 
 

@@ -134,6 +134,29 @@ GROUP BY user_id, sess_id
 """
 
 
+def events_dau_wau() -> str:
+    """DAU/WAU per day (operators/analytics.events_dau_wau mirror)."""
+    return """
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+contrib AS (
+  SELECT user_id, CAST(day + x.i * INTERVAL 1 DAY AS DATE) AS tday
+  FROM ud, LATERAL (SELECT unnest(range(0, 7)) AS i) x
+),
+wau AS (
+  SELECT c.tday AS day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+  FROM contrib c JOIN days d ON d.day = c.tday
+  GROUP BY 1
+),
+dau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau FROM ud GROUP BY 1
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+       round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+FROM dau d JOIN wau w ON w.day = d.day
+"""
+
+
 def events_rolling_7d() -> str:
     """Trailing-7-day RANGE window per user (operators/analytics mirror):
     frame peers are rows with equal epoch-ms, identical on both engines."""

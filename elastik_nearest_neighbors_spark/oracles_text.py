@@ -382,6 +382,23 @@ SELECT df, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM dfreq GROUP BY df
 """
 
 
+def source_mix(sf_dir: str) -> str:
+    """Equal-share source re-weighting (operators/textops.source_mix mirror):
+    rate_ppm from pure IEEE floor arithmetic, keep by content-hash mod."""
+    return f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+tot AS (SELECT COUNT(*) AS total, COUNT(DISTINCT source) AS nsrc FROM documents),
+rates AS (
+  SELECT source,
+         LEAST(1000000, CAST(FLOOR(total * 1000000.0 / (nsrc * n_s)) AS BIGINT)) AS rate_ppm
+  FROM counts, tot
+)
+SELECT d.doc_id, d.source, r.rate_ppm
+FROM documents d JOIN rates r USING (source)
+WHERE ({_h60("d.text")}) % 1000000 < r.rate_ppm
+"""
+
+
 def doc_repetition(sf_dir: str) -> str:
     from .constants import REP_NGRAM
 
@@ -404,6 +421,83 @@ SELECT doc_id,
        round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_share,
        round(1.0 - u_tok / CAST(n_tok AS DOUBLE), 6) AS dup_token_ratio
 FROM per_gram GROUP BY doc_id, n_tok, u_tok
+"""
+
+
+def corpus_curate_full(sf_dir: str) -> str:
+    """The full funnel (operators/textops.corpus_curate_full mirror):
+    dedup → lang → quality → repetition gate → decontamination → source cap."""
+    from .constants import (
+        CORPUS_LANG,
+        CORPUS_QUALITY_TAU,
+        CURATE_REP_MAX,
+        DECONTAM_MOD,
+        DECONTAM_N,
+        REP_NGRAM,
+        SOURCE_CAP,
+    )
+
+    q = quality_score(sf_dir)
+    l = lang_id(sf_dir)
+    gram2 = " || ' ' || ".join(f"t[i+{k}]" for k in range(REP_NGRAM))
+    gram4 = " || ' ' || ".join(f"t[i+{k}]" for k in range(DECONTAM_N))
+    return f"""
+WITH q AS ({q}),
+l AS ({l}),
+keep AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+    FROM documents)
+  WHERE doc_id = canonical_id
+),
+surv AS (
+  SELECT q.doc_id, d.source, d.text, q.quality, q.n_tokens
+  FROM keep
+  JOIN q ON q.doc_id = keep.doc_id
+  JOIN l ON l.doc_id = keep.doc_id
+  JOIN documents d ON d.doc_id = keep.doc_id
+  WHERE l.lang_pred = '{CORPUS_LANG}' AND q.quality >= {CORPUS_QUALITY_TAU}
+),
+per_gram AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM (
+    SELECT doc_id, {gram2} AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+         LATERAL (SELECT unnest(range(1, len(t) - {REP_NGRAM - 2})) AS i) r
+    WHERE len(t) >= {REP_NGRAM})
+  GROUP BY 1, 2
+),
+rep_bad AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, SUM(c) AS ng, COUNT(*) AS dg FROM per_gram GROUP BY 1)
+  WHERE round(1.0 - dg / CAST(ng AS DOUBLE), 6) > {CURATE_REP_MAX}
+),
+bench AS (
+  SELECT DISTINCT {gram4} AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        WHERE doc_id % {DECONTAM_MOD} = 0),
+       LATERAL (SELECT unnest(range(1, len(t) - {DECONTAM_N - 2})) AS i) r
+  WHERE len(t) >= {DECONTAM_N}
+),
+contam AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT DISTINCT doc_id, {gram4} AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM surv),
+         LATERAL (SELECT unnest(range(1, len(t) - {DECONTAM_N - 2})) AS i) r
+    WHERE len(t) >= {DECONTAM_N}) sg
+  JOIN bench USING (g)
+),
+kept AS (
+  SELECT * FROM surv
+  WHERE doc_id % {DECONTAM_MOD} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM rep_bad)
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
+)
+SELECT doc_id, source, quality, n_tokens, rk FROM (
+  SELECT doc_id, source, quality, n_tokens,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY n_tokens DESC, doc_id ASC) AS INT) AS rk
+  FROM kept)
+WHERE rk <= {SOURCE_CAP}
 """
 
 

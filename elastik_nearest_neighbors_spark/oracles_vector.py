@@ -174,6 +174,26 @@ def knn_exact_euclidean(sf_dir: str) -> str:
     return _knn_sql("euclidean", KNN_K, N_QUERIES)
 
 
+def knn_join(sf_dir: str) -> str:
+    """Cross-set kNN join (operators/knn.knn_join mirror): one label's
+    vectors against the index of every other label."""
+    from .constants import ANN_FILTER_LABEL
+
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE label = {ANN_FILTER_LABEL}),
+     i AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS nv FROM embeddings
+           WHERE label <> {ANN_FILTER_LABEL})
+SELECT query_id, neighbor_id, distance FROM (
+  SELECT q.qid AS query_id, i.nid AS neighbor_id,
+         round(list_distance(q.qv, i.nv), 6) AS distance,
+         row_number() OVER (PARTITION BY q.qid
+                            ORDER BY round(list_distance(q.qv, i.nv), 6), i.nid) AS rn
+  FROM q JOIN i ON i.nid <> q.qid)
+WHERE rn <= {KNN_K}
+"""
+
+
 def knn_exact_cosine(sf_dir: str) -> str:
     return _knn_sql("cosine", KNN_K, N_QUERIES)
 

@@ -37,6 +37,10 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_recall_ivfpq": pq.ann_recall_ivfpq,
     "streaming_index_compact": ingest.streaming_index_compact,
     "events_rolling_7d": analytics.events_rolling_7d,
+    "corpus_curate_full": textops.corpus_curate_full,
+    "knn_join": knn.knn_join,
+    "source_mix": textops.source_mix,
+    "events_dau_wau": analytics.events_dau_wau,
     "ann_recall_sweep": knn.ann_recall_sweep,
     # -- never driver-gated (r2 additions past the gate cut) --
     "streaming_index_store": ingest.streaming_index_store,
@@ -152,6 +156,10 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     # store-backed paths
     "streaming_index_compact": oracles_vector.ann_search_lsh,
     "events_rolling_7d": lambda sf: oracles.events_rolling_7d(),
+    "corpus_curate_full": oracles_text.corpus_curate_full,
+    "knn_join": oracles_vector.knn_join,
+    "source_mix": oracles_text.source_mix,
+    "events_dau_wau": lambda sf: oracles.events_dau_wau(),
     # store-backed search is result-identical to the in-memory path
     "ann_search_lsh_store": oracles_vector.ann_search_lsh,
     "knn_exact_euclidean": oracles_vector.knn_exact_euclidean,
