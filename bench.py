@@ -21,6 +21,7 @@ HEADLINE = [
     "ann_search_lsh",
     "ann_search_lsh_filtered",
     "ann_search_lsh_store",
+    "semantic_doc_search",
     "ann_recall_sweep",
     "knn_exact_euclidean",
     "knn_exact_cosine",

@@ -62,6 +62,11 @@ LSH_SWEEP_BITS = [2, 4, 6]
 # filtered ANN: the metadata predicate composed with _aknn_search (the ES
 # host filters candidates by ordinary query clauses; label is our stand-in)
 ANN_FILTER_LABEL = 3
+# index upsert: vectors with vec_id % UPSERT_MOD == 0 are "updated"
+# (deterministically doubled — doubling is exact in IEEE, so both engines
+# hash/rank the identical updated doubles); 17 puts ~6% of vectors,
+# including query vec_id 0, on the changed side
+UPSERT_MOD = 17
 ANN_K1 = 100  # candidates from hash-table term match
 ANN_K2 = 10  # final neighbors after exact re-rank
 # PQ (product quantization): M subspaces × ksub centroids — 64 float64 dims

@@ -245,6 +245,29 @@ def ann_search_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search_lsh(filtered, queries, model)
 
 
+def semantic_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic DOCUMENT retrieval — the composition a RAG / retrieval user
+    runs: ANN over the document-backed subset of the vector space, top-k
+    joined back to the documents table for metadata. The index side is a
+    left-semi join against document ids (at 100 TB both sides are large and
+    co-partition on the id; here Catalyst broadcasts the smaller), and the
+    final metadata join touches only the Q·k result rows — the documents
+    scan is joined against a broadcast of the ANSWER, never shuffled.
+
+    Output: (query_id, doc_id, n_match, distance, source)."""
+    emb = _emb(spark, sf_dir)
+    model = _model_for(emb, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    docs = io.table(spark, sf_dir, "documents")
+    indexed = emb.join(
+        docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    topk = ann_search_lsh(indexed, queries, model)
+    return topk.join(
+        docs.select("doc_id", "source"), topk["neighbor_id"] == F.col("doc_id")
+    ).select("query_id", "doc_id", "n_match", "distance", "source")
+
+
 def knn_exact_euclidean_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="euclidean")
@@ -545,17 +568,21 @@ def knn_exact_mips_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="dot")
 
 
-def search_lsh_store(spark: SparkSession, sf_dir: str, store: str) -> DataFrame:
+def search_lsh_store(
+    spark: SparkSession, sf_dir: str, store: str, emb: DataFrame | None = None
+) -> DataFrame:
     """Search through a persisted (tbl, bucket)-partitioned LSH store at
     `store`: hash the query batch, read back ONLY its own (tbl, bucket)
     directories via explicit partition paths, term-match-count, re-rank.
-    Shared by the batch-built store (ann_search_lsh_store) and the
-    streaming-appended store (streaming/ingest.streaming_index_store) —
-    one search path, two index producers."""
+    Shared by the batch-built store (ann_search_lsh_store), the
+    streaming-appended store (streaming/ingest.streaming_index_store), the
+    compacted store, and the upserted store (which passes the UPDATED
+    vector table as `emb`) — one search path, four index producers."""
     from ..sources.index_store import DEFAULT_HASH_BUCKETS, load_lsh_partitions
 
-    emb = _emb(spark, sf_dir)
-    model = _model_for(emb, sf_dir)
+    if emb is None:
+        emb = _emb(spark, sf_dir)
+    model = _model_for(_emb(spark, sf_dir), sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     q_exp = explode_hashes(build_index(queries, model), "vec_id", "query_id")
     # the query batch's (tbl, bucket) set: ≤ Q·T entries, KB-sized — the
@@ -599,6 +626,104 @@ def ann_search_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(os.path.join(store, "_SUCCESS")):
         save_lsh_index(lsh_index(spark, sf_dir), store)
     return search_lsh_store(spark, sf_dir, store)
+
+
+def _updated_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 'after-update' vector table: vectors with vec_id % UPSERT_MOD == 0
+    have every component doubled (exact in IEEE — both engines transform the
+    identical doubles); everything else unchanged."""
+    from ..constants import UPSERT_MOD
+
+    emb = _emb(spark, sf_dir)
+    doubled = F.transform(as_double(F.col("embedding")), lambda x: x * F.lit(2.0))
+    return emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % UPSERT_MOD == 0, doubled).otherwise(
+            as_double(F.col("embedding"))
+        ),
+    )
+
+
+def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index UPDATE-in-place — the third index-maintenance mode next to
+    streaming append (streaming_index_store) and compaction
+    (streaming_index_compact): a batch of changed vectors is re-hashed and
+    the store is patched via DYNAMIC PARTITION OVERWRITE — only the
+    (tbl, bucket) directories that held or now hold a changed vector are
+    rewritten (old rows minus changed ids, plus the re-hashed rows); the
+    untouched directories' files are not read or written. Searching the
+    patched store returns exactly what a full rebuild on the updated table
+    would — the oracle recomputes that rebuild in SQL. Idempotent: re-runs
+    rewrite the same dirs to the same content.
+
+    At 100 TB this is the daily reality of an index: a delta of D changed
+    vectors touches ≤ D·T directories of the T·n_buckets total."""
+    import os
+
+    from ..sources.index_store import DEFAULT_HASH_BUCKETS, save_lsh_index
+    from ..constants import UPSERT_MOD
+
+    emb = _emb(spark, sf_dir)
+    model = _model_for(emb, sf_dir)
+    memb = _updated_emb(spark, sf_dir)
+    out = io.scratch_dir("lsh_upsert", sf_dir)
+    store = os.path.join(out, "data")
+    marker = os.path.join(out, "UPSERTED")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        save_lsh_index(lsh_index(spark, sf_dir), store)
+    if not os.path.exists(marker):
+        changed_old = explode_hashes(
+            build_index(emb.where(F.col("vec_id") % UPSERT_MOD == 0), model),
+            "vec_id",
+            "vec_id",
+        )
+        changed_new = explode_hashes(
+            build_index(memb.where(F.col("vec_id") % UPSERT_MOD == 0), model),
+            "vec_id",
+            "vec_id",
+        )
+        bucket = lambda df: df.select(
+            "vec_id",
+            F.col("tbl").cast("int").alias("tbl"),
+            "hash",
+            F.pmod("hash", F.lit(DEFAULT_HASH_BUCKETS)).cast("int").alias("bucket"),
+        )
+        old_b, new_b = bucket(changed_old), bucket(changed_new)
+        parts = [
+            (r.tbl, r.bucket)
+            for r in old_b.select("tbl", "bucket")
+            .union(new_b.select("tbl", "bucket"))
+            .distinct()
+            .collect()
+        ]
+        # one packed-key IN over the partition columns: stays a PartitionFilter
+        # (expression over partition cols only) without the O(dirs)-deep
+        # OR-tree that load_lsh_partitions' literal list would build here —
+        # a ~6% delta × T tables touches most buckets at this scale
+        packed = [int(t) * 100000 + int(b) for t, b in parts]
+        existing = (
+            spark.read.parquet(store)
+            .where(
+                (F.col("tbl").cast("long") * 100000 + F.col("bucket")).isin(packed)
+            )
+            .select("vec_id", "tbl", "hash", "bucket")
+        )
+        patched = existing.where(F.col("vec_id") % UPSERT_MOD != 0).unionByName(
+            new_b
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                patched.repartition("tbl", "bucket")
+                .write.mode("overwrite")
+                .partitionBy("tbl", "bucket")
+                .parquet(store)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        open(marker, "w").close()
+    return search_lsh_store(spark, sf_dir, store, emb=memb)
 
 
 def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:

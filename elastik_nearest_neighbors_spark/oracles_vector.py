@@ -65,10 +65,10 @@ def _hash_sql(model, t: int, vec: str = "embedding") -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def _hashes_cte(model, where: str | None = None) -> str:
+def _hashes_cte(model, where: str | None = None, from_table: str = "embeddings") -> str:
     w = f" WHERE {where}" if where else ""
     parts = [
-        f"SELECT vec_id, CAST({t} AS INT) AS tbl, {_hash_sql(model, t)} AS hash FROM embeddings{w}"
+        f"SELECT vec_id, CAST({t} AS INT) AS tbl, {_hash_sql(model, t)} AS hash FROM {from_table}{w}"
         for t in range(model.tables)
     ]
     return "\nUNION ALL\n".join(parts)
@@ -112,16 +112,12 @@ def ann_search_lsh(sf_dir: str) -> str:
     return f"WITH {_ann_core(model, ANN_K1, ANN_K2, N_QUERIES)}\nSELECT * FROM ann"
 
 
-def ann_search_lsh_filtered(sf_dir: str) -> str:
-    """Pre-filter composition (operators/knn.ann_search_lsh_filtered): the
-    index side of the term-match is restricted to label = ANN_FILTER_LABEL
-    before candidate generation; queries stay the canonical batch."""
-    from .constants import ANN_FILTER_LABEL
-
-    model = lsh_model_for(sf_dir)
-    return f"""
-WITH ih AS (
-{_hashes_cte(model, f"label = {ANN_FILTER_LABEL}")}
+def _ann_two_sided_core(model, index_where: str) -> str:
+    """CTE chain ending in `ann`, with the INDEX side of the term-match
+    restricted by `index_where` (pre-filter composition) and queries the
+    canonical batch."""
+    return f"""ih AS (
+{_hashes_cte(model, index_where)}
 ), qh AS (
 {_hashes_cte(model, f"vec_id < {N_QUERIES}")}
 ), cand AS (
@@ -144,8 +140,70 @@ WITH ih AS (
         JOIN embeddings ne ON ne.vec_id = k.neighbor_id
         WHERE k.rn <= {ANN_K1})
   WHERE rn2 <= {ANN_K2}
-)
+)"""
+
+
+def ann_search_lsh_filtered(sf_dir: str) -> str:
+    """Pre-filter composition (operators/knn.ann_search_lsh_filtered): the
+    index side of the term-match is restricted to label = ANN_FILTER_LABEL
+    before candidate generation; queries stay the canonical batch."""
+    from .constants import ANN_FILTER_LABEL
+
+    model = lsh_model_for(sf_dir)
+    return f"""
+WITH {_ann_two_sided_core(model, f"label = {ANN_FILTER_LABEL}")}
 SELECT * FROM ann
+"""
+
+
+def index_upsert(sf_dir: str) -> str:
+    """Full-rebuild-on-updated-table reference for the patched store
+    (operators/knn.index_upsert): the upserted store's search must equal
+    ann_search_lsh recomputed over the updated vectors."""
+    from .constants import UPSERT_MOD
+
+    model = lsh_model_for(sf_dir)
+    memb = (
+        f"memb AS (SELECT vec_id, CASE WHEN vec_id % {UPSERT_MOD} = 0 "
+        "THEN list_transform(embedding::DOUBLE[], x -> x * 2.0) "
+        "ELSE embedding::DOUBLE[] END AS embedding FROM embeddings)"
+    )
+    return f"""
+WITH {memb},
+hashes AS (
+{_hashes_cte(model, from_table="memb")}
+), cand AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id, CAST(COUNT(*) AS BIGINT) AS n_match
+  FROM hashes i JOIN hashes q ON i.tbl = q.tbl AND i.hash = q.hash
+  WHERE q.vec_id < {N_QUERIES} AND i.vec_id <> q.vec_id
+  GROUP BY 1, 2
+), k1_sel AS (
+  SELECT query_id, neighbor_id, n_match,
+         row_number() OVER (PARTITION BY query_id ORDER BY n_match DESC, neighbor_id) AS rn
+  FROM cand
+), scored AS (
+  SELECT k.query_id, k.neighbor_id, k.n_match,
+         round(list_distance(qe.embedding, ne.embedding), 6) AS distance
+  FROM k1_sel k
+  JOIN memb qe ON qe.vec_id = k.query_id
+  JOIN memb ne ON ne.vec_id = k.neighbor_id
+  WHERE k.rn <= {ANN_K1}
+)
+SELECT query_id, neighbor_id, n_match, distance
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rn2
+      FROM scored)
+WHERE rn2 <= {ANN_K2}
+"""
+
+
+def semantic_doc_search(sf_dir: str) -> str:
+    """Retrieval composition (operators/knn.semantic_doc_search): ANN over
+    the document-backed vectors, results joined to the documents table."""
+    model = lsh_model_for(sf_dir)
+    return f"""
+WITH {_ann_two_sided_core(model, "vec_id IN (SELECT doc_id FROM documents)")}
+SELECT a.query_id, a.neighbor_id AS doc_id, a.n_match, a.distance, d.source
+FROM ann a JOIN documents d ON d.doc_id = a.neighbor_id
 """
 
 

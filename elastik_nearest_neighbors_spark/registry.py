@@ -41,6 +41,8 @@ _QUERIES: dict[str, QueryFn] = {
     "knn_join": knn.knn_join,
     "source_mix": textops.source_mix,
     "events_dau_wau": analytics.events_dau_wau,
+    "semantic_doc_search": knn.semantic_doc_search,
+    "index_upsert": knn.index_upsert,
     "ann_recall_sweep": knn.ann_recall_sweep,
     # -- never driver-gated (r2 additions past the gate cut) --
     "streaming_index_store": ingest.streaming_index_store,
@@ -160,6 +162,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "knn_join": oracles_vector.knn_join,
     "source_mix": oracles_text.source_mix,
     "events_dau_wau": lambda sf: oracles.events_dau_wau(),
+    "semantic_doc_search": oracles_vector.semantic_doc_search,
+    "index_upsert": oracles_vector.index_upsert,
     # store-backed search is result-identical to the in-memory path
     "ann_search_lsh_store": oracles_vector.ann_search_lsh,
     "knn_exact_euclidean": oracles_vector.knn_exact_euclidean,

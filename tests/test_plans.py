@@ -291,6 +291,18 @@ def test_sq8_codes_bounded_and_reconstruction_tight(spark):
     assert row.e <= 20_000
 
 
+def test_curate_full_gates_are_broadcast(spark):
+    """corpus_curate_full: repetition/contamination drop-lists and the
+    benchmark gram set must apply as broadcast joins — the corpus side must
+    never sort-merge for a gate."""
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    df = textops.corpus_curate_full(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plans.broadcast_join_count(df) >= 3, plan
+
+
 def test_compacted_store_one_file_per_dir(spark):
     """streaming_index_compact: after compaction every (tbl, bucket)
     directory holds exactly one parquet file — the open/footer-cost
