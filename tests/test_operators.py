@@ -340,3 +340,62 @@ def test_events_approx_distinct_within_tolerance(spark):
         )
     )
     assert bad.count() == 0
+
+
+def test_index_upsert_idempotent_and_differs_from_stale(spark):
+    """Re-invoking index_upsert returns the identical row set (the patch is
+    idempotent), and the updated store's answers differ from the original
+    index's (the update actually took effect for changed queries)."""
+    from elastik_nearest_neighbors_spark.operators import knn as knn_ops
+
+    a = sorted(map(tuple, knn_ops.index_upsert(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, knn_ops.index_upsert(spark, SF_SMALL).collect()))
+    assert a == b
+    orig = sorted(map(tuple, knn_ops.ann_search_lsh_q(spark, SF_SMALL).collect()))
+    assert a != orig
+
+
+def test_source_mix_rates_and_bounds(spark):
+    """source_mix: rates are valid ppm; a source at-or-below its equal-share
+    target keeps every doc; kept counts never exceed the source's size."""
+    import pyspark.sql.functions as F
+
+    from elastik_nearest_neighbors_spark import io as enn_io
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    out = textops.source_mix(spark, SF_SMALL)
+    rates = out.select("source", "rate_ppm").distinct().toPandas()
+    assert ((rates.rate_ppm > 0) & (rates.rate_ppm <= 1_000_000)).all()
+    docs = enn_io.table(spark, SF_SMALL, "documents")
+    n = docs.count()
+    nsrc = docs.select("source").distinct().count()
+    target = n / nsrc
+    counts = docs.groupBy("source").count().toPandas().set_index("source")["count"]
+    kept = out.groupBy("source").count().toPandas().set_index("source")["count"]
+    for s, n_s in counts.items():
+        assert kept.get(s, 0) <= n_s
+        if n_s <= target:
+            # rate_ppm == 1e6 → every doc keeps (hash mod 1e6 < 1e6 always)
+            assert kept.get(s, 0) == n_s
+
+
+def test_dau_wau_invariants(spark):
+    """WAU ≥ DAU every day, and stickiness ∈ (0, 1]."""
+    from elastik_nearest_neighbors_spark.operators import analytics
+
+    pdf = analytics.events_dau_wau(spark, SF_SMALL).toPandas()
+    assert len(pdf) > 0
+    assert (pdf.wau >= pdf.dau).all()
+    assert ((pdf.stickiness > 0) & (pdf.stickiness <= 1.0)).all()
+
+
+def test_curate_full_subset_of_clean(spark):
+    """The full funnel's survivors are a subset of corpus_clean's (every
+    extra gate only removes docs) and exclude all held-out benchmark ids."""
+    from elastik_nearest_neighbors_spark.constants import DECONTAM_MOD
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    full = textops.corpus_curate_full(spark, SF_SMALL).toPandas()
+    clean = textops.corpus_clean(spark, SF_SMALL).toPandas()
+    assert set(full.doc_id) <= set(clean.doc_id)
+    assert not any(d % DECONTAM_MOD == 0 for d in full.doc_id)
