@@ -86,6 +86,21 @@ GROUP BY 1, 2
 """
 
 
+def streaming_events_hourly() -> str:
+    """Batch-twin oracle for the drained streaming hourly aggregation —
+    events_hourly minus the distinct-user count the streaming agg doesn't
+    carry (complete-mode availableNow over the static file replays the
+    whole history, so the drained output equals this batch SQL)."""
+    return f"""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS {DEC})) AS VARCHAR) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def events_sessionize() -> str:
     return f"""
 WITH ev AS (

@@ -552,6 +552,28 @@ FROM documents, LATERAL (SELECT unnest(range(0, {AUDIO_WINDOWS})) AS w) r
 """
 
 
+def multimodal_framesample(sf_dir: str) -> str:
+    """Digest twin of operators/multimodal.frame_sample_binary: frame i is
+    the byte-slice [i·step, i·step+step) of the utf-8 payload, step =
+    max(len // N_FRAMES, 1); digest = first 16 hex chars of its md5. The
+    documents text is pure ASCII in this dataset (asserted: strlen ==
+    octet_length for every row), so character substr ≡ byte slice and
+    DuckDB's string md5 matches Python's byte md5 exactly."""
+    from .operators.multimodal import N_FRAMES
+
+    return f"""
+WITH stepped AS (
+  SELECT doc_id, text,
+         GREATEST(GREATEST(strlen(text), 1) // {N_FRAMES}, 1) AS step
+  FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       CAST(strlen(substr(text, CAST(i * step + 1 AS BIGINT), CAST(step AS BIGINT))) AS INT) AS frame_bytes,
+       substr(md5(substr(text, CAST(i * step + 1 AS BIGINT), CAST(step AS BIGINT))), 1, 16) AS frame_digest
+FROM stepped, LATERAL (SELECT unnest(range(0, {N_FRAMES})) AS i) r
+"""
+
+
 def minhash_est_jaccard(sf_dir: str) -> str:
     n_bands = MINHASH_K // MINHASH_BAND_ROWS
     band_selects = []

@@ -190,9 +190,12 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_recall_sq8": oracles_vector.ann_recall_sq8,
     "streaming_ann_search": oracles_vector.ann_search_lsh,
     # batch-twin oracles: after the stream drains, the emitted sets equal
-    # the batch sessionizer / exact-dedup results (schemas matched)
+    # the batch sessionizer / exact-dedup / hourly-agg results (schemas
+    # matched to what the streaming output carries)
     "streaming_sessionize": lambda sf: oracles.streaming_sessionize(),
     "streaming_dedup_state": oracles_text.streaming_dedup_state,
+    "streaming_events_hourly": lambda sf: oracles.streaming_events_hourly(),
+    "multimodal_framesample": oracles_text.multimodal_framesample,
     # stream → partitioned store → pruned search is result-identical to the
     # in-memory batch search, so the same oracle gates the whole path
     "streaming_index_store": oracles_vector.ann_search_lsh,
