@@ -213,6 +213,12 @@ def corpus_curate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang_pred") == CORPUS_LANG)
             & (F.col("quality") >= CORPUS_QUALITY_TAU)
         )
+        # three downstream branches (repetition, contamination, kept) read
+        # the survivors; materialize once instead of re-running the scan +
+        # dedup window + gate expressions per branch (measured 2.8 → 2.2 s
+        # at sf0.1). localCheckpoint, not persist: blocks are dropped with
+        # the RDD instead of pinning the session (the r2 ivf lesson).
+        .localCheckpoint(eager=True)
     )
     stoks = F.split(F.col("text"), " ")
     # Gopher gate: dup-bigram ratio over survivors only (keep multiplicity)
