@@ -281,8 +281,15 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical 8-query search entries, the query side here is a whole
     table slice, exercising the per-partition top-k path at Q ≈ N/10.
 
-    Same scale shape as knn_exact: broadcast the (smaller) query side,
-    per-partition top-k before the single shuffle."""
+    Scale bound, stated honestly: this is the classic BLOCK strategy for a
+    brute-force kNN join — broadcast the smaller side, per-partition top-k
+    before the single shuffle — and it is exact and optimal while the query
+    slice fits executor memory (here Q·D·8 bytes). When BOTH sides are at
+    the 100 TB scale, exact kNN join is O(|A|·|B|) no matter the plan; the
+    engine's answer at that point is the IVF-scoped approximate form
+    (knn_graph's list-bounded pair step, with A and B assigned to the same
+    coarse quantizer), trading the documented Voronoi-boundary recall loss
+    for a Σ m² bound."""
     from ..constants import ANN_FILTER_LABEL
 
     emb = _emb(spark, sf_dir)
