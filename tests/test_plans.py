@@ -291,6 +291,41 @@ def test_sq8_codes_bounded_and_reconstruction_tight(spark):
     assert row.e <= 20_000
 
 
+def test_source_mix_corpus_never_shuffles_for_rates(spark):
+    """source_mix: the per-source rates join must broadcast — the corpus
+    scan-filter path carries no sort-merge join."""
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    df = textops.source_mix(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plans.broadcast_join_count(df) >= 1, plan
+
+
+def test_rolling_7d_single_exchange(spark):
+    """events_rolling_7d: one user-keyed exchange feeds the RANGE window —
+    no joins, no second shuffle."""
+    from elastik_nearest_neighbors_spark.operators import analytics
+
+    df = analytics.events_rolling_7d(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    # one Exchange node (formatted plans name each node twice: tree + detail)
+    assert plans.shuffle_count(df) <= 2, plan
+    assert plan.count("+- Exchange") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_semantic_doc_search_doc_join_is_broadcast(spark):
+    """semantic_doc_search: the final metadata join must broadcast the
+    Q·k answer against the documents scan, never sort-merge it."""
+    from elastik_nearest_neighbors_spark.operators import knn as knn_ops
+
+    df = knn_ops.semantic_doc_search(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plans.broadcast_join_count(df) >= 2, plan
+
+
 def test_curate_full_gates_are_broadcast(spark):
     """corpus_curate_full: repetition/contamination drop-lists and the
     benchmark gram set must apply as broadcast joins — the corpus side must
