@@ -673,10 +673,15 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     the store is patched via DYNAMIC PARTITION OVERWRITE — only the
     (tbl, bucket) directories that held or now hold a changed vector are
     rewritten (old rows minus changed ids, plus the re-hashed rows); the
-    untouched directories' files are not read or written. Searching the
-    patched store returns exactly what a full rebuild on the updated table
-    would — the oracle recomputes that rebuild in SQL. Idempotent: re-runs
-    rewrite the same dirs to the same content.
+    untouched directories' files are not read or written. Touched
+    directories whose rows were ALL changed vectors and that receive no
+    re-hashed row end up with zero surviving rows — dynamic overwrite skips
+    empty partitions, so those are deleted explicitly (otherwise their
+    stale old-hash files would survive and a changed vector could match
+    under both hashes). Searching the patched store returns exactly what a
+    full rebuild on the updated table would — the oracle recomputes that
+    rebuild in SQL. Idempotent: re-runs rewrite the same dirs to the same
+    content.
 
     At 100 TB this is the daily reality of an index: a delta of D changed
     vectors touches ≤ D·T directories of the T·n_buckets total."""
@@ -730,9 +735,25 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("vec_id", "tbl", "hash", "bucket")
         )
-        patched = existing.where(F.col("vec_id") % UPSERT_MOD != 0).unionByName(
-            new_b
+        # localCheckpoint BEFORE the overwrite: `patched` reads the same
+        # parquet path it is about to rewrite — materializing it first (the
+        # delta's ≤ D·T directories of rows, not the whole store) makes the
+        # read-then-overwrite safe instead of racing the scan against the
+        # truncation
+        patched = (
+            existing.where(F.col("vec_id") % UPSERT_MOD != 0)
+            .unionByName(new_b)
+            .localCheckpoint()
         )
+        # dynamic partition overwrite only rewrites partitions that receive
+        # rows: a touched (tbl, bucket) whose every row was a changed vector
+        # and that gains no re-hashed row has NO rows in `patched`, so its
+        # stale files would silently survive — find those and delete them
+        # explicitly (same ≤ D·T bound as `parts`)
+        live = {
+            (r.tbl, r.bucket)
+            for r in patched.select("tbl", "bucket").distinct().collect()
+        }
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -744,6 +765,15 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        import shutil
+
+        live_keys = {(int(x), int(y)) for x, y in live}
+        for t, b in parts:
+            if (int(t), int(b)) not in live_keys:
+                shutil.rmtree(
+                    os.path.join(store, f"tbl={t}", f"bucket={b}"),
+                    ignore_errors=True,
+                )
         open(marker, "w").close()
     return search_lsh_store(spark, sf_dir, store, emb=memb)
 

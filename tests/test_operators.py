@@ -345,14 +345,60 @@ def test_events_approx_distinct_within_tolerance(spark):
 def test_index_upsert_idempotent_and_differs_from_stale(spark):
     """Re-invoking index_upsert returns the identical row set (the patch is
     idempotent), and the updated store's answers differ from the original
-    index's (the update actually took effect for changed queries)."""
+    index's (the update actually took effect for changed queries). The run
+    marker is cleared between invocations so the dynamic-overwrite patch
+    itself executes twice — write idempotency, not just search repetition."""
+    import os
+
+    from elastik_nearest_neighbors_spark import io as enn_io
     from elastik_nearest_neighbors_spark.operators import knn as knn_ops
 
     a = sorted(map(tuple, knn_ops.index_upsert(spark, SF_SMALL).collect()))
+    os.remove(os.path.join(enn_io.scratch_dir("lsh_upsert", SF_SMALL), "UPSERTED"))
     b = sorted(map(tuple, knn_ops.index_upsert(spark, SF_SMALL).collect()))
     assert a == b
     orig = sorted(map(tuple, knn_ops.ann_search_lsh_q(spark, SF_SMALL).collect()))
     assert a != orig
+
+
+def test_index_upsert_store_equals_full_rebuild(spark):
+    """The patched store's PHYSICAL contents equal a from-scratch index of
+    the updated vector table — no stale old-hash row survives anywhere,
+    including in touched partitions left with zero rows (dynamic partition
+    overwrite alone skips those; index_upsert must delete them)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from elastik_nearest_neighbors_spark import io as enn_io
+    from elastik_nearest_neighbors_spark.operators import knn as knn_ops
+    from elastik_nearest_neighbors_spark.operators.lsh import (
+        build_index,
+        explode_hashes,
+    )
+
+    knn_ops.index_upsert(spark, SF_SMALL).collect()
+    store = os.path.join(enn_io.scratch_dir("lsh_upsert", SF_SMALL), "data")
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(store)
+            .select("vec_id", F.col("tbl").cast("int"), "hash")
+            .collect(),
+        )
+    )
+    emb = knn_ops._emb(spark, SF_SMALL)
+    model = knn_ops._model_for(emb, SF_SMALL)
+    memb = knn_ops._updated_emb(spark, SF_SMALL)
+    want = sorted(
+        map(
+            tuple,
+            explode_hashes(build_index(memb, model), "vec_id", "vec_id")
+            .select("vec_id", F.col("tbl").cast("int"), "hash")
+            .collect(),
+        )
+    )
+    assert got == want
 
 
 def test_source_mix_rates_and_bounds(spark):
