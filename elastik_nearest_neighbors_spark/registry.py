@@ -19,69 +19,27 @@ from .streaming import ingest
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-# ORDER MATTERS: the driver's correctness gate truncates at ~50 entries, in
-# registry order (r2 lesson: 48 operators shipped ungated because new keys
-# were appended at the back). Layout: (1) entries whose last driver verdict
-# was FAIL, (2) new-this-round operators, (3) never-driver-gated entries,
-# (4) r1-green-but-never-regated entries, then (5) the r2-proven greens —
-# those have their green row on record and rotate out of the window.
+# ORDER MATTERS: the driver's correctness gate truncates at EXACTLY the
+# first ~50 entries in registry order (r3 measured: 50 keys, ending at the
+# 50th entry — the r1-era block that sat at positions 51-62 was NOT gated
+# despite the old comment). Rotation policy: (1) entries whose code changed
+# this round or after their last driver row, (2) new-this-round keys,
+# (3) the oldest never-re-gated greens, (4) as much of the re-gate queue as
+# fits. Everything below the boundary has a green row on record from r1-r3
+# and rotates back into the window in later rounds. Goal invariant: every
+# entry's LATEST driver row is ≤1 round old.
 _QUERIES: dict[str, QueryFn] = {
-    # -- last driver verdict FAIL (fixed; must re-gate) --
-    "sq8_quantize": pq.sq8_quantize,
-    "streaming_index": ingest.streaming_index,
-    "multimodal_featurize": multimodal.multimodal_featurize,
-    # -- new in r3 --
-    "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
-    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
-    "ann_search_ivfpq": pq.ann_search_ivfpq,
-    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
-    "streaming_index_compact": ingest.streaming_index_compact,
-    "events_rolling_7d": analytics.events_rolling_7d,
-    "corpus_curate_full": textops.corpus_curate_full,
-    "knn_join": knn.knn_join,
-    "source_mix": textops.source_mix,
-    "events_dau_wau": analytics.events_dau_wau,
-    "semantic_doc_search": knn.semantic_doc_search,
+    # -- r4: code changed this round or after the entry's last driver row --
     "index_upsert": knn.index_upsert,
-    "ann_recall_sweep": knn.ann_recall_sweep,
-    # -- never driver-gated (r2 additions past the gate cut) --
-    "streaming_index_store": ingest.streaming_index_store,
-    "streaming_sliding_window": ingest.streaming_sliding_window,
+    "ann_search_lsh_store": knn.ann_search_lsh_store,
+    "corpus_curate_full": textops.corpus_curate_full,
+    "dup_clusters": dedup.dup_clusters,
     "multimodal_audio_stats": multimodal.multimodal_audio_stats,
-    "stratified_sample": textops.stratified_sample,
-    "doc_logprob": textops.doc_logprob,
-    "q7_volume_shipping": analytics.q7_volume_shipping,
-    "q10_returned_revenue": analytics.q10_returned_revenue,
-    "q18_large_orders": analytics.q18_large_orders,
-    "q13_customer_distribution": analytics.q13_customer_distribution,
-    "q15_top_supplier": analytics.q15_top_supplier,
-    "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
-    "sales_rollup": analytics.sales_rollup,
-    "q8_market_share": analytics.q8_market_share,
-    "q9_product_profit": analytics.q9_product_profit,
-    "q16_supplier_count": analytics.q16_supplier_count,
-    "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
-    "q22_dormant_customers": analytics.q22_dormant_customers,
-    "q12_priority_lateness": analytics.q12_priority_lateness,
-    "q21_waiting_supplier": analytics.q21_waiting_supplier,
-    "bucketed_join_revenue": analytics.bucketed_join_revenue,
-    "events_daily_pivot": analytics.events_daily_pivot,
-    "events_funnel": analytics.events_funnel,
-    "events_retention": analytics.events_retention,
-    "events_percentiles": analytics.events_percentiles,
-    "events_sliding_window": analytics.events_sliding_window,
-    "events_props_extract": analytics.events_props_extract,
-    "events_anomaly": analytics.events_anomaly,
-    "events_user_ltv": analytics.events_user_ltv,
-    # never gated, weaker rows-only check (or batch-twin oracle, r3)
-    "streaming_sessionize": ingest.streaming_sessionize,
-    "streaming_dedup_state": ingest.streaming_dedup_state,
-    # rows-only: HLL estimates are engine-specific (tolerance-tested instead)
     "events_approx_distinct": analytics.events_approx_distinct,
-    "streaming_events_hourly": ingest.streaming_events_hourly,
-    "streaming_sessionize_append": ingest.streaming_sessionize_append,
-    "multimodal_framesample": multimodal.multimodal_framesample,
-    # -- r1 green, never re-gated --
+    "streaming_index_store": ingest.streaming_index_store,
+    "streaming_index_compact": ingest.streaming_index_compact,
+    "streaming_index": ingest.streaming_index,
+    # -- r1 green, never re-gated since (oldest rows on record) --
     "streaming_ann_search": ingest.streaming_ann_search,
     "source_stats": analytics.source_stats,
     "events_asof_join": analytics.events_asof_join,
@@ -94,11 +52,9 @@ _QUERIES: dict[str, QueryFn] = {
     "q14_promo_revenue": analytics.q14_promo_revenue,
     "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
     "q6_revenue_delta": analytics.q6_revenue_delta,
-    # ---- ~gate window boundary (driver truncates around here) ----
-    # -- r2-proven greens (CORRECTNESS_r02 rows on record) --
+    # -- r2-era greens, re-gate rotation (vector core + minhash dedup) --
     "lsh_index": knn.lsh_index,
     "ann_search_lsh": knn.ann_search_lsh_q,
-    "ann_search_lsh_store": knn.ann_search_lsh_store,
     "knn_exact_euclidean": knn.knn_exact_euclidean_q,
     "knn_exact_cosine": knn.knn_exact_cosine_q,
     "knn_exact_mips": knn.knn_exact_mips_q,
@@ -123,8 +79,10 @@ _QUERIES: dict[str, QueryFn] = {
     "minhash_signatures": dedup.minhash_signatures,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_minhash_canonical": dedup.dedup_minhash_canonical,
-    "dup_clusters": dedup.dup_clusters,
     "minhash_est_jaccard": dedup.minhash_est_jaccard,
+    # ---- GATE WINDOW BOUNDARY: entry 48 is the last line above; keep new
+    # ---- keys ABOVE this line and push an equal number of entries below.
+    # -- r5 rotation queue: r2-era greens not re-gated in r4 --
     "dedup_simhash": dedup.dedup_simhash,
     "ngram_jaccard_join": dedup.ngram_jaccard_join,
     "lang_id": textops.lang_id,
@@ -144,6 +102,50 @@ _QUERIES: dict[str, QueryFn] = {
     "corpus_to_sequences": textops.corpus_to_sequences,
     "source_cap": textops.source_cap,
     "quality_quantile": textops.quality_quantile,
+    "stratified_sample": textops.stratified_sample,
+    "doc_logprob": textops.doc_logprob,
+    # -- r3-proven greens (fresh rows in CORRECTNESS_r03) --
+    "sq8_quantize": pq.sq8_quantize,
+    "multimodal_featurize": multimodal.multimodal_featurize,
+    "multimodal_framesample": multimodal.multimodal_framesample,
+    "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
+    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
+    "ann_search_ivfpq": pq.ann_search_ivfpq,
+    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
+    "events_rolling_7d": analytics.events_rolling_7d,
+    "knn_join": knn.knn_join,
+    "source_mix": textops.source_mix,
+    "events_dau_wau": analytics.events_dau_wau,
+    "semantic_doc_search": knn.semantic_doc_search,
+    "ann_recall_sweep": knn.ann_recall_sweep,
+    "streaming_sliding_window": ingest.streaming_sliding_window,
+    "streaming_sessionize": ingest.streaming_sessionize,
+    "streaming_dedup_state": ingest.streaming_dedup_state,
+    "streaming_events_hourly": ingest.streaming_events_hourly,
+    "streaming_sessionize_append": ingest.streaming_sessionize_append,
+    "q7_volume_shipping": analytics.q7_volume_shipping,
+    "q10_returned_revenue": analytics.q10_returned_revenue,
+    "q18_large_orders": analytics.q18_large_orders,
+    "q13_customer_distribution": analytics.q13_customer_distribution,
+    "q15_top_supplier": analytics.q15_top_supplier,
+    "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
+    "sales_rollup": analytics.sales_rollup,
+    "q8_market_share": analytics.q8_market_share,
+    "q9_product_profit": analytics.q9_product_profit,
+    "q16_supplier_count": analytics.q16_supplier_count,
+    "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
+    "q22_dormant_customers": analytics.q22_dormant_customers,
+    "q12_priority_lateness": analytics.q12_priority_lateness,
+    "q21_waiting_supplier": analytics.q21_waiting_supplier,
+    "bucketed_join_revenue": analytics.bucketed_join_revenue,
+    "events_daily_pivot": analytics.events_daily_pivot,
+    "events_funnel": analytics.events_funnel,
+    "events_retention": analytics.events_retention,
+    "events_percentiles": analytics.events_percentiles,
+    "events_sliding_window": analytics.events_sliding_window,
+    "events_props_extract": analytics.events_props_extract,
+    "events_anomaly": analytics.events_anomaly,
+    "events_user_ltv": analytics.events_user_ltv,
 }
 
 # oracle builders: sf_dir -> SQL
