@@ -790,6 +790,35 @@ def events_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated twin of events_approx_distinct: the sketch VALUE is
+    engine-specific (rows-only gate), but the sketch CONTRACT — the HLL++
+    estimate lands within 5% of the exact distinct count — is deterministic
+    and SQL-assertable. The oracle emits the exact counts with a literal
+    TRUE per group; this side emits the measured boolean, so the value-hash
+    matches iff every group's estimate honours the tolerance AND the exact
+    counts agree. Together the two entries gate both the scale path (the
+    sketch) and its accuracy claim.
+
+    Output: (event_type, n_events, exact_users, within_5pct)."""
+    configure(spark)
+    ev = io.table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("_approx") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("within_5pct"),
+    )
+
+
 def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by order priority through BUCKETED tables — the co-located
     fact⋈fact join strategy: orders and lineitem are written once bucketed

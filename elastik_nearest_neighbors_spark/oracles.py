@@ -172,6 +172,20 @@ FROM dau d JOIN wau w ON w.day = d.day
 """
 
 
+def events_approx_distinct_check() -> str:
+    """Tolerance-contract gate for the HLL entry: exact counts plus a
+    literal TRUE — the hash matches iff Spark's measured within_5pct
+    boolean is TRUE for every group (operators/analytics mirror)."""
+    return """
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+  TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+"""
+
+
 def events_rolling_7d() -> str:
     """Trailing-7-day RANGE window per user (operators/analytics mirror):
     frame peers are rows with equal epoch-ms, identical on both engines."""

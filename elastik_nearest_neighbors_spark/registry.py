@@ -36,6 +36,8 @@ _QUERIES: dict[str, QueryFn] = {
     "dup_clusters": dedup.dup_clusters,
     "multimodal_audio_stats": multimodal.multimodal_audio_stats,
     "events_approx_distinct": analytics.events_approx_distinct,
+    # new in r4: hash-gated tolerance twin of the HLL entry
+    "events_approx_distinct_check": analytics.events_approx_distinct_check,
     "streaming_index_store": ingest.streaming_index_store,
     "streaming_index_compact": ingest.streaming_index_compact,
     "streaming_index": ingest.streaming_index,
@@ -159,6 +161,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     # compacted store search ≡ batch search — same oracle as the other
     # store-backed paths
     "streaming_index_compact": oracles_vector.ann_search_lsh,
+    "events_approx_distinct_check": lambda sf: oracles.events_approx_distinct_check(),
     "events_rolling_7d": lambda sf: oracles.events_rolling_7d(),
     "corpus_curate_full": oracles_text.corpus_curate_full,
     "knn_join": oracles_vector.knn_join,

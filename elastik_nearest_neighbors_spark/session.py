@@ -62,4 +62,15 @@ def configure(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable on some builds; defaults are acceptable
+    # Correctness-critical confs must NOT be silently swallowed: a session
+    # where the timezone or nanos handling failed to apply would shift every
+    # event-time window/watermark (or refuse the testdata parquet) and
+    # produce silently-wrong results rather than an error. Fail loudly.
+    for k in ("spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong"):
+        got = spark.conf.get(k, None)
+        if got != conf[k]:
+            raise RuntimeError(
+                f"session conf {k!r} did not apply (got {got!r}, need "
+                f"{conf[k]!r}); event-time results would be wrong — refusing"
+            )
     return spark

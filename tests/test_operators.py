@@ -445,3 +445,33 @@ def test_curate_full_subset_of_clean(spark):
     clean = textops.corpus_clean(spark, SF_SMALL).toPandas()
     assert set(full.doc_id) <= set(clean.doc_id)
     assert not any(d % DECONTAM_MOD == 0 for d in full.doc_id)
+
+
+def test_configure_fails_loud_on_broken_timezone(spark):
+    """A session where the UTC timezone conf silently fails to apply must
+    raise instead of producing shifted event-time windows (configure used to
+    swallow every conf failure)."""
+    import pytest
+
+    from elastik_nearest_neighbors_spark.session import configure
+
+    class BrokenConf:
+        def __init__(self, real):
+            self._real = real
+
+        def set(self, k, v):
+            if k == "spark.sql.session.timeZone":
+                raise Exception("immutable on this build")
+            self._real.set(k, v)
+
+        def get(self, k, default=None):
+            if k == "spark.sql.session.timeZone":
+                return "America/New_York"
+            return self._real.get(k, default)
+
+    class FakeSpark:
+        def __init__(self, real):
+            self.conf = BrokenConf(real.conf)
+
+    with pytest.raises(RuntimeError, match="timeZone"):
+        configure(FakeSpark(spark))
