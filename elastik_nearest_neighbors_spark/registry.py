@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import oracles, oracles_text, oracles_vector
+from . import api, oracles, oracles_text, oracles_vector
 from .io import ORACLE_SF_DIR
 from .operators import analytics, dedup, ivf, knn, multimodal, pq, textops
 from .streaming import ingest
@@ -38,6 +38,8 @@ _QUERIES: dict[str, QueryFn] = {
     "events_approx_distinct": analytics.events_approx_distinct,
     # new in r4: hash-gated tolerance twin of the HLL entry
     "events_approx_distinct_check": analytics.events_approx_distinct_check,
+    # new in r4: EsAknn three-endpoint facade, gated by the shared oracle
+    "aknn_search_api": api.aknn_search_api,
     "streaming_index_store": ingest.streaming_index_store,
     "streaming_index_compact": ingest.streaming_index_compact,
     "streaming_index": ingest.streaming_index,
@@ -171,6 +173,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "index_upsert": oracles_vector.index_upsert,
     # store-backed search is result-identical to the in-memory path
     "ann_search_lsh_store": oracles_vector.ann_search_lsh,
+    # the facade drives the same model/index/search → same oracle
+    "aknn_search_api": oracles_vector.ann_search_lsh,
     "knn_exact_euclidean": oracles_vector.knn_exact_euclidean,
     "knn_exact_cosine": oracles_vector.knn_exact_cosine,
     "knn_exact_mips": oracles_vector.knn_exact_mips,

@@ -475,3 +475,27 @@ def test_configure_fails_loud_on_broken_timezone(spark):
 
     with pytest.raises(RuntimeError, match="timeZone"):
         configure(FakeSpark(spark))
+
+
+def test_aknn_facade_matches_lsh_search(spark):
+    """The EsAknn facade (reference param/field names, id-based search off
+    the STORED hashes) returns bit-identical results to the in-memory
+    ann_search_lsh path, and aknn_create reproduces the canonical model."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from elastik_nearest_neighbors_spark import api
+    from elastik_nearest_neighbors_spark import io as enn_io
+    from elastik_nearest_neighbors_spark.operators import knn as knn_ops
+
+    emb = enn_io.table(spark, SF_SMALL, "embeddings")
+    docs = emb.select(
+        F.col("vec_id").alias("_id"), F.col("embedding").alias("_aknn_vector")
+    )
+    model = api.aknn_create(docs)
+    canon = knn_ops._model_for(emb, SF_SMALL)
+    assert np.array_equal(model.normals, canon.normals)
+    assert np.array_equal(model.offsets, canon.offsets)
+    got = sorted(map(tuple, api.aknn_search_api(spark, SF_SMALL).collect()))
+    want = sorted(map(tuple, knn_ops.ann_search_lsh_q(spark, SF_SMALL).collect()))
+    assert got == want
