@@ -94,15 +94,61 @@ def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 AUDIO_WINDOWS = 4
-AUDIO_SCHEMA = "doc_id bigint, n_bytes int, window_idx int, rms double"
+AUDIO_SCHEMA = "doc_id bigint, n_bytes int, window_idx int, rms double, decoded boolean"
+# synthetic test-audio parameters (shared with the DuckDB oracle)
+WAV_SAMPLES = 256
+WAV_RATE = 8000
+WAV_A, WAV_B = 7919, 104729  # sample[k] = ((doc_id·A + k·B) mod 2^16) − 2^15
 
 
 def decode_audio(payload: bytes) -> "np.ndarray":
-    """Real decode path — requires an audio library not present here.
+    """REAL decode: parse an uncompressed RIFF/WAVE PCM16 payload with
+    struct + numpy (no audio library needed) and return float64 samples
+    (multi-channel downmixed by mean). Raises ValueError for anything that
+    is not PCM16 WAV — compressed formats would need soundfile/librosa."""
+    import struct
 
-    STUB: replace with soundfile/librosa decode in production."""
-    raise NotImplementedError(
-        "audio decoding requires soundfile/librosa; not available in this container"
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt, data, pos = None, None, 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, _rate, _byte_rate, _block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only PCM16 supported, got format={audio_format} bits={bits}")
+    x = np.frombuffer(data, dtype="<i2").astype(np.float64)
+    if n_channels > 1:
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    return x
+
+
+def synth_wav(doc_id: int, n: int = WAV_SAMPLES, rate: int = WAV_RATE) -> bytes:
+    """Deterministic mono PCM16 WAV: sample[k] = ((doc_id·A + k·B) mod 2^16)
+    − 2^15 — a real RIFF file the decoder parses, with samples the DuckDB
+    oracle regenerates from the same integer formula."""
+    import struct
+
+    k = np.arange(n, dtype=np.int64)
+    x = ((doc_id * WAV_A + k * WAV_B) % 65536 - 32768).astype("<i2")
+    data = x.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
     )
 
 
@@ -110,21 +156,24 @@ def audio_window_stats(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
     """binary audio payload → per-window RMS energy via mapInPandas — the
-    audio twin of featurize_binary (same batch shape, same stub contract).
-    The digest stand-in derives window w's RMS from md5(payload ∥ '#w'),
-    first 2 digest bytes / 65536 — exactly representable and reproducible
-    from SQL, so the registry entry is fully oracle-gated."""
+    audio twin of featurize_binary. PCM16 WAV payloads take the REAL decode
+    path (struct/numpy parser, actual sample math); anything else falls back
+    to the md5-digest stand-in, flagged decoded=false. RMS over int16
+    samples is bit-exact cross-engine: the squared sum is an exact int64
+    (≤ n·2^30 ≪ 2^53), and /n then sqrt are single correctly-rounded IEEE
+    ops — so the oracle reproduces the doubles bit-for-bit from SQL."""
 
     def run(batches):
         for pdf in batches:
-            out = {"doc_id": [], "n_bytes": [], "window_idx": [], "rms": []}
+            out = {"doc_id": [], "n_bytes": [], "window_idx": [], "rms": [], "decoded": []}
             for i, b in zip(pdf[id_col], pdf[payload_col]):
                 bb = bytes(b)
                 try:
-                    wave = decode_audio(bb)  # real path, stubbed here
+                    wave = decode_audio(bb)
                     win = np.array_split(np.asarray(wave, dtype=np.float64), AUDIO_WINDOWS)
                     vals = [float(np.sqrt(np.mean(w * w))) for w in win]
-                except NotImplementedError:
+                    ok = True
+                except ValueError:
                     vals = [
                         int.from_bytes(
                             hashlib.md5(bb + f"#{w}".encode()).digest()[:2], "big"
@@ -132,25 +181,40 @@ def audio_window_stats(
                         / 65536.0
                         for w in range(AUDIO_WINDOWS)
                     ]
+                    ok = False
                 for w, v in enumerate(vals):
                     out["doc_id"].append(i)
                     out["n_bytes"].append(len(bb))
                     out["window_idx"].append(w)
                     out["rms"].append(v)
+                    out["decoded"].append(ok)
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, AUDIO_SCHEMA)
 
 
-def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: documents' text bytes stand in for audio payloads
-    (same convention as multimodal_featurize). Fully oracle-gated — the
-    digest windows are reproducible from md5 hex in SQL.
+def _synth_wav_udf():
+    from pyspark.sql.functions import pandas_udf
 
-    Output: (doc_id, n_bytes, window_idx, rms)."""
+    @pandas_udf("binary")
+    def _synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(lambda d: synth_wav(int(d)))
+
+    return _synth
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: each document gets a deterministic synthetic PCM16
+    WAV payload (synth_wav), and the stats run through the REAL decode path
+    — RIFF parse, int16 samples, actual windowed RMS — not the digest stub.
+    The oracle regenerates the samples from the shared integer formula and
+    asserts decoded=TRUE on every row, so the gate fails if any payload
+    silently falls back to the stub.
+
+    Output: (doc_id, n_bytes, window_idx, rms, decoded)."""
     configure(spark)
     docs = io.table(spark, sf_dir, "documents", widen=True)
-    payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payload = docs.select("doc_id", _synth_wav_udf()(F.col("doc_id")).alias("payload"))
     return audio_window_stats(payload)
 
 

@@ -538,17 +538,38 @@ FROM documents, LATERAL (SELECT unnest(range(0, {FEATURE_DIM})) AS i) r
 
 
 def multimodal_audio_stats(sf_dir: str) -> str:
-    """Digest twin of operators/multimodal.audio_window_stats: window w's
-    RMS stand-in is md5(text || '#w') first 2 digest bytes (hex chars 1-4)
-    as a big-endian word / 65536."""
-    from .operators.multimodal import AUDIO_WINDOWS
+    """REAL-decode twin of operators/multimodal.multimodal_audio_stats: the
+    Spark side synthesizes a PCM16 WAV per doc (sample[k] = ((doc_id·A +
+    k·B) mod 2^16) − 2^15) and decodes it back with the struct/numpy RIFF
+    parser; this oracle regenerates the identical samples from the shared
+    integer formula and recomputes windowed RMS. Bit-exact: the squared sum
+    is an exact int64, and /n then sqrt are single correctly-rounded IEEE
+    ops in both engines. decoded is literal TRUE — the hash gate fails if
+    any Spark row fell back to the digest stub."""
+    from .operators.multimodal import (
+        AUDIO_WINDOWS,
+        WAV_A,
+        WAV_B,
+        WAV_SAMPLES,
+    )
 
+    per_win = WAV_SAMPLES // AUDIO_WINDOWS
+    n_bytes = 44 + 2 * WAV_SAMPLES  # RIFF+fmt+data headers + PCM16 payload
     return f"""
+WITH ks AS (SELECT unnest(range(0, {WAV_SAMPLES})) AS k),
+s AS (
+  SELECT d.doc_id,
+         ks.k // {per_win} AS window_idx,
+         ((d.doc_id * {WAV_A} + ks.k * {WAV_B}) % 65536) - 32768 AS x
+  FROM documents d, ks
+)
 SELECT doc_id,
-       CAST(strlen(text) AS INT) AS n_bytes,
-       CAST(w AS INT) AS window_idx,
-       (('0x' || substr(md5(text || '#' || w), 1, 4))::BIGINT) / 65536.0 AS rms
-FROM documents, LATERAL (SELECT unnest(range(0, {AUDIO_WINDOWS})) AS w) r
+       CAST({n_bytes} AS INT) AS n_bytes,
+       CAST(window_idx AS INT) AS window_idx,
+       sqrt(CAST(SUM(x * x) AS DOUBLE) / {per_win}) AS rms,
+       TRUE AS decoded
+FROM s
+GROUP BY doc_id, window_idx
 """
 
 
