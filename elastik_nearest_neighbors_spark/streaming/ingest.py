@@ -36,6 +36,36 @@ def _event_time(df: DataFrame) -> DataFrame:
     return io.normalize_ts(df, "ts")
 
 
+# How many files the multi-batch source splits the input into; with
+# maxFilesPerTrigger=1 an availableNow drain provably runs this many
+# micro-batches (the single-file testdata would otherwise collapse every
+# "incremental" proof into one batch).
+STREAM_SPLIT_FILES = 4
+
+
+def _split_source(batch: DataFrame, out: str, n: int = STREAM_SPLIT_FILES) -> str:
+    """Write `batch` once as n parquet files under `out`/src and return the
+    path — the stand-in for a directory that accumulated n ingest drops."""
+    import os
+
+    src_dir = f"{out}/src"
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        batch.repartition(n).write.mode("overwrite").parquet(src_dir)
+    return src_dir
+
+
+def _record_batches(q, out: str) -> None:
+    """Persist how many non-empty micro-batches the FIRST build ran (the
+    checkpointed re-invocation is a no-op and must not overwrite it)."""
+    import os
+
+    path = os.path.join(out, "NUM_BATCHES")
+    if not os.path.exists(path):
+        n = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+        with open(path, "w") as fh:
+            fh.write(str(n))
+
+
 def streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream vectors in, hash incrementally, append to a parquet index.
 
@@ -50,16 +80,16 @@ def streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     batch = io.table(spark, sf_dir, "embeddings")
     model = lsh_model_for(sf_dir)
+    out = io.scratch_dir("stream_idx", sf_dir)
     src = (
         spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_split_source(batch, out))
     )
     hashed = build_index(src, model).select("vec_id", "hashes")
     exploded = explode_hashes(hashed, "vec_id", "vec_id").select(
         "vec_id", F.col("tbl").cast("int").alias("tbl"), "hash"
     )
-    out = io.scratch_dir("stream_idx", sf_dir)
     q = (
         exploded.writeStream.format("parquet")
         .option("path", f"{out}/data")
@@ -68,16 +98,21 @@ def streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
+    _record_batches(q, out)
     return spark.read.parquet(f"{out}/data")
 
 
 def _ensure_stream_store(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per process) the stream-appended (tbl, bucket)-partitioned
-    LSH store and return its path. Each micro-batch is hashed and APPENDED
-    via foreachBatch, clustered on the partition keys before the write (one
-    file per touched directory per batch — the same write shape
-    save_lsh_index uses); the checkpoint makes re-invocations no-ops
-    instead of duplicate appends."""
+    LSH store and return its path. The source is split into
+    STREAM_SPLIT_FILES files and rate-limited to one file per trigger, so
+    the availableNow drain PROVABLY runs multiple micro-batches (recorded
+    in `out`/NUM_BATCHES, asserted >1 in tests) — each micro-batch is
+    hashed and APPENDED via foreachBatch, clustered on the partition keys
+    before the write (one file per touched directory per batch — the same
+    write shape save_lsh_index uses); the checkpoint makes re-invocations
+    no-ops instead of duplicate appends, which is the exactly-once
+    contract the oracle then certifies content-wise."""
     from ..operators.lsh import explode_hashes
     from ..oracles_vector import lsh_model_for
     from ..sources.index_store import DEFAULT_HASH_BUCKETS
@@ -89,8 +124,8 @@ def _ensure_stream_store(spark: SparkSession, sf_dir: str) -> str:
     store = f"{out}/data"
     src = (
         spark.readStream.schema(batch.schema)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_split_source(batch, out))
     )
     hashed = build_index(src, model).select("vec_id", "hashes")
     exploded = explode_hashes(hashed, "vec_id", "vec_id").select(
@@ -115,6 +150,7 @@ def _ensure_stream_store(spark: SparkSession, sf_dir: str) -> str:
         .start()
     )
     q.awaitTermination(300)
+    _record_batches(q, out)
     return store
 
 
@@ -407,3 +443,66 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                    n_events, sum_value
             FROM {name}"""
     )
+
+
+# ---- Kafka source variant (the reference's production ingestion path) ----
+
+KAFKA_BOOTSTRAP_ENV = "ENN_KAFKA_BOOTSTRAP"
+VECTOR_JSON_SCHEMA = "vec_id bigint, embedding array<double>"
+
+
+def kafka_vector_source(spark: SparkSession, topic: str = "vectors") -> DataFrame:
+    """The reference's actual ingestion source (Kafka consumer → batched
+    `_aknn_index`): Structured Streaming's kafka connector with JSON
+    {vec_id, embedding} payloads. Enabled by ENN_KAFKA_BOOTSTRAP=host:port —
+    no broker ships in this sandbox, so the multi-file split source above
+    stands in for incremental arrival in the gated entries. The swap is
+    source-only: everything downstream of the returned DataFrame (hash UDF,
+    exploded append, store layout, checkpointing) is identical."""
+    import os
+
+    bootstrap = os.environ.get(KAFKA_BOOTSTRAP_ENV)
+    if not bootstrap:
+        raise RuntimeError(
+            f"Kafka source disabled: set {KAFKA_BOOTSTRAP_ENV}=host:port"
+        )
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), VECTOR_JSON_SCHEMA).alias("v")
+    ).select("v.*")
+
+
+def streaming_index_kafka(
+    spark: SparkSession, sf_dir: str, topic: str = "vectors"
+) -> DataFrame:
+    """streaming_index with the Kafka source swapped in — same model, same
+    hash pass, same exploded parquet sink; exactly-once from Kafka offsets
+    plus the checkpointed file sink. Test is skipped unless a broker is
+    configured (tests/test_operators.py)."""
+    from ..operators.lsh import explode_hashes
+    from ..oracles_vector import lsh_model_for
+
+    configure(spark)
+    model = lsh_model_for(sf_dir)
+    hashed = build_index(kafka_vector_source(spark, topic), model).select(
+        "vec_id", "hashes"
+    )
+    exploded = explode_hashes(hashed, "vec_id", "vec_id").select(
+        "vec_id", F.col("tbl").cast("int").alias("tbl"), "hash"
+    )
+    out = io.scratch_dir("stream_idx_kafka", sf_dir)
+    q = (
+        exploded.writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{out}/data")

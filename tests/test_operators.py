@@ -539,3 +539,38 @@ def test_audio_stats_all_real_decoded(spark):
     assert pdf.decoded.all()
     assert (pdf.rms > 0).all() and (pdf.rms <= 32768.0).all()
     assert set(pdf.window_idx) == set(range(mm.AUDIO_WINDOWS))
+
+
+def test_streaming_store_append_runs_multiple_batches(spark):
+    """The stream-appended store must be built across >1 micro-batch (the
+    split source + maxFilesPerTrigger=1 rate limit), proving the
+    exactly-once append path incrementally — not a single-batch drain that
+    would make 'streaming' vacuous. Content equality with the batch index
+    is separately oracle-gated."""
+    import os
+
+    from elastik_nearest_neighbors_spark import io as enn_io
+    from elastik_nearest_neighbors_spark.streaming import ingest
+
+    ingest.streaming_index_store(spark, SF_SMALL).collect()
+    out = enn_io.scratch_dir("lsh_stream_store", SF_SMALL)
+    n = int(open(os.path.join(out, "NUM_BATCHES")).read())
+    assert n > 1, f"stream drained in {n} micro-batch(es)"
+
+
+def test_streaming_index_kafka_requires_broker(spark):
+    """Without ENN_KAFKA_BOOTSTRAP the Kafka variant refuses loudly; with a
+    broker it runs the identical downstream pipeline (skipped here — no
+    broker in this container)."""
+    import os
+
+    import pytest
+
+    from elastik_nearest_neighbors_spark.streaming import ingest
+
+    if os.environ.get(ingest.KAFKA_BOOTSTRAP_ENV):
+        got = ingest.streaming_index_kafka(spark, SF_SMALL)
+        assert got.count() >= 0
+    else:
+        with pytest.raises(RuntimeError, match="Kafka source disabled"):
+            ingest.kafka_vector_source(spark)
