@@ -299,44 +299,56 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the verified minhash near-dup graph —
-    the TRANSITIVE closure dedup_minhash_canonical deliberately stops short
-    of (single-hop): a chain a~b~c collapses to one cluster here.
+def _connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 50
+) -> DataFrame:
+    """Min-label connected components with POINTER DOUBLING.
 
-    Iterative min-label propagation: label(v) ← min(label(v), min over
-    neighbors label(u)) until fixpoint. Dup clusters have tiny diameter
-    (exact-dup cliques + short near-dup chains), so this converges in a few
-    rounds; each round is one co-partitioned join + groupBy on doc_id, and
-    the driver-side loop checks a scalar changed-count (the standard Spark
-    shape for label propagation; at 100 TB the same loop runs with
-    checkpointing every few rounds to cut lineage).
+    Each round does two things:
+    1. neighbor propagation — label(v) ← min(label(v), min over neighbors
+       label(u)): one co-partitioned join + groupBy;
+    2. pointer jump — label(v) ← label(label(v)): labels only ever hold ids
+       of REACHABLE nodes (induction: neighbors are reachable, and the
+       label of a reachable node is reachable through it), so jumping stays
+       correct while letting a label travel twice as far per round.
+    Together the min label reaches every node in O(log diameter) rounds —
+    a 2^50-hop chain would converge inside the cap, vs O(diameter) for
+    plain propagation (near-dup graphs are usually shallow, but chain-like
+    template corpora are exactly the adversarial case at 100 TB).
 
-    Output: (doc_id, cluster_id) with cluster_id = min doc_id reachable.
-    """
-    docs = _docs(spark, sf_dir)
-    near = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    nodes: (doc_id,); edges: (doc_a, doc_b), treated as undirected.
+    Output: (doc_id, cluster_id) with cluster_id = min doc_id reachable."""
     # materialize the edge list ONCE — every propagation round reuses it,
-    # and without this the whole minhash pipeline would re-execute per round
-    edges = near.unionAll(
-        near.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    # and without this the upstream pipeline would re-execute per round
+    sym = edges.unionAll(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
+    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
         eager=True
     )
-    # fixpoint loop: bounded by graph diameter; the hard cap keeps worst-case
-    # adversarial chains from looping forever (documented approximation
-    # beyond 50 hops — unreachable for dup graphs in practice)
-    for _ in range(50):
-        from_nbr = edges.join(
+    for _ in range(max_rounds):
+        from_nbr = sym.join(
             labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
         ).select(F.col("doc_a").alias("doc_id"), "cluster_id")
-        # localCheckpoint truncates lineage so round N's plan doesn't stack
-        # N copies of the join, and lets the changed-count reuse the result
-        new_labels = (
+        merged = (
             labels.unionAll(from_nbr)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        # pointer jump: look up the label OF the label (cluster_id is itself
+        # a doc_id). Left join + coalesce: the parent always exists in
+        # `merged`, but stay total if a caller passes edges mentioning
+        # nodes absent from `nodes`.
+        parent = merged.select(
+            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("jump")
+        )
+        # localCheckpoint truncates lineage so round N's plan doesn't stack
+        # N copies of the join, and lets the changed-count reuse the result
+        new_labels = (
+            merged.join(parent, "cluster_id", "left")
+            .select(
+                "doc_id", F.coalesce("jump", "cluster_id").alias("cluster_id")
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -350,6 +362,20 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified minhash near-dup graph —
+    the TRANSITIVE closure dedup_minhash_canonical deliberately stops short
+    of (single-hop): a chain a~b~c collapses to one cluster here.
+    Delegates to _connected_components (min-label propagation + pointer
+    doubling, O(log diameter) rounds — see its docstring).
+
+    Output: (doc_id, cluster_id) with cluster_id = min doc_id reachable.
+    """
+    docs = _docs(spark, sf_dir)
+    near = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return _connected_components(docs.select("doc_id"), near)
 
 
 def minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -574,3 +574,22 @@ def test_streaming_index_kafka_requires_broker(spark):
     else:
         with pytest.raises(RuntimeError, match="Kafka source disabled"):
             ingest.kafka_vector_source(spark)
+
+
+def test_connected_components_long_path_logarithmic(spark):
+    """Pointer doubling must collapse a 200-node path graph (diameter 199)
+    to one cluster within ~log2(199)+slack rounds — plain propagation
+    would need 199 rounds and leave most labels wrong under this cap."""
+    from elastik_nearest_neighbors_spark.operators.dedup import (
+        _connected_components,
+    )
+
+    n = 200
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    edges = (
+        spark.range(n - 1)
+        .selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    )
+    labels = _connected_components(nodes, edges, max_rounds=12).toPandas()
+    assert len(labels) == n
+    assert (labels.cluster_id == 0).all()
