@@ -1,17 +1,22 @@
 """Multimodal column plumbing (SURVEY §2 #9).
 
 The reference's pipeline decodes images and extracts MobileNet feature
-vectors before indexing. This container has no image/audio libraries, so the
-DECODE STEP IS STUBBED (`decode_image` raises NotImplementedError; the
-featurizer falls back to a deterministic digest-based fake). Everything
-Spark-side is real and tested: the opaque `binary` payload column with a
-typed metadata struct, Arrow-batched `mapInPandas` with a stable output
-schema, and the downstream hand-off into the LSH indexer.
+vectors before indexing. The container has no PIL/cv2/ffmpeg, so decoding is
+limited to formats parseable with struct + numpy alone — which is enough for
+REAL decode paths on all three modalities: uncompressed 24-bit BMP images
+(`decode_image`), PCM16 RIFF/WAVE audio (`decode_audio`), and a BMP-frame
+video container (`decode_video`). Compressed formats (JPEG/MP3/H.264) would
+slot into the same `mapInPandas` pipelines once the codec libraries exist;
+payloads the parsers reject fall back to a deterministic digest stand-in,
+flagged `decoded=false`. Everything Spark-side is real and tested: the
+opaque `binary` payload column, Arrow-batched `mapInPandas` with stable
+output schemas, and the downstream hand-off into the LSH indexer.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pandas as pd
@@ -22,18 +27,85 @@ from .. import io
 from ..session import configure
 
 FEATURE_DIM = 8
-FEATURIZE_SCHEMA = "doc_id bigint, n_bytes int, mime string, features array<double>"
+FEATURIZE_SCHEMA = (
+    "doc_id bigint, n_bytes int, mime string, features array<double>, decoded boolean"
+)
+
+# synthetic test-image parameters (shared with the DuckDB oracle):
+# pixel[k, c] = (seed + k·B + c·C) mod 256, k the top-down linear index,
+# c ∈ {0:R, 1:G, 2:B}; seed = doc_id·A for still images. W=18 makes the
+# 54-byte BMP row stride pad to 56 — the decoder's padding path is exercised
+# on every payload, not just in unit tests.
+IMG_W, IMG_H = 18, 9
+IMG_A, IMG_B, IMG_C = 7907, 151, 101
+_BMP_HDR = 54  # 14-byte file header + 40-byte BITMAPINFOHEADER
+
+
+def _bmp_stride(w: int) -> int:
+    return (w * 3 + 3) // 4 * 4
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """Real decode path — requires an image library not present here.
+    """REAL decode: parse an uncompressed 24-bit BMP (BITMAPINFOHEADER)
+    with struct + numpy — no image library needed. Returns (h, w, 3) uint8
+    RGB. Raises ValueError for anything else (compressed/paletted formats
+    would need PIL/cv2)."""
+    if len(payload) < _BMP_HDR or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, w, h, planes, bpp, compression = struct.unpack("<IiiHHI", payload[14:34])
+    if hdr_size < 40 or bpp != 24 or compression != 0 or planes != 1:
+        raise ValueError(f"only uncompressed 24-bit BMP supported, got bpp={bpp} comp={compression}")
+    flip = h > 0  # positive height = bottom-up row order (the common case)
+    h = abs(h)
+    stride = _bmp_stride(w)
+    data = payload[data_off : data_off + stride * h]
+    if len(data) != stride * h:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+    px = rows.reshape(h, w, 3)[:, :, ::-1]  # BGR storage → RGB
+    return px[::-1] if flip else px
 
-    STUB: replace with PIL/cv2 decode + model inference in production."""
-    raise NotImplementedError("image decoding requires PIL/cv2; not available in this container")
+
+def synth_bmp(seed: int, w: int = IMG_W, h: int = IMG_H) -> bytes:
+    """Deterministic 24-bit BMP: pixel[k, c] = (seed + k·B + c·C) mod 256 —
+    a real bottom-up, row-padded BMP file the decoder parses back, with
+    values the DuckDB oracle regenerates from the same integer formula."""
+    k = np.arange(w * h, dtype=np.int64)[:, None]
+    c = np.arange(3, dtype=np.int64)[None, :]
+    px = ((seed + k * IMG_B + c * IMG_C) % 256).astype(np.uint8).reshape(h, w, 3)
+    stride = _bmp_stride(w)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    size = _BMP_HDR + stride * h
+    return (
+        b"BM"
+        + struct.pack("<IHHI", size, 0, 0, _BMP_HDR)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 2835, 2835, 0, 0)
+        + rows.tobytes()
+    )
+
+
+def image_features(px: "np.ndarray") -> list[float]:
+    """8 decoded-pixel features, bit-exact cross-engine: per-channel mean
+    (0-2), per-channel RMS (3-5), global mean (6), global max/255 (7). Each
+    is an exact integer sum (≪ 2^53) followed by one or two correctly-
+    rounded IEEE ops (divide, sqrt), so the DuckDB oracle reproduces the
+    identical doubles from SQL aggregates over the shared pixel formula."""
+    x = np.asarray(px, dtype=np.int64)
+    n = x.shape[0] * x.shape[1]
+    ch_sum = x.sum(axis=(0, 1))
+    ch_sq = (x * x).sum(axis=(0, 1))
+    return (
+        [float(s / n) for s in ch_sum]
+        + [float(np.sqrt(s2 / n)) for s2 in ch_sq]
+        + [float(x.sum() / (3 * n)), float(x.max() / 255.0)]
+    )
 
 
 def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic digest-based stand-in features in [0, 1)."""
+    """Deterministic digest-based stand-in features in [0, 1) — the
+    fallback for payloads the BMP parser rejects."""
     d = hashlib.md5(payload).digest()
     return [int.from_bytes(d[2 * i : 2 * i + 2], "big") / 65536.0 for i in range(dim)]
 
@@ -41,48 +113,64 @@ def fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 def featurize_binary(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
     """binary payload → feature vector via Arrow-batched mapInPandas.
 
-    Batch shape: each pandas batch holds ≤ arrow.maxRecordsPerBatch rows;
-    per-batch numpy work, no per-row Python overhead beyond the decode call.
+    BMP payloads take the REAL decode path (struct/numpy parser, features
+    over actual pixels); anything else falls back to the md5-digest
+    stand-in, flagged decoded=false. Batch shape: each pandas batch holds
+    ≤ arrow.maxRecordsPerBatch rows; per-batch numpy work, no per-row
+    Python overhead beyond the decode call.
     """
 
     def run(batches):
         for pdf in batches:
             payloads = pdf[payload_col]
-            feats = []
+            feats, decoded = [], []
             for b in payloads:
-                # append in BOTH paths so rows stay aligned once the real
-                # decode exists (a decoded row must still emit its features)
+                bb = bytes(b)
                 try:
-                    img = decode_image(bytes(b))  # real path, stubbed here
-                    feats.append(np.asarray(img, dtype=np.float64)[:FEATURE_DIM].tolist())
-                except NotImplementedError:
-                    feats.append(fake_features(bytes(b)))
+                    feats.append(image_features(decode_image(bb)))
+                    decoded.append(True)
+                except ValueError:
+                    feats.append(fake_features(bb))
+                    decoded.append(False)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": [len(bytes(b)) for b in payloads],
                     "mime": pdf["mime"],
                     "features": feats,
+                    "decoded": decoded,
                 }
             )
 
     return df.mapInPandas(run, FEATURIZE_SCHEMA)
 
 
+def _synth_bmp_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(lambda d: synth_bmp(int(d) * IMG_A))
+
+    return _synth
+
+
 def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: documents' text bytes stand in for image payloads.
+    """Registry entry: each document gets a deterministic synthetic 24-bit
+    BMP payload (synth_bmp), and featurization runs through the REAL decode
+    path — BMP parse, actual pixel statistics — not the digest stub. The
+    oracle regenerates the pixels from the shared integer formula and
+    asserts decoded=TRUE on every row, so the gate fails if any payload
+    silently falls back to the stub.
 
     Output is LONG format — one row per (doc, feature dim), flat scalars
-    only (array columns aren't canonicalizable by the gate). The digest
-    features are 16-bit words / 65536 (exactly representable doubles), so
-    a DuckDB oracle reproduces them bit-for-bit from md5 hex substrings —
-    this query is fully oracle-gated, stub decode and all."""
+    only (array columns aren't canonicalizable by the gate)."""
     configure(spark)
     docs = io.table(spark, sf_dir, "documents", widen=True)
     payload = docs.select(
         "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
-        F.lit("text/plain").alias("mime"),
+        _synth_bmp_udf()(F.col("doc_id")).alias("payload"),
+        F.lit("image/bmp").alias("mime"),
     )
     wide = featurize_binary(payload)
     return wide.select(
@@ -90,6 +178,7 @@ def multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "mime",
         F.posexplode("features").alias("feat_idx", "feature"),
+        "decoded",
     )
 
 
@@ -219,48 +308,119 @@ def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_FRAMES = 4
-FRAMESAMPLE_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_digest string"
+FRAMESAMPLE_SCHEMA = (
+    "doc_id bigint, frame_idx int, src_frame int, frame_w int, frame_h int,"
+    " frame_mean double, frame_rms double, decoded boolean"
+)
+# synthetic test-video parameters (shared with the DuckDB oracle): VID_FRAMES
+# BMP frames of VID_W×VID_H in an RVID container; frame f of doc d has pixel
+# seed d·IMG_A + f·VID_D, so every (frame, pixel, channel) value is the same
+# integer formula the image path uses, shifted per frame.
+VID_FRAMES = 8
+VID_W, VID_H = 10, 6
+VID_D = 4099
+_RVID_MAGIC = b"RVID"
 
 
 def decode_video(payload: bytes) -> "np.ndarray":
-    """Real decode path — requires a video library not present here.
+    """REAL decode: parse the RVID container (magic + u32 frame count, then
+    length-prefixed BMP frames) and decode every frame through decode_image.
+    Returns (n_frames, h, w, 3) uint8 RGB. Raises ValueError for anything
+    else — real codecs (H.264 etc.) would need pyav/ffmpeg, but the frame-
+    extraction pipeline downstream is identical."""
+    if len(payload) < 8 or payload[:4] != _RVID_MAGIC:
+        raise ValueError("not an RVID payload")
+    (n_frames,) = struct.unpack("<I", payload[4:8])
+    frames, pos = [], 8
+    for _ in range(n_frames):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated RVID frame table")
+        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        frames.append(decode_image(payload[pos + 4 : pos + 4 + ln]))
+        pos += 4 + ln
+    if not frames:
+        raise ValueError("empty RVID container")
+    return np.stack(frames)
 
-    STUB: replace with pyav/ffmpeg frame extraction in production."""
-    raise NotImplementedError("video decoding requires pyav/ffmpeg; not available in this container")
+
+def synth_video(doc_id: int, n_frames: int = VID_FRAMES) -> bytes:
+    """Deterministic RVID container of synth_bmp frames."""
+    out = [_RVID_MAGIC, struct.pack("<I", n_frames)]
+    for f in range(n_frames):
+        b = synth_bmp(doc_id * IMG_A + f * VID_D, w=VID_W, h=VID_H)
+        out.append(struct.pack("<I", len(b)))
+        out.append(b)
+    return b"".join(out)
 
 
 def frame_sample_binary(df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id") -> DataFrame:
-    """video-as-binary → N_FRAMES evenly spaced frames via mapInPandas.
-
-    The decode is stubbed (no video libs): each 'frame' is the byte-slice at
-    its sample offset, digested deterministically. The Spark plumbing — one
-    output row per (doc, frame), stable schema, Arrow batching, even spacing
-    arithmetic — is exactly the production shape."""
+    """video-as-binary → N_FRAMES evenly spaced decoded frames via
+    mapInPandas: one output row per (doc, sampled frame) with the source
+    frame index and bit-exact pixel statistics (mean, RMS — same exact-
+    integer-sum + single-IEEE-op contract as image_features). RVID payloads
+    take the REAL decode path; anything else falls back to byte-slice
+    digests (frame_w/h = 0, decoded = false)."""
 
     def run(batches):
         for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_digest": []}
+            rows = {
+                "doc_id": [], "frame_idx": [], "src_frame": [], "frame_w": [],
+                "frame_h": [], "frame_mean": [], "frame_rms": [], "decoded": [],
+            }
             for did, b in zip(pdf[id_col], pdf[payload_col]):
                 raw = bytes(b)
                 try:
-                    decode_video(raw)  # real path, stubbed in this container
-                except NotImplementedError:
+                    vid = decode_video(raw).astype(np.int64)
+                    n_frames, h, w = vid.shape[0], vid.shape[1], vid.shape[2]
+                    step = max(n_frames // N_FRAMES, 1)
+                    n_vals = 3 * h * w
+                    for i in range(N_FRAMES):
+                        src = min(i * step, n_frames - 1)
+                        x = vid[src]
+                        rows["doc_id"].append(did)
+                        rows["frame_idx"].append(i)
+                        rows["src_frame"].append(src)
+                        rows["frame_w"].append(w)
+                        rows["frame_h"].append(h)
+                        rows["frame_mean"].append(float(x.sum() / n_vals))
+                        rows["frame_rms"].append(float(np.sqrt((x * x).sum() / n_vals)))
+                        rows["decoded"].append(True)
+                except ValueError:
                     n = max(len(raw), 1)
                     step = max(n // N_FRAMES, 1)
                     for i in range(N_FRAMES):
                         sl = raw[i * step : i * step + step]
+                        d = hashlib.md5(sl).digest()
                         rows["doc_id"].append(did)
                         rows["frame_idx"].append(i)
-                        rows["frame_bytes"].append(len(sl))
-                        rows["frame_digest"].append(hashlib.md5(sl).hexdigest()[:16])
+                        rows["src_frame"].append(i)
+                        rows["frame_w"].append(0)
+                        rows["frame_h"].append(0)
+                        rows["frame_mean"].append(int.from_bytes(d[:2], "big") / 65536.0)
+                        rows["frame_rms"].append(int.from_bytes(d[2:4], "big") / 65536.0)
+                        rows["decoded"].append(False)
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, FRAMESAMPLE_SCHEMA)
 
 
+def _synth_video_udf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(doc_ids: pd.Series) -> pd.Series:
+        return doc_ids.map(lambda d: synth_video(int(d)))
+
+    return _synth
+
+
 def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry: documents' text bytes stand in for video payloads."""
+    """Registry entry: each document gets a deterministic synthetic RVID
+    video payload (VID_FRAMES BMP frames), and sampling runs through the
+    REAL decode path — container parse, per-frame BMP decode, actual pixel
+    statistics. The oracle regenerates every sampled frame's pixels from
+    the shared integer formula and asserts decoded=TRUE on every row."""
     configure(spark)
     docs = io.table(spark, sf_dir, "documents", widen=True)
-    payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    payload = docs.select("doc_id", _synth_video_udf()(F.col("doc_id")).alias("payload"))
     return frame_sample_binary(payload)

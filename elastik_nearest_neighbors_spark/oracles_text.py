@@ -522,18 +522,53 @@ GROUP BY doc_id
 
 
 def multimodal_featurize(sf_dir: str) -> str:
-    """Digest-features twin of operators/multimodal.fake_features: feature i
-    is md5-digest bytes [2i, 2i+2) as a big-endian word / 65536 — i.e. hex
-    chars [4i, 4i+4), exactly representable as a double on both engines."""
-    from .operators.multimodal import FEATURE_DIM
+    """REAL-decode twin of operators/multimodal.multimodal_featurize: the
+    Spark side synthesizes a 24-bit BMP per doc (pixel[k, c] = (doc_id·A +
+    k·B + c·C) mod 256) and decodes it back with the struct/numpy BMP
+    parser; this oracle regenerates the identical pixels from the shared
+    integer formula and recomputes the 8 features. Bit-exact: every feature
+    is an exact integer sum (≪ 2^53) followed by one or two correctly-
+    rounded IEEE ops (divide, sqrt). decoded is literal TRUE — the hash
+    gate fails if any Spark row fell back to the digest stub."""
+    from .operators.multimodal import (
+        IMG_A,
+        IMG_B,
+        IMG_C,
+        IMG_H,
+        IMG_W,
+        _bmp_stride,
+    )
 
+    n_px = IMG_W * IMG_H
+    n_bytes = 54 + _bmp_stride(IMG_W) * IMG_H  # headers + padded pixel rows
     return f"""
-SELECT doc_id,
-       CAST(strlen(text) AS INT) AS n_bytes,
-       'text/plain' AS mime,
-       CAST(i AS INT) AS feat_idx,
-       (('0x' || substr(md5(text), 4 * i + 1, 4))::BIGINT) / 65536.0 AS feature
-FROM documents, LATERAL (SELECT unnest(range(0, {FEATURE_DIM})) AS i) r
+WITH px AS (
+  SELECT d.doc_id, c.c,
+         (d.doc_id * {IMG_A} + k.k * {IMG_B} + c.c * {IMG_C}) % 256 AS v
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, {n_px})) AS k) k,
+       LATERAL (SELECT unnest(range(0, 3)) AS c) c
+),
+byc AS (
+  SELECT doc_id, c, SUM(v) AS s, SUM(v * v) AS s2 FROM px GROUP BY doc_id, c
+),
+tot AS (
+  SELECT doc_id, SUM(v) AS s, MAX(v) AS mx FROM px GROUP BY doc_id
+),
+feats AS (
+  SELECT doc_id, CAST(c AS INT) AS feat_idx,
+         CAST(s AS DOUBLE) / {n_px}.0 AS feature FROM byc
+  UNION ALL
+  SELECT doc_id, CAST(c + 3 AS INT),
+         sqrt(CAST(s2 AS DOUBLE) / {n_px}.0) FROM byc
+  UNION ALL
+  SELECT doc_id, 6, CAST(s AS DOUBLE) / {3 * n_px}.0 FROM tot
+  UNION ALL
+  SELECT doc_id, 7, CAST(mx AS DOUBLE) / 255.0 FROM tot
+)
+SELECT doc_id, CAST({n_bytes} AS INT) AS n_bytes, 'image/bmp' AS mime,
+       feat_idx, feature, TRUE AS decoded
+FROM feats
 """
 
 
@@ -574,24 +609,44 @@ GROUP BY doc_id, window_idx
 
 
 def multimodal_framesample(sf_dir: str) -> str:
-    """Digest twin of operators/multimodal.frame_sample_binary: frame i is
-    the byte-slice [i·step, i·step+step) of the utf-8 payload, step =
-    max(len // N_FRAMES, 1); digest = first 16 hex chars of its md5. The
-    documents text is pure ASCII in this dataset (asserted: strlen ==
-    octet_length for every row), so character substr ≡ byte slice and
-    DuckDB's string md5 matches Python's byte md5 exactly."""
-    from .operators.multimodal import N_FRAMES
+    """REAL-decode twin of operators/multimodal.multimodal_framesample: the
+    Spark side synthesizes an RVID container of VID_FRAMES BMP frames per
+    doc (frame f pixel[k, c] = (doc_id·IMG_A + f·VID_D + k·IMG_B + c·IMG_C)
+    mod 256), decodes it back, and samples N_FRAMES evenly spaced frames;
+    this oracle regenerates the sampled frames' pixels from the shared
+    integer formula and recomputes mean/RMS. Bit-exact: exact integer sums
+    followed by single correctly-rounded IEEE ops. decoded is literal TRUE
+    — the hash gate fails if any Spark row fell back to the digest stub."""
+    from .operators.multimodal import (
+        IMG_A,
+        IMG_B,
+        IMG_C,
+        N_FRAMES,
+        VID_D,
+        VID_FRAMES,
+        VID_H,
+        VID_W,
+    )
 
+    step = max(VID_FRAMES // N_FRAMES, 1)
+    n_px = VID_W * VID_H
+    n_vals = 3 * n_px
     return f"""
-WITH stepped AS (
-  SELECT doc_id, text,
-         GREATEST(GREATEST(strlen(text), 1) // {N_FRAMES}, 1) AS step
-  FROM documents
+WITH px AS (
+  SELECT d.doc_id, f.i,
+         (d.doc_id * {IMG_A} + (f.i * {step}) * {VID_D}
+          + k.k * {IMG_B} + c.c * {IMG_C}) % 256 AS v
+  FROM documents d,
+       LATERAL (SELECT unnest(range(0, {N_FRAMES})) AS i) f,
+       LATERAL (SELECT unnest(range(0, {n_px})) AS k) k,
+       LATERAL (SELECT unnest(range(0, 3)) AS c) c
 )
-SELECT doc_id, CAST(i AS INT) AS frame_idx,
-       CAST(strlen(substr(text, CAST(i * step + 1 AS BIGINT), CAST(step AS BIGINT))) AS INT) AS frame_bytes,
-       substr(md5(substr(text, CAST(i * step + 1 AS BIGINT), CAST(step AS BIGINT))), 1, 16) AS frame_digest
-FROM stepped, LATERAL (SELECT unnest(range(0, {N_FRAMES})) AS i) r
+SELECT doc_id, CAST(i AS INT) AS frame_idx, CAST(i * {step} AS INT) AS src_frame,
+       CAST({VID_W} AS INT) AS frame_w, CAST({VID_H} AS INT) AS frame_h,
+       CAST(SUM(v) AS DOUBLE) / {n_vals}.0 AS frame_mean,
+       sqrt(CAST(SUM(v * v) AS DOUBLE) / {n_vals}.0) AS frame_rms,
+       TRUE AS decoded
+FROM px GROUP BY doc_id, i
 """
 
 
