@@ -188,6 +188,14 @@ CORPUS_LANG = "en"
 # each query returns a handful-to-dozens of genuine near neighbors
 RANGE_RADIUS = 1.2
 KNN_GRAPH_K = 4  # out-degree of the per-list kNN graph
+# graph-expanded ANN (operators/graph.py): overlapping-partition kNN graph
+# + seed-and-expand search. GRAPH_PROBES=2 memberships create the
+# cross-list edges; degree 8 keeps the hop fan-out (seeds × degree) small
+# while covering each seed's neighborhood; seeds = top-10 of the single
+# nearest list (nprobe=1 — the expansion, not extra probing, adds recall)
+GRAPH_PROBES = 2
+GRAPH_DEGREE = 8
+GRAPH_SEED_K = 10
 SQ8_LEVELS = 255  # int8 scalar quantization: 256 levels per dimension
 ZSCORE_TAU = 3.0  # events_anomaly |z| threshold
 

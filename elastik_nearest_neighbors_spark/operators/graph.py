@@ -1,0 +1,156 @@
+"""Graph-expanded ANN — the HNSW-class capability re-expressed for Spark's
+execution model (SURVEY §7 "later rounds"; the reference itself ships only
+LSH, so this is the repo's scale-path extension alongside IVF/PQ).
+
+A literal HNSW port (per-query greedy walks over a mutable layered graph)
+is the wrong shape for a 1000-executor batch engine: walks are sequential,
+pointer-chasing, and driver-hostile. What transfers is the *idea* — a
+precomputed neighborhood graph recovers candidates that partition-local
+probing misses. Spark-first restatement:
+
+- `graph_edges`: an approximate kNN graph built from OVERLAPPING coarse
+  partitions — every vector joins its GRAPH_PROBES nearest IVF lists, and
+  edges are ranked within the union of co-memberships. The overlap is what
+  creates CROSS-LIST edges across Voronoi boundaries (the standard
+  overlapping-blocks trick for distributed kNN-graph construction; one
+  shuffle on list_id, pair step bounded by Σ (GRAPH_PROBES·m)² with
+  m ≈ N/NLIST and NLIST ∝ √N).
+- `ann_search_graph`: seed each query with the members of its single
+  nearest list (nprobe=1 — the cheapest possible probe), then expand one
+  hop along the graph edges and exact-rerank seeds ∪ neighbors. The hop
+  reaches vectors in OTHER lists that share an edge with a seed — exactly
+  the boundary-crossing recall that nprobe=1 alone loses, at the cost of
+  one broadcast hash join against the edge table instead of probing more
+  lists. At 100 TB the edge table is written partitioned by vec_a and the
+  per-query expansion touches ≤ seeds·degree rows.
+
+Determinism contract (mirrored in oracles_vector._graph_cand_cte): same
+driver-side quantizer as ivf.py, distances rounded to DIST_ROUND before
+every rank, ties break on the smaller id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..constants import ANN_K2, DIST_ROUND, GRAPH_DEGREE, GRAPH_PROBES, GRAPH_SEED_K, N_QUERIES
+from ..functions.vector import as_double, euclidean
+from .ivf import _emb, ann_search_ivf, model_for
+
+# graph edges, materialized once per (SparkContext, sf_dir) — the search
+# entry and the recall entry both consume them; same localCheckpoint-once
+# pattern as ivf.list_assignments / knn.exact_ground_truth
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def build_graph_edges(emb: DataFrame, model) -> DataFrame:
+    """(vec_a, vec_b, distance): for every vector, its GRAPH_DEGREE nearest
+    neighbors among vectors sharing ≥1 of its GRAPH_PROBES nearest lists.
+
+    Multi-probe membership (explode ×GRAPH_PROBES) is the narrow pass;
+    the pair join shuffles once on list_id; DISTINCT collapses pairs that
+    co-occur in both shared lists BEFORE the distance computation, so each
+    surviving pair's vectors are joined and scored exactly once."""
+    mem = emb.select(
+        "vec_id",
+        F.explode(model.probe_udf(GRAPH_PROBES)(F.col("embedding"))).alias("list_id"),
+    )
+    aa = mem.select(F.col("vec_id").alias("vec_a"), "list_id")
+    bb = mem.select(F.col("vec_id").alias("vec_b"), "list_id")
+    pairs = (
+        aa.join(bb, "list_id")
+        .where(F.col("vec_a") != F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), as_double(F.col("embedding")).alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), as_double(F.col("embedding")).alias("vb"))
+    scored = (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(euclidean(F.col("va"), F.col("vb")), DIST_ROUND).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.asc("distance"), F.asc("vec_b"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= GRAPH_DEGREE).drop("rn")
+
+
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _EDGE_CACHE.get(key)
+    if df is None:
+        df = build_graph_edges(_emb(spark, sf_dir), model_for(sf_dir)).localCheckpoint(eager=True)
+        _EDGE_CACHE[key] = df
+    return df
+
+
+def ann_search_graph(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    edges: DataFrame,
+    model,
+    k: int = ANN_K2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Seed (nprobe=1 list members, top GRAPH_SEED_K) → expand 1 hop along
+    `edges` → exact-euclidean rerank → top-k.
+
+    Output: (query_id, neighbor_id, distance)."""
+    seeds = ann_search_ivf(
+        index_df, query_df, model, nprobe=1, k=GRAPH_SEED_K, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    # seeds are Q·GRAPH_SEED_K rows — broadcast into the edge expansion so
+    # the (huge, vec_a-partitioned) edge table never shuffles
+    hop = edges.select(F.col("vec_a").alias("neighbor_id"), "vec_b").join(
+        F.broadcast(seeds), "neighbor_id"
+    ).select("query_id", F.col("vec_b").alias("neighbor_id"))
+    cand = (
+        seeds.unionByName(hop)
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .distinct()
+    )
+    nvec = index_df.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
+    qvec = query_df.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        nvec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+
+
+# ---- registry entries (spark, sf_dir) → DataFrame ---------------------------
+
+
+def knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #113: the overlapping-partition kNN graph itself — the
+    cross-list upgrade of #71 knn_graph (whose edges never leave one list)."""
+    return graph_edges(spark, sf_dir)
+
+
+def ann_search_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #114: graph-expanded ANN for the canonical query set."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ann_search_graph(emb, queries, graph_edges(spark, sf_dir), model_for(sf_dir))
+
+
+def ann_recall_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #115: recall@k of graph-expanded ANN vs exact kNN — the
+    graph twin of ann_recall_ivf, so the boundary-crossing hop's recall
+    lift over nprobe=1 is measurable on the shared metric."""
+    from .knn import _recall_of, exact_ground_truth
+
+    ann = ann_search_graph_q(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_of(ann, exact_ground_truth(spark, sf_dir))

@@ -748,6 +748,125 @@ SELECT vec_a, vec_b, distance FROM (
 """
 
 
+# ---- graph-expanded ANN (operators/graph.py) --------------------------------
+
+
+def _graph_edges_cte(sf_dir: str) -> str:
+    """mem (GRAPH_PROBES nearest-list memberships per vector) + edges (top
+    GRAPH_DEGREE neighbors within the union of co-memberships) — the exact
+    mirror of operators/graph.build_graph_edges. Callers prepend
+    _ivf_cent_cte."""
+    from .constants import GRAPH_DEGREE, GRAPH_PROBES
+
+    return f"""
+mem AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) <= {GRAPH_PROBES}
+),
+edges AS (
+  SELECT vec_a, vec_b, distance FROM (
+    SELECT p.vec_a, p.vec_b,
+           round(list_distance(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS distance
+    FROM (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM mem a JOIN mem b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id) p
+    JOIN embeddings ea ON ea.vec_id = p.vec_a
+    JOIN embeddings eb ON eb.vec_id = p.vec_b
+  ) QUALIFY row_number() OVER (PARTITION BY vec_a ORDER BY distance, vec_b) <= {GRAPH_DEGREE}
+)"""
+
+
+def knn_graph_multiprobe(sf_dir: str) -> str:
+    """Overlapping-partition kNN graph (operators/graph.knn_graph_multiprobe)."""
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+{_graph_edges_cte(sf_dir)}
+SELECT vec_a, vec_b, distance FROM edges
+"""
+
+
+def _graph_ann_cte(sf_dir: str) -> str:
+    """seeds (nprobe=1 list members, top GRAPH_SEED_K) → 1-hop expansion →
+    exact rerank: ann AS (query_id, neighbor_id, distance) — the mirror of
+    operators/graph.ann_search_graph."""
+    from .constants import ANN_K2, GRAPH_SEED_K, N_QUERIES
+
+    return f"""
+{_graph_edges_cte(sf_dir)},
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERIES}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+),
+seeds AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(list_distance(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS distance
+    FROM probes p
+    JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+    JOIN embeddings eq ON eq.vec_id = p.query_id
+    JOIN embeddings en ON en.vec_id = a.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {GRAPH_SEED_K}
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id FROM seeds
+    UNION ALL
+    SELECT s.query_id, e.vec_b AS neighbor_id
+    FROM seeds s JOIN edges e ON e.vec_a = s.neighbor_id
+  ) u WHERE neighbor_id <> query_id
+),
+ann AS (
+  SELECT query_id, neighbor_id, distance FROM (
+    SELECT c.query_id, c.neighbor_id,
+           round(list_distance(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS distance
+    FROM cand c
+    JOIN embeddings eq ON eq.vec_id = c.query_id
+    JOIN embeddings en ON en.vec_id = c.neighbor_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+)"""
+
+
+def ann_search_graph(sf_dir: str) -> str:
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+{_graph_ann_cte(sf_dir)}
+SELECT query_id, neighbor_id, distance FROM ann
+"""
+
+
+def ann_recall_graph(sf_dir: str) -> str:
+    from .constants import KNN_K
+
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+{_graph_ann_cte(sf_dir)},
+exact AS ({exact}),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+)
+SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
+FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+"""
+
+
 def sq8_quantize(sf_dir: str) -> str:
     from .constants import SQ8_LEVELS
 

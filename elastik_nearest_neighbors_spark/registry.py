@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import api, oracles, oracles_text, oracles_vector
 from .io import ORACLE_SF_DIR
-from .operators import analytics, dedup, ivf, knn, multimodal, pq, textops
+from .operators import analytics, dedup, graph, ivf, knn, multimodal, pq, textops
 from .streaming import ingest
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -35,11 +35,18 @@ _QUERIES: dict[str, QueryFn] = {
     "corpus_curate_full": textops.corpus_curate_full,
     "dup_clusters": dedup.dup_clusters,
     "multimodal_audio_stats": multimodal.multimodal_audio_stats,
+    # r4: image + video upgraded to REAL decode (BMP / RVID parsers)
+    "multimodal_featurize": multimodal.multimodal_featurize,
+    "multimodal_framesample": multimodal.multimodal_framesample,
     "events_approx_distinct": analytics.events_approx_distinct,
     # new in r4: hash-gated tolerance twin of the HLL entry
     "events_approx_distinct_check": analytics.events_approx_distinct_check,
     # new in r4: EsAknn three-endpoint facade, gated by the shared oracle
     "aknn_search_api": api.aknn_search_api,
+    # new in r4: graph-expanded ANN (HNSW-class capability, Spark-first)
+    "knn_graph_multiprobe": graph.knn_graph_multiprobe,
+    "ann_search_graph": graph.ann_search_graph_q,
+    "ann_recall_graph": graph.ann_recall_graph_q,
     "streaming_index_store": ingest.streaming_index_store,
     "streaming_index_compact": ingest.streaming_index_compact,
     "streaming_index": ingest.streaming_index,
@@ -79,14 +86,14 @@ _QUERIES: dict[str, QueryFn] = {
     "knn_graph": ivf.knn_graph,
     "ann_search_sq8": pq.ann_search_sq8,
     "ann_recall_sq8": pq.ann_recall_sq8,
+    # ---- GATE WINDOW BOUNDARY (~entry 50): keep new keys ABOVE this line
+    # ---- and push an equal number of entries below.
+    # -- r5 rotation queue: r2-era greens not re-gated in r4 --
     "dedup_exact": dedup.dedup_exact,
     "minhash_signatures": dedup.minhash_signatures,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_minhash_canonical": dedup.dedup_minhash_canonical,
     "minhash_est_jaccard": dedup.minhash_est_jaccard,
-    # ---- GATE WINDOW BOUNDARY: entry 48 is the last line above; keep new
-    # ---- keys ABOVE this line and push an equal number of entries below.
-    # -- r5 rotation queue: r2-era greens not re-gated in r4 --
     "dedup_simhash": dedup.dedup_simhash,
     "ngram_jaccard_join": dedup.ngram_jaccard_join,
     "lang_id": textops.lang_id,
@@ -110,8 +117,6 @@ _QUERIES: dict[str, QueryFn] = {
     "doc_logprob": textops.doc_logprob,
     # -- r3-proven greens (fresh rows in CORRECTNESS_r03) --
     "sq8_quantize": pq.sq8_quantize,
-    "multimodal_featurize": multimodal.multimodal_featurize,
-    "multimodal_framesample": multimodal.multimodal_framesample,
     "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
     "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
     "ann_search_ivfpq": pq.ann_search_ivfpq,
@@ -194,6 +199,9 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "dedup_semantic": oracles_vector.dedup_semantic,
     "range_search": oracles_vector.range_search,
     "knn_graph": oracles_vector.knn_graph,
+    "knn_graph_multiprobe": oracles_vector.knn_graph_multiprobe,
+    "ann_search_graph": oracles_vector.ann_search_graph,
+    "ann_recall_graph": oracles_vector.ann_recall_graph,
     "sq8_quantize": oracles_vector.sq8_quantize,
     "ann_search_sq8": oracles_vector.ann_search_sq8,
     "ann_recall_sq8": oracles_vector.ann_recall_sq8,

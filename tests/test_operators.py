@@ -66,6 +66,34 @@ def test_ann_recall_quality(spark):
     assert rec.recall.mean() >= 0.3, rec.recall.tolist()
 
 
+def test_graph_expansion_lifts_nprobe1_recall(spark):
+    """The point of the graph hop: starting from nprobe=1 seeds, expanding
+    one hop along the overlapping-partition kNN graph must recover recall
+    that single-list probing loses (measured at sf0.01: 0.562 → 0.750,
+    within noise of nprobe=4's 0.763 at a quarter of the probed lists).
+    Guard the lift, not the absolute number."""
+    from pyspark.sql import functions as F
+
+    from elastik_nearest_neighbors_spark.constants import ANN_K2, GRAPH_DEGREE, N_QUERIES
+    from elastik_nearest_neighbors_spark.operators import graph, ivf
+
+    sf = SF_SMALL
+    g = graph.ann_recall_graph_q(spark, sf).agg(F.avg("recall")).collect()[0][0]
+    emb = ivf._emb(spark, sf)
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    seeds = ivf.ann_search_ivf(emb, q, ivf.model_for(sf), nprobe=1, k=ANN_K2).select(
+        "query_id", "neighbor_id"
+    )
+    s1 = knn._recall_of(seeds, knn.exact_ground_truth(spark, sf)).agg(
+        F.avg("recall")
+    ).collect()[0][0]
+    assert g > s1, (g, s1)
+    # graph invariants: out-degree bounded, no self-edges, ids resolvable
+    edges = graph.graph_edges(spark, sf).toPandas()
+    assert edges.groupby("vec_a").size().max() <= GRAPH_DEGREE
+    assert (edges.vec_a != edges.vec_b).all()
+
+
 def test_fake_features_deterministic():
     a = multimodal.fake_features(b"payload")
     assert a == multimodal.fake_features(b"payload")
@@ -216,18 +244,65 @@ def test_corpus_clean_composition(spark):
     assert out.doc_id.is_unique
 
 
-def test_framesample_shape(spark):
+def test_framesample_real_decode(spark):
+    import numpy as np
+
     from elastik_nearest_neighbors_spark.operators import multimodal as mm
 
     out = mm.multimodal_framesample(spark, SF_SMALL).toPandas()
     per_doc = out.groupby("doc_id").size()
     assert (per_doc == mm.N_FRAMES).all()
     assert (out.frame_idx < mm.N_FRAMES).all()
-    # deterministic: same payload -> same digests
-    again = mm.multimodal_framesample(spark, SF_SMALL).toPandas()
-    a = out.sort_values(["doc_id", "frame_idx"]).frame_digest.tolist()
-    b = again.sort_values(["doc_id", "frame_idx"]).frame_digest.tolist()
-    assert a == b
+    # every payload is a well-formed RVID container → REAL decode everywhere
+    assert out.decoded.all()
+    assert (out.frame_w == mm.VID_W).all() and (out.frame_h == mm.VID_H).all()
+    # spot-check one row against a local decode of the same synthetic video
+    r = out[(out.doc_id == out.doc_id.iloc[0]) & (out.frame_idx == 1)].iloc[0]
+    vid = mm.decode_video(mm.synth_video(int(r.doc_id))).astype(np.int64)
+    x = vid[int(r.src_frame)]
+    nv = 3 * mm.VID_W * mm.VID_H
+    assert r.frame_mean == float(x.sum() / nv)
+    assert r.frame_rms == float(np.sqrt((x * x).sum() / nv))
+
+
+def test_framesample_fallback_digest(spark):
+    """Non-RVID payloads fall back to the digest stand-in, flagged
+    decoded=false — the production shape for codecs this container lacks."""
+    import pyspark.sql.functions as F
+
+    from elastik_nearest_neighbors_spark.operators.multimodal import (
+        N_FRAMES,
+        frame_sample_binary,
+    )
+
+    df = spark.createDataFrame([(1, b"not a video, just bytes" * 4)], "doc_id long, payload binary")
+    out = frame_sample_binary(df).toPandas()
+    assert len(out) == N_FRAMES
+    assert (~out.decoded).all()
+    assert (out.frame_w == 0).all()
+
+
+def test_image_decode_roundtrip_and_featurize(spark):
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark.operators import multimodal as mm
+
+    # BMP encode→decode round-trip reproduces the formula pixels, padding and
+    # bottom-up row order included (IMG_W=18 pads each 54-byte row to 56)
+    px = mm.decode_image(mm.synth_bmp(17 * mm.IMG_A))
+    k = np.arange(mm.IMG_W * mm.IMG_H)[:, None]
+    c = np.arange(3)[None, :]
+    want = ((17 * mm.IMG_A + k * mm.IMG_B + c * mm.IMG_C) % 256).reshape(
+        mm.IMG_H, mm.IMG_W, 3
+    )
+    assert (px == want).all()
+    # the registry entry runs the REAL decode path on every row
+    out = mm.multimodal_featurize(spark, SF_SMALL).toPandas()
+    assert out.decoded.all()
+    assert set(out.feat_idx) == set(range(mm.FEATURE_DIM))
+    r = out[(out.doc_id == 17) & (out.feat_idx == 0)].iloc[0]
+    assert r.feature == mm.image_features(px)[0]
+    assert r.mime == "image/bmp"
 
 
 def test_capped_bucket_pairs_drops_mega_bucket(spark):
