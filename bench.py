@@ -38,6 +38,10 @@ HEADLINE = [
     "ann_search_ivfpq",
     "range_search",
     "knn_graph",
+    "knn_graph_multiprobe",
+    "ann_search_graph",
+    "ann_recall_graph",
+    "aknn_search_api",
     "sq8_quantize",
     "ann_search_sq8",
     "ann_recall_sq8",
@@ -64,6 +68,9 @@ HEADLINE = [
     "corpus_to_sequences",
     "corpus_curate_full",
     "source_mix",
+    "multimodal_featurize",
+    "multimodal_audio_stats",
+    "multimodal_framesample",
     "knn_join",
     "stratified_sample",
     "doc_logprob",

@@ -22,7 +22,20 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"
 _WIDEN_BYTES = 128 << 20
 
 
-def _input_bytes(path: str) -> int:
+def _input_bytes(path: str, spark: SparkSession | None = None) -> int:
+    """Total bytes under `path`, for ANY Hadoop-supported scheme.
+
+    The reference's demo pipeline pulls payloads from S3; the Spark-native
+    equivalent is scheme-agnostic paths (s3a://, hdfs://, file:, bare local)
+    resolved through the Hadoop FileSystem API, so every loader here works
+    unchanged against a blob store. Bare local paths keep the cheap os.walk
+    (no JVM round-trip)."""
+    if "://" in path or path.startswith("file:"):
+        assert spark is not None, "URI paths need the session's Hadoop conf"
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        return fs.getContentSummary(hpath).getLength()
     if os.path.isfile(path):
         return os.path.getsize(path)
     return sum(
@@ -64,12 +77,13 @@ def table(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> D
     and above _WIDEN_BYTES the scan splits naturally, so at real scale this
     is a no-op."""
     configure(spark)
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    sep = "" if sf_dir.endswith("/") else "/"
+    path = f"{sf_dir}{sep}{name}.parquet"
     df = spark.read.parquet(path)
     for field in ("ts", "o_orderdate", "l_shipdate"):
         if field in df.columns:
             df = normalize_ts(df, field)
-    if widen and _input_bytes(path) < _WIDEN_BYTES:
+    if widen and _input_bytes(path, spark) < _WIDEN_BYTES:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 

@@ -66,6 +66,17 @@ def test_ann_recall_quality(spark):
     assert rec.recall.mean() >= 0.3, rec.recall.tolist()
 
 
+def test_table_loads_scheme_uri_paths(spark):
+    """Loaders are path-scheme-agnostic (the Spark-native answer to the
+    reference's S3 blob handling): a file:// URI resolves through the
+    Hadoop FileSystem API — including the widen-path size probe, which
+    would otherwise os.walk a URI — and returns the identical table."""
+    bare = io.table(spark, SF_SMALL, "documents", widen=True).toPandas()
+    uri = io.table(spark, f"file://{SF_SMALL}", "documents", widen=True).toPandas()
+    assert len(bare) == len(uri) > 0
+    assert sorted(bare.doc_id) == sorted(uri.doc_id)
+
+
 def test_graph_expansion_lifts_nprobe1_recall(spark):
     """The point of the graph hop: starting from nprobe=1 seeds, expanding
     one hop along the overlapping-partition kNN graph must recover recall
