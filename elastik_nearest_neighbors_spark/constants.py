@@ -196,6 +196,13 @@ KNN_GRAPH_K = 4  # out-degree of the per-list kNN graph
 GRAPH_PROBES = 2
 GRAPH_DEGREE = 8
 GRAPH_SEED_K = 10
+# the graph BUILD quantizer scales lists with N (target ~250 members per
+# list, floor IVF_NLIST): an all-vectors kNN graph must touch every vector,
+# so fixing the per-list membership — not the list count — is what keeps
+# the pair step LINEAR in N (Σ m² = L·(2N/L)² = 4N·m̄ with m̄ fixed).
+# FAISS's nlist ∝ √N rule is for query-time probing, not all-N builds; the
+# serving quantizer (seeds) stays the shared IVF model.
+GRAPH_LIST_TARGET = 250
 SQ8_LEVELS = 255  # int8 scalar quantization: 256 levels per dimension
 ZSCORE_TAU = 3.0  # events_anomaly |z| threshold
 

@@ -31,18 +31,54 @@ every rank, ties break on the smaller id.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..constants import ANN_K2, DIST_ROUND, GRAPH_DEGREE, GRAPH_PROBES, GRAPH_SEED_K, N_QUERIES
+from ..constants import (
+    ANN_K2,
+    DIST_ROUND,
+    GRAPH_DEGREE,
+    GRAPH_LIST_TARGET,
+    GRAPH_PROBES,
+    GRAPH_SEED_K,
+    IVF_NLIST,
+    IVF_SAMPLE,
+    N_QUERIES,
+)
 from ..functions.vector import as_double, euclidean
-from .ivf import _emb, ann_search_ivf, model_for
+from .ivf import IvfModel, _emb, ann_search_ivf, model_for
 
 # graph edges, materialized once per (SparkContext, sf_dir) — the search
 # entry and the recall entry both consume them; same localCheckpoint-once
 # pattern as ivf.list_assignments / knn.exact_ground_truth
 _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+_GRAPH_MODEL_CACHE: dict[str, IvfModel] = {}
+
+
+def graph_model_for(sf_dir: str) -> IvfModel:
+    """BUILD quantizer: lists scale with N (≈ N / GRAPH_LIST_TARGET, floor
+    IVF_NLIST) so per-list membership — and with it the pair step per
+    vector — stays FLAT as data grows; total build work is linear in N,
+    which is the floor for an all-vectors graph. The model is still
+    KB-to-MB sized (L × D float64) and driver-fit from the same
+    deterministic sample rule as the serving quantizer, so the oracle
+    builder regenerates bit-identical centroid literals."""
+    m = _GRAPH_MODEL_CACHE.get(sf_dir)
+    if m is None:
+        import pyarrow.parquet as pq
+
+        n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+        nlist = max(IVF_NLIST, n // GRAPH_LIST_TARGET)
+        if nlist == IVF_NLIST:
+            m = model_for(sf_dir)  # coincides with the serving quantizer
+        else:
+            m = IvfModel.fit_path(sf_dir, nlist=nlist, sample_n=max(IVF_SAMPLE, 4 * nlist))
+        _GRAPH_MODEL_CACHE[sf_dir] = m
+    return m
 
 
 def build_graph_edges(emb: DataFrame, model) -> DataFrame:
@@ -84,7 +120,9 @@ def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     df = _EDGE_CACHE.get(key)
     if df is None:
-        df = build_graph_edges(_emb(spark, sf_dir), model_for(sf_dir)).localCheckpoint(eager=True)
+        df = build_graph_edges(_emb(spark, sf_dir), graph_model_for(sf_dir)).localCheckpoint(
+            eager=True
+        )
         _EDGE_CACHE[key] = df
     return df
 

@@ -751,11 +751,25 @@ SELECT vec_a, vec_b, distance FROM (
 # ---- graph-expanded ANN (operators/graph.py) --------------------------------
 
 
+def _graph_cent_cte(sf_dir: str) -> str:
+    """BUILD-quantizer centroid literals (operators/graph.graph_model_for:
+    lists ∝ N, same deterministic driver-side fit) — named gcent so the
+    serving quantizer's cent CTE can coexist in the same query."""
+    from .operators.graph import graph_model_for
+
+    cent = graph_model_for(sf_dir).centroids
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS list_id, [{','.join(repr(float(x)) for x in cent[i])}]::DOUBLE[] AS c"
+        for i in range(len(cent))
+    )
+    return f"gcent AS ({rows})"
+
+
 def _graph_edges_cte(sf_dir: str) -> str:
     """mem (GRAPH_PROBES nearest-list memberships per vector) + edges (top
     GRAPH_DEGREE neighbors within the union of co-memberships) — the exact
     mirror of operators/graph.build_graph_edges. Callers prepend
-    _ivf_cent_cte."""
+    _graph_cent_cte."""
     from .constants import GRAPH_DEGREE, GRAPH_PROBES
 
     return f"""
@@ -763,7 +777,7 @@ mem AS (
   SELECT vec_id, list_id FROM (
     SELECT e.vec_id, c.list_id,
            round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
-    FROM embeddings e CROSS JOIN cent c
+    FROM embeddings e CROSS JOIN gcent c
   ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) <= {GRAPH_PROBES}
 ),
 edges AS (
@@ -781,7 +795,7 @@ edges AS (
 def knn_graph_multiprobe(sf_dir: str) -> str:
     """Overlapping-partition kNN graph (operators/graph.knn_graph_multiprobe)."""
     return f"""
-WITH {_ivf_cent_cte(sf_dir)},
+WITH {_graph_cent_cte(sf_dir)},
 {_graph_edges_cte(sf_dir)}
 SELECT vec_a, vec_b, distance FROM edges
 """
@@ -842,6 +856,7 @@ ann AS (
 def ann_search_graph(sf_dir: str) -> str:
     return f"""
 WITH {_ivf_cent_cte(sf_dir)},
+{_graph_cent_cte(sf_dir)},
 {_graph_ann_cte(sf_dir)}
 SELECT query_id, neighbor_id, distance FROM ann
 """
@@ -853,6 +868,7 @@ def ann_recall_graph(sf_dir: str) -> str:
     exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
     return f"""
 WITH {_ivf_cent_cte(sf_dir)},
+{_graph_cent_cte(sf_dir)},
 {_graph_ann_cte(sf_dir)},
 exact AS ({exact}),
 hits AS (
