@@ -63,3 +63,80 @@ class TestAgainstPythonReference:
             assert list(row.sh) == _py_shingles(pytoks), pytoks
             assert row.fp == _py_fingerprint(pytoks), pytoks
             assert row.h == _py_h60(row.text)
+
+
+def test_bmp_roundtrip_arbitrary_shapes():
+    """decode(synth_bmp(seed, w, h)) must reproduce the formula pixels for
+    ARBITRARY shapes — including widths whose 3·w row stride needs 1-3 pad
+    bytes and whose padding would corrupt pixels if mishandled."""
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark.operators import multimodal as mm
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**40),
+        st.integers(min_value=1, max_value=37),
+        st.integers(min_value=1, max_value=19),
+    )
+    def check(seed, w, h):
+        px = mm.decode_image(mm.synth_bmp(seed, w=w, h=h))
+        assert px.shape == (h, w, 3)
+        k = np.arange(w * h, dtype=np.int64)[:, None]
+        c = np.arange(3, dtype=np.int64)[None, :]
+        want = ((seed + k * mm.IMG_B + c * mm.IMG_C) % 256).reshape(h, w, 3)
+        assert (px == want).all()
+
+    check()
+
+
+def test_wav_roundtrip_arbitrary_samples():
+    """decode_audio(synth_wav) reproduces the integer sample formula for
+    arbitrary doc ids and lengths, including odd-size (word-padded) chunks;
+    multi-channel payloads downmix by mean."""
+    import struct
+
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark.operators import multimodal as mm
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**40),
+        st.integers(min_value=1, max_value=700),
+    )
+    def check(doc_id, n):
+        x = mm.decode_audio(mm.synth_wav(doc_id, n=n))
+        k = np.arange(n, dtype=np.int64)
+        want = ((doc_id * mm.WAV_A + k * mm.WAV_B) % 65536 - 32768).astype(np.float64)
+        assert (x == want).all()
+
+    check()
+    # stereo: interleave two known channels, expect their per-frame mean
+    left = np.array([100, -200, 300], dtype="<i2")
+    right = np.array([300, 200, -100], dtype="<i2")
+    inter = np.empty(6, dtype="<i2")
+    inter[0::2], inter[1::2] = left, right
+    data = inter.tobytes()
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    got = mm.decode_audio(wav)
+    assert (got == (left.astype(np.float64) + right) / 2).all()
+
+
+def test_rvid_roundtrip_arbitrary_frame_counts():
+    from elastik_nearest_neighbors_spark.operators import multimodal as mm
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=2**31),
+        st.integers(min_value=1, max_value=12),
+    )
+    def check(doc_id, n_frames):
+        vid = mm.decode_video(mm.synth_video(doc_id, n_frames=n_frames))
+        assert vid.shape == (n_frames, mm.VID_H, mm.VID_W, 3)
+
+    check()
