@@ -41,6 +41,7 @@ HEADLINE = [
     "knn_graph_multiprobe",
     "ann_search_graph",
     "ann_recall_graph",
+    "embedding_clusters",
     "aknn_search_api",
     "sq8_quantize",
     "ann_search_sq8",

@@ -203,6 +203,11 @@ GRAPH_SEED_K = 10
 # FAISS's nlist ∝ √N rule is for query-time probing, not all-N builds; the
 # serving quantizer (seeds) stays the shared IVF model.
 GRAPH_LIST_TARGET = 250
+# single-linkage clustering over the graph's edges. Threshold swept at
+# sf0.01 (min pair distance ≈ 1.05): 1.2 percolates into one 474-member
+# blob, 1.05 leaves only pairs; 1.12 gives 63 non-singleton clusters up to
+# size 5 — real multi-hop transitive chains without percolation
+GRAPH_CLUSTER_TAU = 1.12
 SQ8_LEVELS = 255  # int8 scalar quantization: 256 levels per dimension
 ZSCORE_TAU = 3.0  # events_anomaly |z| threshold
 

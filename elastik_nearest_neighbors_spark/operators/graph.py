@@ -184,6 +184,29 @@ def ann_search_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search_graph(emb, queries, graph_edges(spark, sf_dir), model_for(sf_dir))
 
 
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #116: agglomerative embedding clustering — connected
+    components over the multiprobe kNN graph's near-dup edges (distance ≤
+    GRAPH_CLUSTER_TAU). This is the knn_graph docstring's promised use: the
+    graph IS the candidate structure, so clustering costs one edge filter
+    plus O(log diameter) label-propagation rounds over degree-bounded
+    edges — no new pair generation. The single-linkage analogue of
+    dup_clusters on the embedding side (dup_clusters: minhash text graph).
+
+    Output: (vec_id, cluster_id) with cluster_id = min vec_id reachable."""
+    from ..constants import GRAPH_CLUSTER_TAU
+    from .dedup import _connected_components
+
+    emb = _emb(spark, sf_dir)
+    edges = (
+        graph_edges(spark, sf_dir)
+        .where(F.col("distance") <= GRAPH_CLUSTER_TAU)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    cc = _connected_components(emb.select(F.col("vec_id").alias("doc_id")), edges)
+    return cc.select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+
 def ann_recall_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #115: recall@k of graph-expanded ANN vs exact kNN — the
     graph twin of ann_recall_ivf, so the boundary-crossing hop's recall

@@ -801,6 +801,33 @@ SELECT vec_a, vec_b, distance FROM edges
 """
 
 
+def embedding_clusters(sf_dir: str) -> str:
+    """Transitive closure over the graph's near-dup edges (distance ≤
+    GRAPH_CLUSTER_TAU) via WITH RECURSIVE — the declarative twin of the
+    Spark label-propagation loop (operators/graph.embedding_clusters)."""
+    from .constants import GRAPH_CLUSTER_TAU
+
+    return f"""
+WITH RECURSIVE {_graph_cent_cte(sf_dir)},
+{_graph_edges_cte(sf_dir)},
+near AS (
+  SELECT vec_a, vec_b FROM edges WHERE distance <= {GRAPH_CLUSTER_TAU}
+),
+sym AS (
+  SELECT vec_a, vec_b FROM near
+  UNION ALL
+  SELECT vec_b, vec_a FROM near
+),
+reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.vec_a, reach.r
+  FROM reach JOIN sym s ON s.vec_b = reach.vec_id
+)
+SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY vec_id
+"""
+
+
 def _graph_ann_cte(sf_dir: str) -> str:
     """seeds (nprobe=1 list members, top GRAPH_SEED_K) → 1-hop expansion →
     exact rerank: ann AS (query_id, neighbor_id, distance) — the mirror of

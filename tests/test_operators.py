@@ -105,6 +105,32 @@ def test_graph_expansion_lifts_nprobe1_recall(spark):
     assert (edges.vec_a != edges.vec_b).all()
 
 
+def test_embedding_clusters_single_linkage(spark):
+    """Single-linkage contract: every near-edge's endpoints share a cluster
+    (transitively), non-singleton clusters exist, and the threshold does
+    not percolate the graph into one blob."""
+    import pyspark.sql.functions as F
+
+    from elastik_nearest_neighbors_spark.constants import GRAPH_CLUSTER_TAU
+    from elastik_nearest_neighbors_spark.operators import graph
+
+    labels = graph.embedding_clusters(spark, SF_SMALL).toPandas().set_index("vec_id").cluster_id
+    edges = (
+        graph.graph_edges(spark, SF_SMALL)
+        .where(F.col("distance") <= GRAPH_CLUSTER_TAU)
+        .toPandas()
+    )
+    assert len(edges) > 0
+    for a, b in zip(edges.vec_a, edges.vec_b):
+        assert labels[a] == labels[b], (a, b)
+    sizes = labels.value_counts()
+    assert (sizes > 1).sum() > 0
+    assert sizes.max() < len(labels) // 2  # no percolation blob
+    # cluster_id is the min member id (canonical representative)
+    for cid, grp in labels.groupby(labels):
+        assert cid == grp.index.min()
+
+
 def test_fake_features_deterministic():
     a = multimodal.fake_features(b"payload")
     assert a == multimodal.fake_features(b"payload")
