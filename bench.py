@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_search_graph",
     "ann_recall_graph",
     "embedding_clusters",
+    "ann_search_graph_store",
     "aknn_search_api",
     "sq8_quantize",
     "ann_search_sq8",

@@ -48,6 +48,7 @@ from ..constants import (
     IVF_SAMPLE,
     N_QUERIES,
 )
+from .. import io
 from ..functions.vector import as_double, euclidean
 from .ivf import IvfModel, _emb, ann_search_ivf, model_for
 
@@ -127,22 +128,18 @@ def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def ann_search_graph(
+def _expand_and_rerank(
     index_df: DataFrame,
     query_df: DataFrame,
+    seeds: DataFrame,
     edges: DataFrame,
-    model,
     k: int = ANN_K2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Seed (nprobe=1 list members, top GRAPH_SEED_K) → expand 1 hop along
-    `edges` → exact-euclidean rerank → top-k.
-
-    Output: (query_id, neighbor_id, distance)."""
-    seeds = ann_search_ivf(
-        index_df, query_df, model, nprobe=1, k=GRAPH_SEED_K, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id")
+    """seeds (query_id, neighbor_id) → 1-hop expansion along `edges` →
+    exact-euclidean rerank → top-k. Shared by the in-memory and the
+    store-pruned search paths (identical results, same oracle)."""
     # seeds are Q·GRAPH_SEED_K rows — broadcast into the edge expansion so
     # the (huge, vec_a-partitioned) edge table never shuffles
     hop = edges.select(F.col("vec_a").alias("neighbor_id"), "vec_b").join(
@@ -168,6 +165,25 @@ def ann_search_graph(
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
 
 
+def ann_search_graph(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    edges: DataFrame,
+    model,
+    k: int = ANN_K2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Seed (nprobe=1 list members, top GRAPH_SEED_K) → expand 1 hop along
+    `edges` → exact-euclidean rerank → top-k.
+
+    Output: (query_id, neighbor_id, distance)."""
+    seeds = ann_search_ivf(
+        index_df, query_df, model, nprobe=1, k=GRAPH_SEED_K, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    return _expand_and_rerank(index_df, query_df, seeds, edges, k, id_col, vec_col)
+
+
 # ---- registry entries (spark, sf_dir) → DataFrame ---------------------------
 
 
@@ -182,6 +198,35 @@ def ann_search_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return ann_search_graph(emb, queries, graph_edges(spark, sf_dir), model_for(sf_dir))
+
+
+def ann_search_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph search through the PERSISTED edge layout: edges written
+    partitioned by bucket = vec_a mod 64 (sources/index_store), the query
+    batch's seed ids mapped to their buckets, and only those directories
+    read back for the hop — then the same exact rerank. Result-identical to
+    ann_search_graph (same oracle), proving the pruned path is lossless.
+    This is the 100 TB shape: the graph is built once offline, and each
+    query batch touches ≤ |seed buckets| / 64 of it on disk. The seed-id
+    collect is Q·GRAPH_SEED_K ints — KB-sized, like the IVF probe list."""
+    from ..sources.index_store import GRAPH_EDGE_BUCKETS, load_graph_buckets, save_graph_edges
+
+    model = model_for(sf_dir)
+    emb = _emb(spark, sf_dir)
+    out = os.path.join(io.scratch_dir("graph_store", sf_dir), "data")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        save_graph_edges(graph_edges(spark, sf_dir), out)
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    seeds = (
+        ann_search_ivf(emb, queries, model, nprobe=1, k=GRAPH_SEED_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # feeds the bucket collect AND the hop join
+    )
+    seed_ids = sorted({r.neighbor_id for r in seeds.select("neighbor_id").distinct().collect()})
+    buckets = sorted({int(i) % GRAPH_EDGE_BUCKETS for i in seed_ids})
+    edges = load_graph_buckets(spark, out, buckets).where(F.col("vec_a").isin(seed_ids))
+    return _expand_and_rerank(emb, queries, seeds, edges)
 
 
 def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

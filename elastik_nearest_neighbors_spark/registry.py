@@ -47,6 +47,7 @@ _QUERIES: dict[str, QueryFn] = {
     "knn_graph_multiprobe": graph.knn_graph_multiprobe,
     "ann_search_graph": graph.ann_search_graph_q,
     "ann_recall_graph": graph.ann_recall_graph_q,
+    "ann_search_graph_store": graph.ann_search_graph_store,
     "embedding_clusters": graph.embedding_clusters,
     "streaming_index_store": ingest.streaming_index_store,
     "streaming_index_compact": ingest.streaming_index_compact,
@@ -85,10 +86,10 @@ _QUERIES: dict[str, QueryFn] = {
     "dedup_semantic": ivf.dedup_semantic,
     "range_search": knn.range_search_q,
     "knn_graph": ivf.knn_graph,
-    "ann_search_sq8": pq.ann_search_sq8,
     # ---- GATE WINDOW BOUNDARY (~entry 50): keep new keys ABOVE this line
     # ---- and push an equal number of entries below.
     # -- r5 rotation queue: r2-era greens not re-gated in r4 --
+    "ann_search_sq8": pq.ann_search_sq8,
     "ann_recall_sq8": pq.ann_recall_sq8,
     "dedup_exact": dedup.dedup_exact,
     "minhash_signatures": dedup.minhash_signatures,
@@ -203,6 +204,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "knn_graph_multiprobe": oracles_vector.knn_graph_multiprobe,
     "ann_search_graph": oracles_vector.ann_search_graph,
     "ann_recall_graph": oracles_vector.ann_recall_graph,
+    # store-backed graph search is result-identical to the in-memory path
+    "ann_search_graph_store": oracles_vector.ann_search_graph,
     "embedding_clusters": oracles_vector.embedding_clusters,
     "sq8_quantize": oracles_vector.sq8_quantize,
     "ann_search_sq8": oracles_vector.ann_search_sq8,

@@ -125,3 +125,33 @@ def load_ivf_lists(spark: SparkSession, path: str, list_ids: list[int]) -> DataF
     """Vectors in the probed lists — scan prunes to len(list_ids) of nlist
     directories."""
     return spark.read.parquet(path).where(F.col("list_id").isin(list_ids))
+
+
+GRAPH_EDGE_BUCKETS = 64
+
+
+def save_graph_edges(edges: DataFrame, path: str, n_buckets: int = GRAPH_EDGE_BUCKETS) -> None:
+    """Persist kNN-graph edges (vec_a, vec_b, distance) partitioned by
+    bucket = vec_a mod n_buckets — the same directory-count-capped layout
+    as the LSH store: a query batch's hop expansion touches only the
+    buckets its seed ids land in, and hop lookups stay lossless because
+    vec_a equality is still checked in the scan filter."""
+    (
+        edges.withColumn("bucket", F.pmod(F.col("vec_a"), F.lit(n_buckets)))
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
+def load_graph_buckets(
+    spark: SparkSession, path: str, buckets: list[int]
+) -> DataFrame:
+    """Edges in the seeds' buckets — scan prunes to len(buckets) of
+    n_buckets directories (literal PartitionFilters)."""
+    return (
+        spark.read.parquet(path)
+        .where(F.col("bucket").isin(buckets))
+        .select("vec_a", "vec_b", "distance")
+    )

@@ -72,6 +72,17 @@ def test_lsh_store_search_partition_prunes_and_matches(spark):
     assert df.exceptAll(expect).count() == 0 and expect.exceptAll(df).count() == 0
 
 
+def test_graph_store_search_partition_prunes_and_matches(spark):
+    from elastik_nearest_neighbors_spark.operators import graph
+
+    df = graph.ann_search_graph_store(spark, SF_SMALL)
+    # the persisted edge read must carry literal bucket PartitionFilters
+    assert plans.partition_filters(df), plans.formatted_plan(df)
+    # and the pruned path returns exactly the in-memory search's answer
+    expect = graph.ann_search_graph_q(spark, SF_SMALL)
+    assert df.exceptAll(expect).count() == 0 and expect.exceptAll(df).count() == 0
+
+
 def test_ivf_index_store_partition_prunes(spark, tmp_path):
     path = str(tmp_path / "ivf_idx")
     assigned = ivf.ivf_index(spark, SF_SMALL)
