@@ -43,6 +43,7 @@ HEADLINE = [
     "ann_recall_graph",
     "embedding_clusters",
     "ann_search_graph_store",
+    "ann_recall_graph_sweep",
     "aknn_search_api",
     "sq8_quantize",
     "ann_search_sq8",

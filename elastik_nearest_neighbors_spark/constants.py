@@ -208,6 +208,8 @@ GRAPH_LIST_TARGET = 250
 # blob, 1.05 leaves only pairs; 1.12 gives 63 non-singleton clusters up to
 # size 5 — real multi-hop transitive chains without percolation
 GRAPH_CLUSTER_TAU = 1.12
+# recall-vs-expansion-depth sweep: hops 0 (seeds only) .. 2
+GRAPH_SWEEP_HOPS = 2
 SQ8_LEVELS = 255  # int8 scalar quantization: 256 levels per dimension
 ZSCORE_TAU = 3.0  # events_anomaly |z| threshold
 

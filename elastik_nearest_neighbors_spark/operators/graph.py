@@ -260,3 +260,59 @@ def ann_recall_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ann = ann_search_graph_q(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_of(ann, exact_ground_truth(spark, sf_dir))
+
+
+def ann_recall_graph_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #118: recall@k as a function of EXPANSION DEPTH (hops ∈
+    0..GRAPH_SWEEP_HOPS) — the graph family's quality/cost curve, the
+    analogue of HNSW's ef knob and of the LSH family's (T×B) recall grid.
+    Hop 0 is the nprobe=1 seed set; each further hop walks every frontier
+    candidate's out-edges once (frontier grows ≤ ×degree per hop and is
+    re-deduplicated, so depth d touches O(seeds·degree^d) rows bounded by
+    N). One seed job and one edge table feed all depths.
+
+    Output: (hops, query_id, recall) — per-query rows, no cross-row float
+    aggregation, bit-stable across engines."""
+    from ..constants import GRAPH_SWEEP_HOPS
+    from .knn import _recall_of, exact_ground_truth
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    edges = graph_edges(spark, sf_dir)
+    gt = exact_ground_truth(spark, sf_dir)
+    seeds = (
+        ann_search_ivf(emb, queries, model_for(sf_dir), nprobe=1, k=GRAPH_SEED_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    frontier = seeds
+    for hops in range(GRAPH_SWEEP_HOPS + 1):
+        if hops > 0:
+            hop = edges.select(F.col("vec_a").alias("neighbor_id"), "vec_b").join(
+                F.broadcast(frontier), "neighbor_id"
+            ).select("query_id", F.col("vec_b").alias("neighbor_id"))
+            frontier = frontier.unionByName(hop).distinct().localCheckpoint(eager=True)
+        cand = frontier.where(F.col("neighbor_id") != F.col("query_id")).distinct()
+        nvec = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("nv"))
+        qvec = queries.select(F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv"))
+        scored = (
+            nvec.join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(qvec), "query_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+        ann = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= ANN_K2)
+            .select("query_id", "neighbor_id")
+        )
+        out.append(_recall_of(ann, gt).select(F.lit(hops).alias("hops"), "query_id", "recall"))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

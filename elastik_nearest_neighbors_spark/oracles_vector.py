@@ -910,6 +910,94 @@ FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
 """
 
 
+def ann_recall_graph_sweep(sf_dir: str) -> str:
+    """Recall at every expansion depth 0..GRAPH_SWEEP_HOPS from ONE seed
+    CTE and one edge CTE (operators/graph.ann_recall_graph_sweep): frontier
+    f{h} = f{h-1} ∪ its out-edge targets (dedup), candidates exclude the
+    query itself only at rerank time — exactly the Spark loop."""
+    from .constants import ANN_K2, GRAPH_SEED_K, GRAPH_SWEEP_HOPS, KNN_K
+
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    # seeds CTE comes from _graph_ann_cte's prefix; rebuild just the parts
+    # we need (assign/probes/seeds) and the frontier chain
+    frontier_ctes, ann_selects = [], []
+    prev = "f0"
+    frontier_ctes.append("f0 AS (SELECT query_id, neighbor_id FROM seeds)")
+    for h in range(1, GRAPH_SWEEP_HOPS + 1):
+        cur = f"f{h}"
+        frontier_ctes.append(
+            f"""{cur} AS (
+  SELECT DISTINCT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id FROM {prev}
+    UNION ALL
+    SELECT f.query_id, e.vec_b AS neighbor_id
+    FROM {prev} f JOIN edges e ON e.vec_a = f.neighbor_id
+  ) u
+)"""
+        )
+        prev = cur
+    for h in range(GRAPH_SWEEP_HOPS + 1):
+        ann_selects.append(
+            f"""SELECT {h} AS hops, query_id, neighbor_id FROM (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_distance(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS distance
+  FROM (SELECT DISTINCT query_id, neighbor_id FROM f{h}
+        WHERE neighbor_id <> query_id) c
+  JOIN embeddings eq ON eq.vec_id = c.query_id
+  JOIN embeddings en ON en.vec_id = c.neighbor_id
+) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}"""
+        )
+    anns = "\nUNION ALL\n".join(ann_selects)
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+{_graph_cent_cte(sf_dir)},
+{_graph_edges_cte(sf_dir)},
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERIES}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+),
+seeds AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(list_distance(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS distance
+    FROM probes p
+    JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+    JOIN embeddings eq ON eq.vec_id = p.query_id
+    JOIN embeddings en ON en.vec_id = a.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {GRAPH_SEED_K}
+),
+{",".join(frontier_ctes)},
+ann AS (
+{anns}
+),
+exact AS ({exact}),
+hits AS (
+  SELECT a.hops, a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1, 2
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+), grid AS (
+  SELECT h.hops, ne.query_id, ne.n_exact
+  FROM ne CROSS JOIN (SELECT unnest(range(0, {GRAPH_SWEEP_HOPS + 1})) AS hops) h
+)
+SELECT CAST(g.hops AS INT) AS hops, g.query_id,
+       round(COALESCE(h.n_hit, 0) / g.n_exact, 4) AS recall
+FROM grid g LEFT JOIN hits h ON h.hops = g.hops AND h.query_id = g.query_id
+"""
+
+
 def sq8_quantize(sf_dir: str) -> str:
     from .constants import SQ8_LEVELS
 

@@ -48,6 +48,7 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_search_graph": graph.ann_search_graph_q,
     "ann_recall_graph": graph.ann_recall_graph_q,
     "ann_search_graph_store": graph.ann_search_graph_store,
+    "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
     "embedding_clusters": graph.embedding_clusters,
     "streaming_index_store": ingest.streaming_index_store,
     "streaming_index_compact": ingest.streaming_index_compact,
@@ -85,10 +86,10 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_recall_pq": pq.ann_recall_pq,
     "dedup_semantic": ivf.dedup_semantic,
     "range_search": knn.range_search_q,
-    "knn_graph": ivf.knn_graph,
     # ---- GATE WINDOW BOUNDARY (~entry 50): keep new keys ABOVE this line
     # ---- and push an equal number of entries below.
     # -- r5 rotation queue: r2-era greens not re-gated in r4 --
+    "knn_graph": ivf.knn_graph,
     "ann_search_sq8": pq.ann_search_sq8,
     "ann_recall_sq8": pq.ann_recall_sq8,
     "dedup_exact": dedup.dedup_exact,
@@ -206,6 +207,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_recall_graph": oracles_vector.ann_recall_graph,
     # store-backed graph search is result-identical to the in-memory path
     "ann_search_graph_store": oracles_vector.ann_search_graph,
+    "ann_recall_graph_sweep": oracles_vector.ann_recall_graph_sweep,
     "embedding_clusters": oracles_vector.embedding_clusters,
     "sq8_quantize": oracles_vector.sq8_quantize,
     "ann_search_sq8": oracles_vector.ann_search_sq8,
