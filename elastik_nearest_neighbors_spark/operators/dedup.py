@@ -323,15 +323,24 @@ def _connected_components(
     sym = edges.unionAll(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
-    labels = nodes.select("doc_id", F.col("doc_id").alias("cluster_id")).localCheckpoint(
-        eager=True
+    # only edge-incident nodes can ever change label; everything else is a
+    # singleton cluster emitted directly at the end. The loop's per-round
+    # joins/aggregates then run over the (usually much smaller) connected
+    # subgraph — on a mostly-unique corpus that is a small fraction of N
+    singletons = nodes.join(
+        sym.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_anti"
+    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
+    labels = (
+        nodes.join(sym.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
+    def _propagate_and_jump(lbl: DataFrame) -> DataFrame:
         from_nbr = sym.join(
-            labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+            lbl.withColumnRenamed("doc_id", "doc_b"), "doc_b"
         ).select(F.col("doc_a").alias("doc_id"), "cluster_id")
         merged = (
-            labels.unionAll(from_nbr)
+            lbl.unionAll(from_nbr)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
@@ -342,15 +351,17 @@ def _connected_components(
         parent = merged.select(
             F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("jump")
         )
-        # localCheckpoint truncates lineage so round N's plan doesn't stack
-        # N copies of the join, and lets the changed-count reuse the result
-        new_labels = (
-            merged.join(parent, "cluster_id", "left")
-            .select(
-                "doc_id", F.coalesce("jump", "cluster_id").alias("cluster_id")
-            )
-            .localCheckpoint(eager=True)
+        return merged.join(parent, "cluster_id", "left").select(
+            "doc_id", F.coalesce("jump", "cluster_id").alias("cluster_id")
         )
+
+    # ONE pass per materialization round, deliberately: the jump's parent
+    # lookup references `merged` twice, so composing P un-checkpointed
+    # passes duplicates the whole upstream subtree 2^P times (measured 2.5×
+    # SLOWER at P=4 than P=1 at sf0.1) — the localCheckpoint per pass is
+    # what keeps the plan linear, and its cost is the price of the jump.
+    for _ in range(max_rounds):
+        new_labels = _propagate_and_jump(labels).localCheckpoint(eager=True)
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("cluster_id", "old"), "doc_id"
@@ -361,7 +372,7 @@ def _connected_components(
         labels = new_labels
         if changed == 0:
             break
-    return labels
+    return labels.unionByName(singletons)
 
 
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
