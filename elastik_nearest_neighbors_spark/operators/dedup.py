@@ -299,79 +299,90 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _star_phase(e: DataFrame, large: bool) -> DataFrame:
+    """One alternating-star phase over an undirected edge set (doc_a, doc_b).
+
+    Per node u with min-incident m(u) = min(neighbors ∪ {u}):
+    - large-star rewires u's STRICTLY LARGER neighbors to m(u);
+    - small-star rewires u's ≤ neighbors to m(u);
+    and u itself connects to m(u). Self-loops drop; the result is distinct.
+    Both phases preserve connectivity (every rewired edge goes through u's
+    star) and only ever point edges at smaller ids."""
+    # no distinct on the symmetrized view: the min-aggregate below is
+    # duplicate-insensitive (map-side combine collapses them) and the
+    # rewired output is distinct-ed anyway — one less exchange per phase
+    sym = e.unionAll(
+        e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    m = sym.groupBy("doc_a").agg(F.min("doc_b").alias("mn")).select(
+        "doc_a", F.least(F.col("mn"), F.col("doc_a")).alias("mn")
+    )
+    cond = F.col("doc_b") > F.col("doc_a") if large else F.col("doc_b") <= F.col("doc_a")
+    rewired = (
+        sym.join(m, "doc_a")
+        .where(cond)
+        .select(F.col("doc_b").alias("doc_a"), F.col("mn").alias("doc_b"))
+    )
+    self_edge = m.select(F.col("doc_a"), F.col("mn").alias("doc_b"))
+    return (
+        rewired.unionAll(self_edge)
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+
+
 def _connected_components(
     nodes: DataFrame, edges: DataFrame, max_rounds: int = 50
 ) -> DataFrame:
-    """Min-label connected components with POINTER DOUBLING.
-
-    Each round does two things:
-    1. neighbor propagation — label(v) ← min(label(v), min over neighbors
-       label(u)): one co-partitioned join + groupBy;
-    2. pointer jump — label(v) ← label(label(v)): labels only ever hold ids
-       of REACHABLE nodes (induction: neighbors are reachable, and the
-       label of a reachable node is reachable through it), so jumping stays
-       correct while letting a label travel twice as far per round.
-    Together the min label reaches every node in O(log diameter) rounds —
-    a 2^50-hop chain would converge inside the cap, vs O(diameter) for
-    plain propagation (near-dup graphs are usually shallow, but chain-like
-    template corpora are exactly the adversarial case at 100 TB).
+    """Min-label connected components via ALTERNATING STARS (the
+    large-star/small-star algorithm of Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — each round rewires the edge set
+    itself toward star graphs centered at component minima, converging in
+    O(log² n) rounds with small constants (prototype: 4-6 rounds on random
+    graphs, 13 on a 3000-hop path; the previous propagate+jump loop took 36
+    rounds on the sf0.1 embedding graph, and round COUNT is the wall-clock
+    driver because each round is a fixed-cost materialization barrier).
+    Chain-like template corpora — the adversarial case at 100 TB — are
+    exactly what the star rewiring compresses fastest.
 
     nodes: (doc_id,); edges: (doc_a, doc_b), treated as undirected.
     Output: (doc_id, cluster_id) with cluster_id = min doc_id reachable."""
-    # materialize the edge list ONCE — every propagation round reuses it,
-    # and without this the upstream pipeline would re-execute per round
-    sym = edges.unionAll(
+    sym0 = edges.unionAll(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
-    # only edge-incident nodes can ever change label; everything else is a
-    # singleton cluster emitted directly at the end. The loop's per-round
-    # joins/aggregates then run over the (usually much smaller) connected
-    # subgraph — on a mostly-unique corpus that is a small fraction of N
-    singletons = nodes.join(
-        sym.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_anti"
-    ).select("doc_id", F.col("doc_id").alias("cluster_id"))
-    labels = (
-        nodes.join(sym.select(F.col("doc_a").alias("doc_id")).distinct(), "doc_id", "left_semi")
-        .select("doc_id", F.col("doc_id").alias("cluster_id"))
-        .localCheckpoint(eager=True)
+    # only edge-incident nodes can get a non-self label; everything else is
+    # a singleton cluster emitted directly — on a mostly-unique corpus the
+    # star loop then runs over a small fraction of N
+    incident = sym0.select(F.col("doc_a").alias("doc_id")).distinct()
+    singletons = nodes.join(incident, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
     )
-    def _propagate_and_jump(lbl: DataFrame) -> DataFrame:
-        from_nbr = sym.join(
-            lbl.withColumnRenamed("doc_id", "doc_b"), "doc_b"
-        ).select(F.col("doc_a").alias("doc_id"), "cluster_id")
-        merged = (
-            lbl.unionAll(from_nbr)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-        )
-        # pointer jump: look up the label OF the label (cluster_id is itself
-        # a doc_id). Left join + coalesce: the parent always exists in
-        # `merged`, but stay total if a caller passes edges mentioning
-        # nodes absent from `nodes`.
-        parent = merged.select(
-            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("jump")
-        )
-        return merged.join(parent, "cluster_id", "left").select(
-            "doc_id", F.coalesce("jump", "cluster_id").alias("cluster_id")
-        )
-
-    # ONE pass per materialization round, deliberately: the jump's parent
-    # lookup references `merged` twice, so composing P un-checkpointed
-    # passes duplicates the whole upstream subtree 2^P times (measured 2.5×
-    # SLOWER at P=4 than P=1 at sf0.1) — the localCheckpoint per pass is
-    # what keeps the plan linear, and its cost is the price of the jump.
+    e = sym0
+    n_e = e.count()
     for _ in range(max_rounds):
-        new_labels = _propagate_and_jump(labels).localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("cluster_id", "old"), "doc_id"
-            )
-            .where(F.col("cluster_id") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        # one large-star + one small-star per materialization round; the
+        # phases compose lazily (no self-referencing subtree, unlike the
+        # old pointer-jump), so only the round result is checkpointed
+        e2 = _star_phase(_star_phase(e, large=True), large=False).localCheckpoint(eager=True)
+        # convergence: both sets are distinct, so equal size + empty
+        # one-sided difference ⇒ equal sets (counts are cheap post-
+        # checkpoint; the exceptAll job only runs when sizes match)
+        n_e2 = e2.count()
+        changed = n_e2 != n_e or e2.exceptAll(e).count() > 0
+        e, n_e = e2, n_e2
+        if not changed:
             break
+    # fixpoint edge set = stars: (member, component-min) for every non-min
+    # member; minima label themselves
+    gather = e.unionAll(e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    labels = (
+        gather.groupBy("doc_a")
+        .agg(F.min("doc_b").alias("mn"))
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.least(F.col("mn"), F.col("doc_a")).alias("cluster_id"),
+        )
+    )
     return labels.unionByName(singletons)
 
 
