@@ -140,3 +140,37 @@ def test_rvid_roundtrip_arbitrary_frame_counts():
         assert vid.shape == (n_frames, mm.VID_H, mm.VID_W, 3)
 
     check()
+
+
+def test_connected_components_matches_union_find(spark):
+    """The alternating-star components must equal a plain-Python union-find
+    on random graphs — the property that caught every rewiring subtlety
+    while the algorithm was being built."""
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark.operators.dedup import _connected_components
+
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        n = int(rng.integers(20, 120))
+        n_e = int(rng.integers(1, n))
+        edges = [(int(a), int(b)) for a, b in rng.integers(0, n, size=(n_e, 2)) if a != b]
+        if not edges:
+            continue
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {v: find(v) for v in range(n)}
+        nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+        e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {r.doc_id: r.cluster_id for r in _connected_components(nodes, e).collect()}
+        assert got == want, {v: (got[v], want[v]) for v in got if got[v] != want[v]}
