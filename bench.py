@@ -44,6 +44,7 @@ HEADLINE = [
     "embedding_clusters",
     "ann_search_graph_store",
     "ann_recall_graph_sweep",
+    "streaming_graph_search",
     "aknn_search_api",
     "sq8_quantize",
     "ann_search_sq8",

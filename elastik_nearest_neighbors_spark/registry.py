@@ -50,6 +50,7 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_search_graph_store": graph.ann_search_graph_store,
     "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
     "embedding_clusters": graph.embedding_clusters,
+    "streaming_graph_search": ingest.streaming_graph_search,
     "streaming_index_store": ingest.streaming_index_store,
     "streaming_index_compact": ingest.streaming_index_compact,
     "streaming_index": ingest.streaming_index,
@@ -208,6 +209,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     # store-backed graph search is result-identical to the in-memory path
     "ann_search_graph_store": oracles_vector.ann_search_graph,
     "ann_recall_graph_sweep": oracles_vector.ann_recall_graph_sweep,
+    # streamed seed generation drains to the same answer as the batch path
+    "streaming_graph_search": oracles_vector.ann_search_graph,
     "embedding_clusters": oracles_vector.embedding_clusters,
     "sq8_quantize": oracles_vector.sq8_quantize,
     "ann_search_sq8": oracles_vector.ann_search_sq8,

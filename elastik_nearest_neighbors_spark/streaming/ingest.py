@@ -405,6 +405,77 @@ def streaming_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_term_matches(sunk, emb, emb.where(F.col("vec_id") < N_QUERIES))
 
 
+def streaming_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online graph-expanded ANN serving — the graph twin of
+    streaming_ann_search: a stream of query vectors is assigned to its
+    nearest IVF list with the same Arrow UDF, stream-static joined against
+    the static list membership, and scored against the members — all
+    STATELESS (no streaming aggregation at all: one row per (query,
+    member) candidate lands in the sink). The rank-bearing tail (top
+    GRAPH_SEED_K seeds → 1-hop expansion along the static edge table →
+    exact rerank) runs batch-side over the sink, so the output is
+    IDENTICAL to the batch ann_search_graph — same oracle.
+
+    At scale: the static sides are the list-partitioned assignment and the
+    vec_a-bucketed edge store; per micro-batch work is queries × one list's
+    members — no state to size, no watermark to tune."""
+    from ..constants import N_QUERIES
+    from ..functions.vector import as_double, euclidean
+    from ..operators.graph import _expand_and_rerank, graph_edges
+    from ..operators.ivf import list_assignments, model_for
+    from ..constants import DIST_ROUND
+
+    configure(spark)
+    emb = io.table(spark, sf_dir, "embeddings")
+    model = model_for(sf_dir)
+    members = list_assignments(spark, sf_dir).select(
+        F.col("vec_id").alias("neighbor_id"), "list_id"
+    )
+    nvec = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("nv"))
+
+    src = (
+        spark.readStream.schema(emb.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    ).where(F.col("vec_id") < N_QUERIES)
+    probes = src.select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        F.explode(model.probe_udf(1)(F.col("embedding"))).alias("list_id"),
+    )
+    scored = (
+        probes.join(members, "list_id")  # stream-static join, stateless
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(nvec, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
+        )
+    )
+    name = f"enn_stream_graph_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from ..constants import GRAPH_SEED_K
+    from pyspark.sql.window import Window
+
+    sunk = spark.sql(f"SELECT query_id, neighbor_id, distance FROM {name}")
+    w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    seeds = (
+        sunk.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= GRAPH_SEED_K)
+        .select("query_id", "neighbor_id")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return _expand_and_rerank(emb, queries, seeds, graph_edges(spark, sf_dir))
+
+
 def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of analytics.events_sliding_window: watermarked
     hopping 1h/15m windows over the event stream. Complete mode +
