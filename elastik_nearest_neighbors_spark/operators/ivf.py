@@ -47,6 +47,24 @@ from ..functions.vector import as_double, euclidean
 from ..session import configure
 
 
+def _chunked_sq_dists(v: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
+    """Row-chunked squared euclidean distances v×cent.
+
+    The obvious broadcast `((v[:,None,:] - cent[None,:,:])**2).sum(2)`
+    materializes an (n, nlist, dim) float64 intermediate — 41 GB per
+    10k-row Arrow batch once nlist scales with N (graph_model_for fits
+    nlist = N/250: 800 lists at 200k vectors). Chunking the ROW axis keeps
+    the per-row float ops — and therefore every distance bit — identical
+    while bounding the intermediate to ~64 MB."""
+    n, d = v.shape
+    rows = max(1, (64 << 20) // max(1, cent.shape[0] * d * 8))
+    out = np.empty((n, cent.shape[0]), dtype=np.float64)
+    for i in range(0, n, rows):
+        blk = v[i : i + rows]
+        out[i : i + rows] = ((blk[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return out
+
+
 class IvfModel:
     """Coarse quantizer: NLIST centroids from deterministic Lloyd k-means."""
 
@@ -80,8 +98,7 @@ class IvfModel:
         x = np.array(df["embedding"].tolist(), dtype=np.float64)
         cent = x[:nlist].copy()
         for _ in range(iters):
-            d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = _chunked_sq_dists(x, cent).argmin(axis=1)
             for j in range(nlist):
                 members = x[assign == j]
                 if len(members):
@@ -93,8 +110,9 @@ class IvfModel:
         v = np.array(vecs.tolist(), dtype=np.float64)
         # sqrt(sum((v-c)^2)) computed directly (not the matmul expansion) so
         # the float ops line up with DuckDB's list_distance; rounded before
-        # any argmin/rank so last-ulp noise can't flip an assignment
-        d = np.sqrt(((v[:, None, :] - self.centroids[None, :, :]) ** 2).sum(axis=2))
+        # any argmin/rank so last-ulp noise can't flip an assignment;
+        # row-chunked so the (batch, nlist, dim) intermediate stays bounded
+        d = np.sqrt(_chunked_sq_dists(v, self.centroids))
         return np.round(d, DIST_ROUND)
 
     def assign_udf(self):
