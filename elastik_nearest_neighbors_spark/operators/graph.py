@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -86,35 +88,58 @@ def build_graph_edges(emb: DataFrame, model) -> DataFrame:
     """(vec_a, vec_b, distance): for every vector, its GRAPH_DEGREE nearest
     neighbors among vectors sharing ≥1 of its GRAPH_PROBES nearest lists.
 
-    Multi-probe membership (explode ×GRAPH_PROBES) is the narrow pass;
-    the pair join shuffles once on list_id; DISTINCT collapses pairs that
-    co-occur in both shared lists BEFORE the distance computation, so each
-    surviving pair's vectors are joined and scored exactly once."""
+    Scale shape (r4, learned at sf10): the obvious pair-join — co-member
+    pairs joined back to both vectors — ships TWO 64-dim vectors per
+    CANDIDATE PAIR through the shuffle: ~200 GB for 200k vectors (it filled
+    the disk). Instead each vector is shipped to its GRAPH_PROBES list
+    groups (a 2N-row shuffle — linear, vector travels twice total) and the
+    within-group kNN runs locally in numpy via applyInPandas: per group an
+    m×m distance matrix with m ≈ 2N/L held FLAT by lists ∝ N. Per-list
+    top-degree candidates union → distinct → global top-degree window;
+    correct because a vector's true top-degree within its co-member union
+    is contained in the union of its per-list top-degrees. Distances use
+    the same direct-subtraction numpy math as IvfModel._dists (rounded to
+    DIST_ROUND), which the DuckDB oracles already match bit-for-bit."""
+    from .ivf import _chunked_sq_dists
+
     mem = emb.select(
         "vec_id",
+        as_double(F.col("embedding")).alias("v"),
         F.explode(model.probe_udf(GRAPH_PROBES)(F.col("embedding"))).alias("list_id"),
     )
-    aa = mem.select(F.col("vec_id").alias("vec_a"), "list_id")
-    bb = mem.select(F.col("vec_id").alias("vec_b"), "list_id")
-    pairs = (
-        aa.join(bb, "list_id")
-        .where(F.col("vec_a") != F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+
+    def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        x = np.array(pdf["v"].tolist(), dtype=np.float64)
+        d = np.round(np.sqrt(_chunked_sq_dists(x, x)), DIST_ROUND)
+        out_a, out_b, out_d = [], [], []
+        k = GRAPH_DEGREE
+        for i in range(len(ids)):
+            row = d[i]
+            # order by (distance, vec_b), excluding self. Prune with the
+            # kth-smallest distance but keep EVERY candidate tied at it —
+            # duplicate-heavy data (100 identical copies ⇒ 99 zero
+            # distances) must tie-break on vec_b over the full tie set,
+            # not an arbitrary argpartition subset
+            mask = ids != ids[i]
+            cand = np.nonzero(mask)[0]
+            if len(cand) > k:
+                kth = np.partition(row[cand], k - 1)[k - 1]
+                part = cand[row[cand] <= kth]
+            else:
+                part = cand
+            order = part[np.lexsort((ids[part], row[part]))][:k]
+            out_a.extend([ids[i]] * len(order))
+            out_b.extend(ids[order].tolist())
+            out_d.extend(row[order].tolist())
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "distance": out_d})
+
+    per_list_top = mem.groupBy("list_id").applyInPandas(
+        per_list, "vec_a long, vec_b long, distance double"
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), as_double(F.col("embedding")).alias("va"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), as_double(F.col("embedding")).alias("vb"))
-    scored = (
-        pairs.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(euclidean(F.col("va"), F.col("vb")), DIST_ROUND).alias("distance"),
-        )
-    )
+    cand = per_list_top.distinct()
     w = Window.partitionBy("vec_a").orderBy(F.asc("distance"), F.asc("vec_b"))
-    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= GRAPH_DEGREE).drop("rn")
+    return cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= GRAPH_DEGREE).drop("rn")
 
 
 def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

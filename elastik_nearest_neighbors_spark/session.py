@@ -11,6 +11,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Half the host's RAM, clamped to [8g, 64g].
+
+    local[N] puts every executor thread inside the driver JVM, so a pinned
+    8g heap makes 32 threads GC-thrash on inputs that a real cluster would
+    spread over executors (observed: GCLocker allocation stalls and a dead
+    session at sf10). Sizing to the host is what a cluster deployment does
+    via spark.executor.memory; the env var still overrides."""
+    try:
+        with open("/proc/meminfo") as f:
+            kb = int(next(line for line in f if line.startswith("MemTotal")).split()[1])
+        return f"{max(8, min(kb // (1 << 20) // 2, 64))}g"
+    except Exception:
+        return "8g"
+
+
 def get_spark(
     app_name: str = "elastik-nearest-neighbors-spark",
     cpus: int | None = None,
@@ -22,7 +38,7 @@ def get_spark(
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()))
         .getOrCreate()
     )
 
