@@ -84,36 +84,31 @@ def graph_model_for(sf_dir: str) -> IvfModel:
     return m
 
 
-def build_graph_edges(emb: DataFrame, model) -> DataFrame:
-    """(vec_a, vec_b, distance): for every vector, its GRAPH_DEGREE nearest
-    neighbors among vectors sharing ≥1 of its GRAPH_PROBES nearest lists.
+def local_knn_groups(mem: DataFrame, k: int) -> DataFrame:
+    """Within-group exact kNN, numpy-local: `mem` is (vec_id, v, list_id)
+    membership rows; per list_id group each member's k nearest co-members
+    are ranked by (rounded distance, vec_b) in an applyInPandas batch.
 
-    Scale shape (r4, learned at sf10): the obvious pair-join — co-member
-    pairs joined back to both vectors — ships TWO 64-dim vectors per
-    CANDIDATE PAIR through the shuffle: ~200 GB for 200k vectors (it filled
-    the disk). Instead each vector is shipped to its GRAPH_PROBES list
-    groups (a 2N-row shuffle — linear, vector travels twice total) and the
-    within-group kNN runs locally in numpy via applyInPandas: per group an
-    m×m distance matrix with m ≈ 2N/L held FLAT by lists ∝ N. Per-list
-    top-degree candidates union → distinct → global top-degree window;
-    correct because a vector's true top-degree within its co-member union
-    is contained in the union of its per-list top-degrees. Distances use
-    the same direct-subtraction numpy math as IvfModel._dists (rounded to
-    DIST_ROUND), which the DuckDB oracles already match bit-for-bit."""
+    This is the r4 scale pattern (learned at sf10): the obvious pair-join —
+    co-member pairs joined back to both vectors — ships TWO 64-dim vectors
+    per CANDIDATE PAIR through the shuffle: ~200 GB for 200k vectors (it
+    filled the disk). Shipping each vector once per MEMBERSHIP row makes
+    the shuffle linear in |mem|, and the m×m distance work runs locally in
+    numpy (row-chunked, see _chunked_sq_dists). Distances use the same
+    direct-subtraction numpy math as IvfModel._dists (rounded to
+    DIST_ROUND), which the DuckDB oracles already match bit-for-bit.
+
+    Output: (vec_a, vec_b, distance), ≤k rows per (list group, vec_a).
+    Single-membership callers (nprobe=1: ivf.knn_graph) get disjoint groups
+    — the per-group top-k IS the global top-k; multi-membership callers
+    (build_graph_edges) must distinct + re-rank across groups."""
     from .ivf import _chunked_sq_dists
-
-    mem = emb.select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("v"),
-        F.explode(model.probe_udf(GRAPH_PROBES)(F.col("embedding"))).alias("list_id"),
-    )
 
     def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         x = np.array(pdf["v"].tolist(), dtype=np.float64)
         d = np.round(np.sqrt(_chunked_sq_dists(x, x)), DIST_ROUND)
         out_a, out_b, out_d = [], [], []
-        k = GRAPH_DEGREE
         for i in range(len(ids)):
             row = d[i]
             # order by (distance, vec_b), excluding self. Prune with the
@@ -134,10 +129,28 @@ def build_graph_edges(emb: DataFrame, model) -> DataFrame:
             out_d.extend(row[order].tolist())
         return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "distance": out_d})
 
-    per_list_top = mem.groupBy("list_id").applyInPandas(
+    return mem.groupBy("list_id").applyInPandas(
         per_list, "vec_a long, vec_b long, distance double"
     )
-    cand = per_list_top.distinct()
+
+
+def build_graph_edges(emb: DataFrame, model) -> DataFrame:
+    """(vec_a, vec_b, distance): for every vector, its GRAPH_DEGREE nearest
+    neighbors among vectors sharing ≥1 of its GRAPH_PROBES nearest lists.
+
+    Each vector is shipped to its GRAPH_PROBES list groups (a 2N-row
+    shuffle — linear, vector travels twice total) and the within-group kNN
+    runs numpy-locally (local_knn_groups); per-group m ≈ 2N/L is held FLAT
+    by lists ∝ N. Per-list top-degree candidates union → distinct → global
+    top-degree window; correct because a vector's true top-degree within
+    its co-member union is contained in the union of its per-list
+    top-degrees."""
+    mem = emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        F.explode(model.probe_udf(GRAPH_PROBES)(F.col("embedding"))).alias("list_id"),
+    )
+    cand = local_knn_groups(mem, GRAPH_DEGREE).distinct()
     w = Window.partitionBy("vec_a").orderBy(F.asc("distance"), F.asc("vec_b"))
     return cand.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= GRAPH_DEGREE).drop("rn")
 

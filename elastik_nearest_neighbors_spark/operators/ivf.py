@@ -318,6 +318,22 @@ def list_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _single_list_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, v, list_id) under the BUILD quantizer (graph.graph_model_for:
+    lists ∝ N) — the membership input for the numpy-local group operators.
+    nprobe=1, so every vector lands in exactly one group and the groups
+    partition the data (per-group output needs no cross-group re-rank)."""
+    from .graph import graph_model_for
+
+    emb = _emb(spark, sf_dir)
+    model = graph_model_for(sf_dir)
+    return emb.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        F.explode(model.probe_udf(1)(F.col("embedding"))).alias("list_id"),
+    )
+
+
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: embedding near-duplicate pairs scoped
     to one coarse k-means list — the clustering bounds the quadratic pair
@@ -326,40 +342,48 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical assignments except on Voronoi boundaries; the boundary miss is
     the documented approximation vs the LSH multi-table path).
 
-    Scale shape: assignment is the same narrow pass as ivf_index; the pair
-    self-join shuffles once on list_id, and at 100 TB NLIST grows with N
-    (nlist ∝ √N is the FAISS rule) so per-list membership — and the O(m²)
-    pair count — stays bounded. Norms are computed once per vector, not per
-    pair.
+    Scale shape (r4 local-group port): each vector ships ONCE to its list
+    group — an N-row shuffle — and the within-list cosine matrix runs
+    numpy-locally (row-chunked BLAS, ~64 MB bound), instead of the old pair
+    self-join that shipped both 64-dim vectors per candidate pair (the
+    shuffle blowup sf10 exposed in the graph build). The quantizer is the
+    BUILD model (lists ∝ N / GRAPH_LIST_TARGET — the SemDeDup paper scales
+    cluster count with corpus size), so per-list m and the O(m²) pair work
+    per vector stay FLAT as data grows; at the test SFs it coincides with
+    the serving quantizer. Matrix math is rounded to DIST_ROUND before the
+    τ filter, which the DuckDB oracle matches bit-for-bit.
 
     Output: (list_id, vec_a, vec_b, cosine) with cosine ≥ SEMDEDUP_TAU."""
     from ..constants import SEMDEDUP_TAU
-    from ..functions.vector import dot, l2_norm
 
-    emb = _emb(spark, sf_dir)
-    # the SemDeDup paper's own "materialize cluster assignments" step —
-    # shared, session-cached (see list_assignments)
-    assigned = list_assignments(spark, sf_dir)
-    aa = assigned.select(F.col("vec_id").alias("vec_a"), "list_id")
-    bb = assigned.select(F.col("vec_id").alias("vec_b"), "list_id")
-    cand = aa.join(bb, "list_id").where(F.col("vec_a") < F.col("vec_b"))
-    en = emb.select("vec_id", as_double(F.col("embedding")).alias("v")).withColumn(
-        "nrm", l2_norm(F.col("v"))
-    )
-    ea = en.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    eb = en.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "list_id",
-            "vec_a",
-            "vec_b",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), DIST_ROUND
-            ).alias("cosine"),
+    mem = _single_list_members(spark, sf_dir)
+
+    def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        lid = int(pdf["list_id"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        x = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.sqrt((x * x).sum(axis=1))
+        m = len(ids)
+        out_a, out_b, out_c = [], [], []
+        # row-chunked gram matrix: (rows × m) blocks bound the intermediate
+        # the way _chunked_sq_dists does for distances
+        rows = max(1, (64 << 20) // max(1, m * 8))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i in range(0, m, rows):
+                blk = x[i : i + rows] @ x.T
+                cos = np.round(blk / (nrm[i : i + rows, None] * nrm[None, :]), DIST_ROUND)
+                ii, jj = np.nonzero(cos >= SEMDEDUP_TAU)
+                gi = ii + i
+                keep = ids[gi] < ids[jj]
+                out_a.extend(ids[gi[keep]].tolist())
+                out_b.extend(ids[jj[keep]].tolist())
+                out_c.extend(cos[ii[keep], jj[keep]].tolist())
+        return pd.DataFrame(
+            {"list_id": lid, "vec_a": out_a, "vec_b": out_b, "cosine": out_c}
         )
-        .where(F.col("cosine") >= SEMDEDUP_TAU)
+
+    return mem.groupBy("list_id").applyInPandas(
+        per_list, "list_id int, vec_a long, vec_b long, cosine double"
     )
 
 
@@ -370,36 +394,19 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     agglomerative dedup / NN-Descent seeding.
 
     Brute-force all-pairs kNN is O(N²) and unrunnable at 100 TB; scoping
-    candidates to the vector's own IVF list (same deterministic quantizer as
-    ivf_index) bounds the pair step to Σ m_list² with m ≈ N/NLIST, and
-    NLIST ∝ √N keeps per-list membership flat as data grows. Within-list
+    candidates to the vector's own list under the BUILD quantizer
+    (graph.graph_model_for: lists ∝ N / GRAPH_LIST_TARGET, coinciding with
+    the serving quantizer at the test SFs) keeps per-list membership — and
+    the O(m²) distance work per vector — FLAT as data grows. Within-list
     recall loss on Voronoi boundaries is the same documented approximation
-    as dedup_semantic. One shuffle on list_id for the pair join, one on
-    vec_a for the rank window; distances travel as 3-column rows, vectors
-    never shuffle.
+    as dedup_semantic. Scale shape (r4 local-group port): one N-row shuffle
+    ships each vector to its list group; the within-group kNN runs
+    numpy-locally (graph.local_knn_groups) — no pair join ever ships two
+    vectors per candidate pair, and nprobe=1 groups are disjoint so the
+    per-group top-k needs no global re-rank window.
 
     Output: (vec_a, vec_b, distance) — ≤ KNN_GRAPH_K rows per vec_a."""
     from ..constants import KNN_GRAPH_K
+    from .graph import local_knn_groups
 
-    emb = _emb(spark, sf_dir)
-    assigned = list_assignments(spark, sf_dir)
-    aa = assigned.select(F.col("vec_id").alias("vec_a"), "list_id")
-    bb = assigned.select(F.col("vec_id").alias("vec_b"), "list_id")
-    cand = aa.join(bb, "list_id").where(F.col("vec_a") != F.col("vec_b"))
-    ea = emb.select(F.col("vec_id").alias("vec_a"), as_double(F.col("embedding")).alias("va"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), as_double(F.col("embedding")).alias("vb"))
-    scored = (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(euclidean(F.col("va"), F.col("vb")), DIST_ROUND).alias("distance"),
-        )
-    )
-    w = Window.partitionBy("vec_a").orderBy(F.asc("distance"), F.asc("vec_b"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= KNN_GRAPH_K)
-        .drop("rn")
-    )
+    return local_knn_groups(_single_list_members(spark, sf_dir), KNN_GRAPH_K)

@@ -687,17 +687,19 @@ FROM exploded GROUP BY label, dim
 
 def dedup_semantic(sf_dir: str) -> str:
     """Within-list pairwise cosine ≥ τ over the SAME deterministic k-means
-    assignment as ivf_index (operators/ivf.dedup_semantic)."""
+    assignment as the BUILD quantizer (operators/ivf.dedup_semantic uses
+    graph_model_for: lists ∝ N, coinciding with the serving quantizer at
+    the test SFs)."""
     from .constants import SEMDEDUP_TAU
 
     cos = "round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6)"
     return f"""
-WITH {_ivf_cent_cte(sf_dir)},
+WITH {_graph_cent_cte(sf_dir)},
 assign AS (
   SELECT vec_id, list_id FROM (
     SELECT e.vec_id, c.list_id,
            round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
-    FROM embeddings e CROSS JOIN cent c
+    FROM embeddings e CROSS JOIN gcent c
   ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
 )
 SELECT CAST(a.list_id AS INT) AS list_id, a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -725,16 +727,17 @@ WHERE round(list_distance(q.qv, i.nv), 6) <= {RANGE_RADIUS}
 
 def knn_graph(sf_dir: str) -> str:
     """Per-list kNN graph over the SAME deterministic k-means assignment as
-    ivf_index (operators/ivf.knn_graph)."""
+    the BUILD quantizer (operators/ivf.knn_graph uses graph_model_for:
+    lists ∝ N, coinciding with the serving quantizer at the test SFs)."""
     from .constants import KNN_GRAPH_K
 
     return f"""
-WITH {_ivf_cent_cte(sf_dir)},
+WITH {_graph_cent_cte(sf_dir)},
 assign AS (
   SELECT vec_id, list_id FROM (
     SELECT e.vec_id, c.list_id,
            round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
-    FROM embeddings e CROSS JOIN cent c
+    FROM embeddings e CROSS JOIN gcent c
   ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
 )
 SELECT vec_a, vec_b, distance FROM (

@@ -50,6 +50,9 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_search_graph_store": graph.ann_search_graph_store,
     "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
     "embedding_clusters": graph.embedding_clusters,
+    # r4: ported to the scaled build quantizer + local-group numpy kNN
+    "dedup_semantic": ivf.dedup_semantic,
+    "knn_graph": ivf.knn_graph,
     "streaming_graph_search": ingest.streaming_graph_search,
     "streaming_index_store": ingest.streaming_index_store,
     "streaming_index_compact": ingest.streaming_index_compact,
@@ -84,13 +87,11 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_search_ivf_store": ivf.ann_search_ivf_store,
     "pq_codes": pq.pq_codes,
     "ann_search_pq": pq.ann_search_pq,
-    "ann_recall_pq": pq.ann_recall_pq,
-    "dedup_semantic": ivf.dedup_semantic,
-    "range_search": knn.range_search_q,
     # ---- GATE WINDOW BOUNDARY (~entry 50): keep new keys ABOVE this line
     # ---- and push an equal number of entries below.
     # -- r5 rotation queue: r2-era greens not re-gated in r4 --
-    "knn_graph": ivf.knn_graph,
+    "ann_recall_pq": pq.ann_recall_pq,
+    "range_search": knn.range_search_q,
     "ann_search_sq8": pq.ann_search_sq8,
     "ann_recall_sq8": pq.ann_recall_sq8,
     "dedup_exact": dedup.dedup_exact,

@@ -233,13 +233,14 @@ def test_dedup_semantic_pairs_match_brute_force_within_list(spark):
     from elastik_nearest_neighbors_spark.constants import SEMDEDUP_TAU
     from elastik_nearest_neighbors_spark.functions.vector import as_double, cosine
     from elastik_nearest_neighbors_spark.operators import ivf as ivf_ops
+    from elastik_nearest_neighbors_spark.operators.graph import graph_model_for
 
     got = {
         (r.vec_a, r.vec_b)
         for r in ivf_ops.dedup_semantic(spark, SF_SMALL).collect()
     }
     assigned = ivf_ops.build_ivf_index(
-        io.table(spark, SF_SMALL, "embeddings"), ivf_ops.model_for(SF_SMALL)
+        io.table(spark, SF_SMALL, "embeddings"), graph_model_for(SF_SMALL)
     ).select("vec_id", "list_id")
     emb = io.table(spark, SF_SMALL, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
