@@ -203,6 +203,19 @@ GRAPH_SEED_K = 10
 # FAISS's nlist ∝ √N rule is for query-time probing, not all-N builds; the
 # serving quantizer (seeds) stays the shared IVF model.
 GRAPH_LIST_TARGET = 250
+# two-level (coarse-over-fine) assignment for scaled quantizers: once L
+# (nlist) passes TWO_LEVEL_MIN_NLIST, flat argmin costs N·L distance rows —
+# with L ∝ N that is QUADRATIC in N and dominates the third decade (2M
+# vectors × 8000 lists measured; see BASELINE.md). A √L-centroid coarse
+# level over the fine centroids cuts assignment to ~(1+W)·√L per vector:
+# probe the W nearest coarse groups, argmin over only their fine members.
+# The boundary miss (true nearest fine list in an unprobed coarse group) is
+# the same documented Voronoi-edge approximation as the operators' own
+# list scoping. The threshold sits ABOVE every oracle-gated SF (L=16 at
+# sf0.001/0.01 gate scales, 80 at sf1), so parity SQL keeps the flat-argmin
+# mirror bit-for-bit; activation is deterministic in (N via nlist).
+TWO_LEVEL_MIN_NLIST = 128
+IVF_COARSE_PROBES = 8
 # single-linkage clustering over the graph's edges. Threshold swept at
 # sf0.01 (min pair distance ≈ 1.05): 1.2 percolates into one 474-member
 # blob, 1.05 leaves only pairs; 1.12 gives 63 non-singleton clusters up to

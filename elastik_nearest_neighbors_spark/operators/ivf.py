@@ -65,11 +65,109 @@ def _chunked_sq_dists(v: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
     return out
 
 
-class IvfModel:
-    """Coarse quantizer: NLIST centroids from deterministic Lloyd k-means."""
+def _lloyd(x: "np.ndarray", k: int, iters: int) -> "np.ndarray":
+    """Deterministic Lloyd k-means: init = first k rows, `iters` full steps,
+    empty clusters keep their previous centroid. Shared by the fine fit and
+    the coarse-over-fine fit so both levels regenerate bit-identically."""
+    cent = x[:k].copy()
+    for _ in range(iters):
+        assign = _chunked_sq_dists(x, cent).argmin(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                cent[j] = members.mean(axis=0)
+    return cent
 
-    def __init__(self, centroids: np.ndarray):
+
+def _coarse_members(
+    cent: "np.ndarray", coarse: "np.ndarray"
+) -> tuple["np.ndarray", list["np.ndarray"]]:
+    """fine → coarse grouping under the shared rounded-argmin/tie rule;
+    coarse groups with no fine members are dropped so every probed group
+    contributes candidates."""
+    d = np.round(np.sqrt(_chunked_sq_dists(cent, coarse)), DIST_ROUND)
+    f2c = d.argmin(axis=1)
+    keep = [g for g in range(len(coarse)) if (f2c == g).any()]
+    return coarse[keep], [np.nonzero(f2c == g)[0].astype(np.int64) for g in keep]
+
+
+def _pruned_rows(
+    v: "np.ndarray",
+    cent: "np.ndarray",
+    coarse: "np.ndarray",
+    members: list["np.ndarray"],
+    w: int,
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Two-level candidate rows (row_idx, list_id, dist) lexsorted by
+    (row, dist, list_id): per input row, rounded euclidean distances to the
+    fine members of its `w` nearest coarse groups only — ~(1+w)·√L distance
+    rows per vector instead of L. Same rounding and tie rules as the flat
+    path, restricted to the scanned set."""
+    dc = np.round(np.sqrt(_chunked_sq_dists(v, coarse)), DIST_ROUND)
+    w = min(w, dc.shape[1])
+    order = np.argsort(dc, axis=1, kind="stable")[:, :w]
+    rows_l, lids_l, dists_l = [], [], []
+    for g in range(len(coarse)):
+        mask = (order == g).any(axis=1)
+        if not mask.any():
+            continue
+        fine = members[g]
+        r = np.nonzero(mask)[0]
+        d = np.round(np.sqrt(_chunked_sq_dists(v[r], cent[fine])), DIST_ROUND)
+        rows_l.append(np.repeat(r, len(fine)))
+        lids_l.append(np.tile(fine, len(r)))
+        dists_l.append(d.ravel())
+    rows = np.concatenate(rows_l)
+    lids = np.concatenate(lids_l)
+    dists = np.concatenate(dists_l)
+    o = np.lexsort((lids, dists, rows))
+    return rows[o], lids[o], dists[o]
+
+
+def _lloyd_two_level(x: "np.ndarray", k: int, iters: int) -> "np.ndarray":
+    """Hierarchical Lloyd for big k: each iteration rebuilds a √k coarse
+    level over the CURRENT fine centroids (cheap — k rows) and assigns the
+    sample through the pruned two-level path instead of the full k-wide
+    argmin, cutting the fit from iters·n·k to ~iters·n·(1+W)·√k distance
+    rows. Centroid updates are vectorized (np.add.at accumulates in row
+    order — deterministic); empty clusters keep their previous centroid.
+    Only used for models whose serving assignment is two-level anyway, so
+    fit and serving share the same approximation class."""
+    from ..constants import IVF_COARSE_PROBES
+
+    cent = x[:k].copy()
+    for _ in range(iters):
+        coarse, members = _coarse_members(cent, _lloyd(cent, max(2, int(round(k**0.5))), 2))
+        rows, lids, _d = _pruned_rows(x, cent, coarse, members, IVF_COARSE_PROBES)
+        assign = lids[np.unique(rows, return_index=True)[1]]
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=k)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
+    return cent
+
+
+class IvfModel:
+    """Coarse quantizer: NLIST centroids from deterministic Lloyd k-means.
+
+    Above TWO_LEVEL_MIN_NLIST lists the model carries a second, √L-sized
+    level fit over the fine centroids themselves: assignment/probing then
+    scans only the fine members of the IVF_COARSE_PROBES nearest coarse
+    groups (~(1+W)·√L distance rows per vector instead of L). Flat argmin
+    with L ∝ N is quadratic in N — measured dominant at 2M vectors × 8000
+    lists; the two-level path keeps the scaled quantizers' assignment cost
+    near-linear. Never active at the oracle-gated SFs (L=16 there), so the
+    DuckDB flat-argmin mirrors stay bit-exact."""
+
+    def __init__(self, centroids: np.ndarray, coarse: np.ndarray | None = None):
         self.centroids = np.asarray(centroids, dtype=np.float64)
+        self.coarse = None
+        self.members: list[np.ndarray] = []
+        if coarse is not None:
+            self.coarse, self.members = _coarse_members(
+                self.centroids, np.asarray(coarse, dtype=np.float64)
+            )
 
     @classmethod
     def fit_path(
@@ -78,6 +176,7 @@ class IvfModel:
         nlist: int = IVF_NLIST,
         sample_n: int = IVF_SAMPLE,
         iters: int = IVF_ITERS,
+        two_level: bool | None = None,
     ) -> "IvfModel":
         """Deterministic fit from the embeddings parquet.
 
@@ -88,22 +187,27 @@ class IvfModel:
         steps, empty clusters keep their previous centroid. At real scale
         the sample would come from a Spark `.limit(sample_n)` collect — the
         model stays KB-sized either way.
-        """
+
+        `two_level=None` auto-activates the coarse level at
+        nlist ≥ TWO_LEVEL_MIN_NLIST (True/False force it for tests)."""
         import pyarrow.parquet as pq
+
+        from ..constants import TWO_LEVEL_MIN_NLIST
 
         t = pq.read_table(
             os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
         )
         df = t.to_pandas().sort_values("vec_id").head(sample_n)
         x = np.array(df["embedding"].tolist(), dtype=np.float64)
-        cent = x[:nlist].copy()
-        for _ in range(iters):
-            assign = _chunked_sq_dists(x, cent).argmin(axis=1)
-            for j in range(nlist):
-                members = x[assign == j]
-                if len(members):
-                    cent[j] = members.mean(axis=0)
-        return cls(cent)
+        if two_level is None:
+            two_level = nlist >= TWO_LEVEL_MIN_NLIST
+        if two_level:
+            cent = _lloyd_two_level(x, nlist, iters)
+            coarse = _lloyd(cent, max(2, int(round(nlist**0.5))), iters)
+        else:
+            cent = _lloyd(x, nlist, iters)
+            coarse = None
+        return cls(cent, coarse)
 
     # -- assignment ----------------------------------------------------------
     def _dists(self, vecs: pd.Series) -> np.ndarray:
@@ -115,11 +219,29 @@ class IvfModel:
         d = np.sqrt(_chunked_sq_dists(v, self.centroids))
         return np.round(d, DIST_ROUND)
 
+    def _pruned_candidates(
+        self, v: "np.ndarray"
+    ) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+        """Two-level candidate rows for this model — see _pruned_rows."""
+        from ..constants import IVF_COARSE_PROBES
+
+        return _pruned_rows(v, self.centroids, self.coarse, self.members, IVF_COARSE_PROBES)
+
     def assign_udf(self):
         model = self
 
         @pandas_udf("struct<list_id:int, center_dist:double>")
         def _assign(vecs: pd.Series) -> pd.DataFrame:
+            if model.coarse is not None:
+                v = np.array(vecs.tolist(), dtype=np.float64)
+                rows, lids, dists = model._pruned_candidates(v)
+                first = np.unique(rows, return_index=True)[1]  # rows cover 0..n-1
+                return pd.DataFrame(
+                    {
+                        "list_id": lids[first].astype(np.int32),
+                        "center_dist": dists[first],
+                    }
+                )
             d = model._dists(vecs)
             lid = d.argmin(axis=1)  # first min == smallest list_id on ties
             return pd.DataFrame(
@@ -133,6 +255,19 @@ class IvfModel:
 
         @pandas_udf("array<int>")
         def _probe(vecs: pd.Series) -> pd.Series:
+            if model.coarse is not None:
+                v = np.array(vecs.tolist(), dtype=np.float64)
+                rows, lids, dists = model._pruned_candidates(v)
+                starts = np.unique(rows, return_index=True)[1]
+                bounds = np.append(starts, len(rows))
+                return pd.Series(
+                    [
+                        lids[bounds[i] : min(bounds[i] + nprobe, bounds[i + 1])].astype(
+                            np.int32
+                        )
+                        for i in range(len(starts))
+                    ]
+                )
             d = model._dists(vecs)
             # stable argsort: equal rounded distances order by list_id
             order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]

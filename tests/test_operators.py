@@ -4,6 +4,8 @@ model roundtrip, ranking sanity, recall quality)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyspark.sql.functions as F
 import pytest
@@ -156,6 +158,53 @@ def test_ivf_fit_deterministic():
     m2 = IvfModel.fit_path(SF_SMALL)
     assert (m1.centroids == m2.centroids).all()
     assert m1.centroids.shape[0] == 16
+    # gate-SF models stay flat: two-level only auto-activates above
+    # TWO_LEVEL_MIN_NLIST, so every oracle-mirrored assignment is argmin
+    assert m1.coarse is None
+
+
+def test_ivf_two_level_assignment_matches_flat_contract():
+    """Two-level (coarse-over-fine) assignment: deterministic, distances
+    consistent with the chosen fine centroid, and near-total agreement with
+    flat argmin (only Voronoi-boundary rows whose true list sits in an
+    unprobed coarse group may differ — the documented approximation)."""
+    from elastik_nearest_neighbors_spark.constants import DIST_ROUND
+    from elastik_nearest_neighbors_spark.operators.ivf import (
+        IvfModel,
+        _chunked_sq_dists,
+    )
+
+    m_flat = IvfModel.fit_path(SF_SMALL, nlist=64, sample_n=320, two_level=False)
+    m_two = IvfModel.fit_path(SF_SMALL, nlist=64, sample_n=320, two_level=True)
+    # the hierarchical fit is its own (deterministic) approximation — only
+    # the shape contract is shared with the flat fit
+    assert m_two.centroids.shape == m_flat.centroids.shape
+    assert m_two.coarse is not None and m_flat.coarse is None
+    m_two_b = IvfModel.fit_path(SF_SMALL, nlist=64, sample_n=320, two_level=True)
+    assert np.array_equal(m_two.centroids, m_two_b.centroids)  # refit-stable
+    # every fine list belongs to exactly one kept coarse group
+    all_fine = np.sort(np.concatenate(m_two.members))
+    assert np.array_equal(all_fine, np.arange(64))
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(SF_SMALL, "embeddings.parquet")).to_pandas()
+    v = np.array(t.sort_values("vec_id")["embedding"].tolist(), dtype=np.float64)
+    rows, lids, dists = m_two._pruned_candidates(v)
+    first = np.unique(rows, return_index=True)[1]
+    assert len(first) == len(v)  # every row got candidates
+    # distances are true rounded euclidean to the chosen centroid
+    chk = np.round(
+        np.sqrt(((v - m_two.centroids[lids[first]]) ** 2).sum(axis=1)), DIST_ROUND
+    )
+    assert np.allclose(chk, dists[first])
+    # deterministic across calls
+    r2, l2, _ = m_two._pruned_candidates(v)
+    assert np.array_equal(lids[first], l2[np.unique(r2, return_index=True)[1]])
+    # agreement with flat argmin over the SAME centroids is near-total
+    d = np.round(np.sqrt(_chunked_sq_dists(v, m_two.centroids)), DIST_ROUND)
+    agree = (d.argmin(axis=1) == lids[first]).mean()
+    assert agree >= 0.9, agree
 
 
 def test_ivf_search_properties(spark):
