@@ -79,6 +79,11 @@ PQ_ITERS = 5
 IVF_NLIST = 16  # centroids / inverted lists
 IVF_NPROBE = 4  # lists probed per query
 IVF_SAMPLE = 256  # deterministic fit sample: first N vectors by id
+# IVFPQ refine stage (FAISS IndexRefineFlat): re-rank the top REFINE_R
+# ADC candidates per query by exact distance on the raw vectors. R is the
+# standard 3-4x over-fetch of the final k — the refine read is R raw
+# vectors per query regardless of corpus size.
+REFINE_R = 30
 IVF_ITERS = 5  # Lloyd iterations
 KNN_K = 10
 N_QUERIES = 8  # vec_id < 8 is the canonical query set for test entries

@@ -203,17 +203,15 @@ def _query_dist_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "query_id bigint, m int, code int, d2 double")
 
 
-def ann_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FAISS-style IVFPQ — the composed scale path: the coarse quantizer
-    prunes candidates to the query's NPROBE nearest lists (IVF), and the
-    pruned candidates are ranked by PQ-ADC over their codes, never their
-    raw vectors. At 100 TB a query batch therefore reads codes only
-    (128× smaller than raw) of nprobe/nlist of the data — the standard
-    billion-vector serving layout, here as one Spark plan: IVF assignment
-    (session-cached) ⋈ broadcast probes → codes ⋈ broadcast distance
-    table → exact decimal ADC sum → top-k.
-
-    Output: (query_id, neighbor_id, adc_dist) top-ANN_K2 per query."""
+def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Untruncated IVFPQ ADC frame (query_id, neighbor_id, adc_dist): the
+    coarse quantizer prunes candidates to the query's NPROBE nearest lists
+    (IVF), and the pruned candidates are ranked by PQ-ADC over their codes,
+    never their raw vectors. At 100 TB a query batch therefore reads codes
+    only (128× smaller than raw) of nprobe/nlist of the data — the
+    standard billion-vector serving layout, here as one Spark plan: IVF
+    assignment (session-cached) ⋈ broadcast probes → codes ⋈ broadcast
+    distance table → exact decimal ADC sum."""
     from ..constants import DEC
     from .ivf import list_assignments
     from .ivf import model_for as ivf_model_for
@@ -232,14 +230,73 @@ def ann_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     codes = pq_codes(spark, sf_dir).withColumnRenamed("vec_id", "neighbor_id")
-    adc = (
+    return (
         cand.join(codes, "neighbor_id")
         .join(F.broadcast(_query_dist_table(spark, sf_dir)), ["query_id", "m", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum(F.col("d2").cast(DEC)).cast("double").alias("adc_dist"))
     )
+
+
+def ann_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ search: top-ANN_K2 of the ADC frame (see _ivfpq_adc).
+
+    Output: (query_id, neighbor_id, adc_dist) top-ANN_K2 per query."""
+    adc = _ivfpq_adc(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     return adc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= ANN_K2).drop("rn")
+
+
+def ann_search_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ + exact refine (FAISS IndexRefineFlat): the ADC pass
+    over-fetches the top REFINE_R candidates per query, then ONLY those
+    R·Q rows join back to the raw vectors for an exact euclidean re-rank
+    to the final ANN_K2. This recovers most of the quantization loss while
+    keeping the raw-vector read at R rows per query — at 100 TB the scan
+    stays codes-only and the refine is a broadcast-semi-join point lookup
+    (the Q·R shortlist broadcasts to the embeddings scan, so the raw side
+    is read through a hash-semi filter, never shuffled).
+
+    Output: (query_id, neighbor_id, distance) top-ANN_K2 per query, with
+    true euclidean distances (unlike ann_search_ivfpq's ADC estimates)."""
+    from ..constants import DIST_ROUND, REFINE_R
+    from ..functions.vector import as_double, euclidean
+
+    adc = _ivfpq_adc(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= REFINE_R)
+        .select("query_id", "neighbor_id")
+    )
+    emb = _emb(spark, sf_dir)
+    qv = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double("embedding").alias("qv")
+    )
+    nv = emb.select(F.col("vec_id").alias("neighbor_id"), as_double("embedding").alias("nv"))
+    refined = (
+        nv.join(F.broadcast(shortlist), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    return (
+        refined.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") <= ANN_K2).drop("rn")
+    )
+
+
+def ann_recall_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of refined IVFPQ vs exact kNN — quantifies how much of the
+    composed IVF+PQ loss the exact refine stage recovers (compare against
+    ann_recall_ivfpq on the same axis)."""
+    from .knn import _recall_of, exact_ground_truth
+
+    ann = ann_search_ivfpq_refined(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_of(ann, exact_ground_truth(spark, sf_dir))
 
 
 def ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -514,6 +514,60 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id)
 """
 
 
+def _ivfpq_refined_cte(sf_dir: str) -> str:
+    """CTE chain ending in `refined(query_id, neighbor_id, distance)`:
+    the ADC top-REFINE_R shortlist re-ranked by exact euclidean on the raw
+    vectors (operators/pq.ann_search_ivfpq_refined)."""
+    from .constants import REFINE_R
+
+    return f"""{_ivfpq_core(sf_dir)},
+shortlist AS (
+  SELECT query_id, neighbor_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) <= {REFINE_R}
+),
+refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_distance(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS distance
+  FROM shortlist s
+  JOIN embeddings eq ON eq.vec_id = s.query_id
+  JOIN embeddings en ON en.vec_id = s.neighbor_id
+)"""
+
+
+def ann_search_ivfpq_refined(sf_dir: str) -> str:
+    from .constants import ANN_K2
+
+    return f"""
+WITH {_ivfpq_refined_cte(sf_dir)}
+SELECT query_id, neighbor_id, distance
+FROM refined
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+"""
+
+
+def ann_recall_ivfpq_refined(sf_dir: str) -> str:
+    from .constants import ANN_K2
+
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    return f"""
+WITH {_ivfpq_refined_cte(sf_dir)},
+ann AS (
+  SELECT query_id, neighbor_id FROM refined
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+),
+exact AS ({exact}),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+)
+SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
+FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+"""
+
+
 def ann_recall_ivfpq(sf_dir: str) -> str:
     from .constants import ANN_K2
 

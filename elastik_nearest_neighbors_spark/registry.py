@@ -43,6 +43,9 @@ _QUERIES: dict[str, QueryFn] = {
     "events_approx_distinct_check": analytics.events_approx_distinct_check,
     # new in r4: EsAknn three-endpoint facade, gated by the shared oracle
     "aknn_search_api": api.aknn_search_api,
+    # new in r4: IVFPQ + exact refine (FAISS IndexRefineFlat shape)
+    "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
+    "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
     # new in r4: graph-expanded ANN (HNSW-class capability, Spark-first)
     "knn_graph_multiprobe": graph.knn_graph_multiprobe,
     "ann_search_graph": graph.ann_search_graph_q,
@@ -170,6 +173,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_search_ivf_filtered": oracles_vector.ann_search_ivf_filtered,
     "ann_search_ivfpq": oracles_vector.ann_search_ivfpq,
     "ann_recall_ivfpq": oracles_vector.ann_recall_ivfpq,
+    "ann_search_ivfpq_refined": oracles_vector.ann_search_ivfpq_refined,
+    "ann_recall_ivfpq_refined": oracles_vector.ann_recall_ivfpq_refined,
     # compacted store search ≡ batch search — same oracle as the other
     # store-backed paths
     "streaming_index_compact": oracles_vector.ann_search_lsh,
