@@ -147,6 +147,14 @@ REP_NGRAM = 2  # bigram repetition metrics (Gopher-style quality filter)
 # over natural language; the synthetic corpus has a ~30-word vocabulary, so 4
 # is the length where overlap is rare-but-present (19 flagged docs at sf0.01
 # vs 1 at n≥5 — an empty-ish gate tests nothing)
+# BM25 (Lucene/Elasticsearch defaults) + reciprocal-rank fusion. idf and
+# per-term scores round to DIST_ROUND before the decimal sum so both
+# engines' ln() agree at the compared precision (the idf_scores precedent)
+# and the sum is order-insensitive.
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60  # the constant from the RRF paper / Elasticsearch rank fusion
+
 DECONTAM_N = 4
 DECONTAM_MOD = 40  # doc_id % MOD == 0 → held-out "benchmark" docs
 

@@ -797,3 +797,55 @@ SELECT lang AS lang_true, {case} AS lang_pred,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY 1, 2
 """
+
+
+def bm25_core() -> str:
+    """CTE chain ending in `bm(query_id, doc_id, score)` — the top-k BM25
+    rank list (operators/search.bm25_scores mirror). Shared by the search
+    entry and the hybrid-RRF fusion oracle. Float discipline: idf and
+    per-term scores round to 6 before the decimal sum; avgdl is the IEEE
+    double division of two exact integers; expression association matches
+    the Spark side term-for-term."""
+    from .constants import ANN_K2, BM25_B, BM25_K1, N_QUERIES
+
+    return f"""post AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tfs AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM post GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tfs GROUP BY 1
+), st AS (
+  SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n_docs,
+         CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+           / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS avgdl
+), idf AS (
+  SELECT token,
+         round(ln(1.0 + ((SELECT n_docs FROM st) - COUNT(*) + 0.5)
+                        / (COUNT(*) + 0.5)), 6) AS idf
+  FROM tfs GROUP BY token
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, token FROM tfs WHERE doc_id < {N_QUERIES}
+), ts AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(round(i.idf * (p.tf / (p.tf + {BM25_K1} * ({1.0 - BM25_B!r}
+           + {BM25_B} * d.dl / (SELECT avgdl FROM st)))), 6)
+           AS DECIMAL(18,6)) AS ts
+  FROM tfs p
+  JOIN qterms q ON q.token = p.token AND p.doc_id <> q.query_id
+  JOIN dl d ON d.doc_id = p.doc_id
+  JOIN idf i ON i.token = p.token
+), bm AS (
+  SELECT query_id, doc_id, score FROM (
+    SELECT query_id, doc_id, CAST(SUM(ts) AS DOUBLE) AS score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY CAST(SUM(ts) AS DOUBLE) DESC, doc_id) AS rn
+    FROM ts GROUP BY query_id, doc_id)
+  WHERE rn <= {ANN_K2}
+)"""
+
+
+def bm25_doc_search(sf_dir: str) -> str:
+    return f"""
+WITH {bm25_core()}
+SELECT query_id, doc_id, score FROM bm
+"""

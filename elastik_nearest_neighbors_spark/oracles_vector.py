@@ -1148,3 +1148,43 @@ hits AS (
 SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
 FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
 """
+
+
+def hybrid_search_rrf(sf_dir: str) -> str:
+    """Hybrid BM25 ⊕ ANN reciprocal-rank fusion
+    (operators/search.hybrid_search_rrf mirror): BM25 ranks from
+    oracles_text.bm25_core, ANN ranks from the LSH search over the
+    document-backed vectors (the semantic_doc_search CTE), fused as
+    Σ round(1/(RRF_K + rank), 6) in decimal."""
+    from .constants import ANN_K2, RRF_K
+    from .oracles_text import bm25_core
+
+    model = lsh_model_for(sf_dir)
+    return f"""
+WITH {bm25_core()},
+{_ann_two_sided_core(model, "vec_id IN (SELECT doc_id FROM documents)")},
+bm_rank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM bm
+),
+ann_rank AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rank
+  FROM ann
+),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(SUM(CAST(round(1.0 / ({RRF_K} + rank), 6) AS DECIMAL(18,6))) AS DOUBLE)
+           AS rrf_score,
+         CAST(MAX(bmflag) AS BOOLEAN) AS in_bm25,
+         COUNT(*) - MAX(bmflag) > 0 AS in_ann
+  FROM (
+    SELECT query_id, doc_id, rank, 1 AS bmflag FROM bm_rank
+    UNION ALL
+    SELECT query_id, doc_id, rank, 0 AS bmflag FROM ann_rank
+  ) GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score, in_bm25, in_ann FROM fused
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) <= {ANN_K2}
+"""

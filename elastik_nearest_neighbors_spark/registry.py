@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from . import api, oracles, oracles_text, oracles_vector
 from .io import ORACLE_SF_DIR
-from .operators import analytics, dedup, graph, ivf, knn, multimodal, pq, textops
+from .operators import analytics, dedup, graph, ivf, knn, multimodal, pq, search, textops
 from .streaming import ingest
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -43,6 +43,9 @@ _QUERIES: dict[str, QueryFn] = {
     "events_approx_distinct_check": analytics.events_approx_distinct_check,
     # new in r4: EsAknn three-endpoint facade, gated by the shared oracle
     "aknn_search_api": api.aknn_search_api,
+    # new in r4: BM25 keyword search + hybrid RRF (the Elasticsearch side)
+    "bm25_doc_search": search.bm25_doc_search,
+    "hybrid_search_rrf": search.hybrid_search_rrf,
     # new in r4: IVFPQ + exact refine (FAISS IndexRefineFlat shape)
     "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
     "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
@@ -175,6 +178,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_recall_ivfpq": oracles_vector.ann_recall_ivfpq,
     "ann_search_ivfpq_refined": oracles_vector.ann_search_ivfpq_refined,
     "ann_recall_ivfpq_refined": oracles_vector.ann_recall_ivfpq_refined,
+    "bm25_doc_search": oracles_text.bm25_doc_search,
+    "hybrid_search_rrf": oracles_vector.hybrid_search_rrf,
     # compacted store search ≡ batch search — same oracle as the other
     # store-backed paths
     "streaming_index_compact": oracles_vector.ann_search_lsh,

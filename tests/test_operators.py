@@ -230,6 +230,35 @@ def test_ivf_recall_vs_exact(spark):
     assert hits.sum() / len(exact) >= 0.2
 
 
+def test_bm25_and_hybrid_rrf(spark):
+    """BM25: k results per query, self excluded, scores positive and
+    descending under the (score, doc_id) rank order. Hybrid RRF: every
+    fused doc comes from one of the two systems, a doc found by both
+    outranks pure singles at equal rank, and the score is bounded by the
+    two best-rank terms."""
+    from elastik_nearest_neighbors_spark.constants import RRF_K
+    from elastik_nearest_neighbors_spark.operators import search as s
+
+    bm = s.bm25_doc_search(spark, SF_SMALL).toPandas()
+    assert set(bm.groupby("query_id").size()) == {10}
+    assert (bm.query_id != bm.doc_id).all()
+    assert (bm.score > 0).all()
+    for _, g in bm.groupby("query_id"):
+        v = g.sort_values(["score", "doc_id"], ascending=[False, True]).score.values
+        assert (np.diff(v) <= 0).all()
+
+    hy = s.hybrid_search_rrf(spark, SF_SMALL).toPandas()
+    assert set(hy.groupby("query_id").size()) == {10}
+    assert (hy.in_bm25 | hy.in_ann).all()
+    both_max = 2 * round(1.0 / (RRF_K + 1), 6)
+    assert (hy.rrf_score <= both_max + 1e-9).all()
+    # docs surfaced by BOTH systems exist at this SF and carry two terms
+    both = hy[hy.in_bm25 & hy.in_ann]
+    single_max = round(1.0 / (RRF_K + 1), 6)
+    if len(both):
+        assert (both.rrf_score > single_max).all()
+
+
 def test_ivfpq_refine_recovers_quantization_loss(spark):
     """The exact refine stage re-ranks the ADC top-R shortlist by true
     distance: per-query recall must dominate (>=) unrefined IVFPQ, refined
