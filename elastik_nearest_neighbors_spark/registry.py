@@ -46,9 +46,13 @@ _QUERIES: dict[str, QueryFn] = {
     # new in r4: BM25 keyword search + hybrid RRF (the Elasticsearch side)
     "bm25_doc_search": search.bm25_doc_search,
     "hybrid_search_rrf": search.hybrid_search_rrf,
-    # new in r4: IVFPQ + exact refine (FAISS IndexRefineFlat shape)
+    # new in r4: IVFPQ + exact refine (FAISS IndexRefineFlat shape); the
+    # base IVFPQ entries ride along — their plan was refactored into the
+    # shared _ivfpq_adc frame after their last driver rows
     "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
     "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
+    "ann_search_ivfpq": pq.ann_search_ivfpq,
+    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
     # new in r4: graph-expanded ANN (HNSW-class capability, Spark-first)
     "knn_graph_multiprobe": graph.knn_graph_multiprobe,
     "ann_search_graph": graph.ann_search_graph_q,
@@ -130,8 +134,6 @@ _QUERIES: dict[str, QueryFn] = {
     "sq8_quantize": pq.sq8_quantize,
     "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
     "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
-    "ann_search_ivfpq": pq.ann_search_ivfpq,
-    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
     "events_rolling_7d": analytics.events_rolling_7d,
     "knn_join": knn.knn_join,
     "source_mix": textops.source_mix,
