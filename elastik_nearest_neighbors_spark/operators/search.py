@@ -88,6 +88,10 @@ def bm25_scores(docs: DataFrame, k: int = ANN_K2) -> DataFrame:
         .select(F.col("doc_id").alias("query_id"), "token")
         .distinct()
     )
+    # idf pruned to the QUERY's terms before broadcasting — the full-vocab
+    # idf table is O(vocab) (100M+ tokens on a web corpus) and must never
+    # broadcast; the pruned one is ≤ |query terms| rows
+    q_idf = idf.join(F.broadcast(qterms.select("token").distinct()), "token")
     norm = F.col("tf") / (
         F.col("tf")
         + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
@@ -96,7 +100,7 @@ def bm25_scores(docs: DataFrame, k: int = ANN_K2) -> DataFrame:
         post.join(F.broadcast(qterms), "token")
         .where(F.col("doc_id") != F.col("query_id"))
         .join(dl, "doc_id")
-        .join(F.broadcast(idf), "token")
+        .join(F.broadcast(q_idf), "token")
         .select(
             "query_id",
             "doc_id",
