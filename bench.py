@@ -36,6 +36,9 @@ HEADLINE = [
     "pq_codes",
     "ann_search_pq",
     "ann_search_ivfpq",
+    "ann_search_ivfpq_refined",
+    "bm25_doc_search",
+    "hybrid_search_rrf",
     "range_search",
     "knn_graph",
     "knn_graph_multiprobe",

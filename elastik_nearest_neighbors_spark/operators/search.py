@@ -6,10 +6,10 @@ both fused (hybrid search, reciprocal-rank fusion). These operators restate
 that surface Spark-first over the `documents` corpus:
 
 - `bm25_doc_search` — Lucene-flavoured BM25 with more-like-this queries
-  (the canonical query docs' own token sets), as one declarative plan:
-  postings/df/dl aggregations off a single tokenize pass, query terms
-  BROADCAST against the postings (the corpus never shuffles for a query
-  batch), per-(query, doc) decimal-exact score sum, top-k window.
+  (the canonical query docs' own token sets): the query side collapses
+  to literal token→idf maps and every doc scores against all queries
+  row-locally (the corpus is never joined or shuffled for a query
+  batch); exact integer-micros sums, per-partition pre-top-k.
 - `hybrid_search_rrf` — BM25 top-k ⊕ semantic ANN top-k fused by
   reciprocal rank (score = Σ 1/(RRF_K + rank)), ES 8's hybrid ranking.
 
@@ -37,16 +37,6 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return io.table(spark, sf_dir, "documents", widen=True)
 
 
-def _postings(docs: DataFrame) -> DataFrame:
-    """(doc_id, token, tf) term frequencies — one tokenize + explode pass,
-    map-side-combined count. The inverted index as a DataFrame."""
-    return (
-        docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-
-
 def bm25_scores(docs: DataFrame, k: int = ANN_K2) -> DataFrame:
     """Top-k BM25 over `docs` for more-like-this queries (query docs =
     doc_id < N_QUERIES, query terms = their distinct tokens, self-match
@@ -55,63 +45,113 @@ def bm25_scores(docs: DataFrame, k: int = ANN_K2) -> DataFrame:
     score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf / (tf + K1·(1 − B + B·dl/avgdl))
     with Lucene's idf = ln(1 + (N − df + ½)/(df + ½)).
 
-    Plan shape: postings → df (O(vocab) agg) and dl (O(docs) agg) off the
-    same pass; the Q·|terms| query-term list BROADCASTS into the postings
-    join, so the corpus-side scan is hash-semi-pruned and never shuffles
-    for the query batch; the per-(query, doc) sum shuffles only matched
-    posting rows (bounded by the query terms' document frequencies).
-    idf and per-term scores round to DIST_ROUND, the sum is decimal-exact.
+    Plan shape (second cut — the first joined a 74M-row term-match at 500k
+    docs): the query side collapses to Q literal token→idf MAP columns
+    (bounded by the query batch's term count, the same broadcast-the-query
+    discipline as the ANN family), and each doc row computes its score
+    against all Q maps ROW-LOCALLY via higher-order functions — tf from
+    the doc's own token array, the per-term sum as exact integer micros
+    (term values are 6-dp by construction, so micros are whole and the
+    long sum is order-insensitive; /1e6 at the edge lands on the same
+    double as the decimal route). The corpus is never joined or shuffled:
+    the only corpus-wide exchanges left are the O(doc·distinct-token) df
+    aggregation behind idf and the final top-k, which a per-partition
+    pre-top-k shrinks to ≤ partitions·Q·k rows.
 
     Output: (query_id, doc_id, score) top-k per query, rank order
     (score DESC, doc_id)."""
-    post = _postings(docs)
+    from .knn import _partial_topk
+
+    toks = F.split(F.col("text"), " ")
     # two driver-side scalars (one tiny agg job): corpus size + avg doc len
-    # — the alternative crossJoin would shuffle every posting row for no gain
-    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    n_docs, total_tokens = docs.count(), dl.agg(F.sum("dl")).collect()[0][0]
+    # — the alternative crossJoin would shuffle every doc row for no gain
+    n_docs, total_tokens = docs.agg(
+        F.count(F.lit(1)), F.sum(F.size(toks))
+    ).collect()[0]
     avgdl = float(total_tokens) / float(n_docs)
 
-    idf = post.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    idf = idf.select(
-        "token",
-        F.round(
-            F.log(
-                F.lit(1.0)
-                + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                / (F.col("df") + F.lit(0.5))
-            ),
-            DIST_ROUND,
-        ).alias("idf"),
-    )
-    qterms = (
-        post.where(F.col("doc_id") < N_QUERIES)
-        .select(F.col("doc_id").alias("query_id"), "token")
-        .distinct()
-    )
-    # idf pruned to the QUERY's terms before broadcasting — the full-vocab
-    # idf table is O(vocab) (100M+ tokens on a web corpus) and must never
-    # broadcast; the pruned one is ≤ |query terms| rows
-    q_idf = idf.join(F.broadcast(qterms.select("token").distinct()), "token")
-    norm = F.col("tf") / (
-        F.col("tf")
-        + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
-    )
-    term_scores = (
-        post.join(F.broadcast(qterms), "token")
-        .where(F.col("doc_id") != F.col("query_id"))
-        .join(dl, "doc_id")
-        .join(F.broadcast(q_idf), "token")
+    idf = (
+        docs.select(F.explode(F.array_distinct(toks)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
         .select(
-            "query_id",
-            "doc_id",
-            F.round(F.col("idf") * norm, DIST_ROUND).cast(DEC).alias("ts"),
+            "token",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+                DIST_ROUND,
+            ).alias("idf"),
         )
     )
-    scored = term_scores.groupBy("query_id", "doc_id").agg(
-        F.sum("ts").cast("double").alias("score")
+    # query term→idf maps, driver-collected: ≤ Q·|query terms| rows — the
+    # full-vocab idf relation is O(vocab) and never leaves the cluster;
+    # only the query docs' own terms (semi-joined against idf) do
+    qterms = docs.where(F.col("doc_id") < N_QUERIES).select(
+        "doc_id", F.explode(F.array_distinct(toks)).alias("token")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+    by_q: dict[int, list] = {}
+    for r in qterms.join(idf, "token").collect():
+        by_q.setdefault(r.doc_id, []).append((r.token, float(r.idf)))
+
+    # per-doc reusable columns, projected ONCE so the O(len²) tf entries
+    # aren't re-derived per query map
+    entries = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("token"), F.size(F.filter(toks, lambda x: x == t)).alias("tf")
+        ),
+    )
+    kt = F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.size(toks) / F.lit(avgdl)
+    )
+    base = docs.select("doc_id", entries.alias("entries"), kt.alias("kt"))
+
+    def q_struct(qid: int, terms: list) -> F.Column:
+        m = F.map_from_arrays(
+            F.array(*[F.lit(t) for t, _ in terms]),
+            F.array(*[F.lit(i) for _, i in terms]),
+        )
+        term_micros = lambda e: F.when(  # noqa: E731
+            F.element_at(m, e["token"]).isNotNull(),
+            F.floor(
+                F.round(
+                    F.element_at(m, e["token"]) * (e["tf"] / (e["tf"] + F.col("kt"))),
+                    DIST_ROUND,
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ),
+        ).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            F.lit(qid).cast("bigint").alias("query_id"),
+            F.aggregate(
+                F.col("entries"), F.lit(0).cast("long"), lambda acc, e: acc + term_micros(e)
+            ).alias("micros"),
+            F.exists(
+                F.col("entries"), lambda e: F.element_at(m, e["token"]).isNotNull()
+            ).alias("hit"),
+        )
+
+    per_q = F.array(*[q_struct(q, terms) for q, terms in sorted(by_q.items())])
+    scored = (
+        base.select("doc_id", F.explode(per_q).alias("s"))
+        .where(F.col("s.hit") & (F.col("doc_id") != F.col("s.query_id")))
+        .select(
+            F.col("s.query_id").alias("query_id"),
+            F.col("doc_id").alias("neighbor_id"),
+            (F.col("s.micros") / F.lit(1000000.0)).alias("score"),
+        )
+    )
+    pre = _partial_topk(scored, "score", k, ascending=False)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        pre.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "score")
+    )
 
 
 def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
