@@ -289,6 +289,47 @@ def ann_search_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_search_ivfpq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ search through the PERSISTED index layout — the billion-vector
+    serving shape on disk: codes live WITH their coarse-list assignment,
+    partitioned by list_id (one directory per list, one file per
+    directory), and a query batch reads only its probed lists' directories
+    (literal PartitionFilters) and only code columns — nprobe/nlist of the
+    index at 1/128 the bytes of raw vectors, and the raw embeddings are
+    never opened at all. Results are identical to ann_search_ivfpq (same
+    oracle), proving the pruned persisted path lossless."""
+    from ..constants import DEC
+    from ..sources.index_store import load_ivf_lists, save_ivf_index
+    from .ivf import list_assignments
+    from .ivf import model_for as ivf_model_for
+
+    emb = _emb(spark, sf_dir)
+    out = os.path.join(io.scratch_dir("ivfpq_store", sf_dir), "data")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        # (vec_id, m, code, list_id): the compressed index rows carry their
+        # list so the store needs no side lookup at query time
+        rows = pq_codes(spark, sf_dir).join(list_assignments(spark, sf_dir), "vec_id")
+        save_ivf_index(rows, out)
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(ivf_model_for(sf_dir).probe_udf()(F.col("embedding"))).alias("list_id"),
+    )
+    # KB-bounded driver probe set (N_QUERIES·nprobe ids) → literal pruning
+    probe_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
+    codes = load_ivf_lists(spark, out, probe_lists).withColumnRenamed("vec_id", "neighbor_id")
+    adc = (
+        codes.join(F.broadcast(probes), "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(_query_dist_table(spark, sf_dir)), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("d2").cast(DEC)).cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return adc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= ANN_K2).drop("rn")
+
+
 def ann_recall_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of refined IVFPQ vs exact kNN — quantifies how much of the
     composed IVF+PQ loss the exact refine stage recovers (compare against

@@ -53,6 +53,8 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
     "ann_search_ivfpq": pq.ann_search_ivfpq,
     "ann_recall_ivfpq": pq.ann_recall_ivfpq,
+    # new in r4: persisted IVFPQ store (completes the store matrix)
+    "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
     # new in r4: graph-expanded ANN (HNSW-class capability, Spark-first)
     "knn_graph_multiprobe": graph.knn_graph_multiprobe,
     "ann_search_graph": graph.ann_search_graph_q,
@@ -182,6 +184,9 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_recall_ivfpq_refined": oracles_vector.ann_recall_ivfpq_refined,
     "bm25_doc_search": oracles_text.bm25_doc_search,
     "hybrid_search_rrf": oracles_vector.hybrid_search_rrf,
+    # persisted-store search ≡ batch search — shared oracle, like the
+    # other *_store entries
+    "ann_search_ivfpq_store": oracles_vector.ann_search_ivfpq,
     # compacted store search ≡ batch search — same oracle as the other
     # store-backed paths
     "streaming_index_compact": oracles_vector.ann_search_lsh,

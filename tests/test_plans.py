@@ -83,6 +83,18 @@ def test_graph_store_search_partition_prunes_and_matches(spark):
     assert df.exceptAll(expect).count() == 0 and expect.exceptAll(df).count() == 0
 
 
+def test_ivfpq_store_search_partition_prunes_and_matches(spark):
+    from elastik_nearest_neighbors_spark.operators import pq as pq_ops
+
+    df = pq_ops.ann_search_ivfpq_store(spark, SF_SMALL)
+    # the persisted code read must carry literal list_id PartitionFilters,
+    # and the scan must read codes only — never the embedding column
+    assert plans.partition_filters(df), plans.formatted_plan(df)
+    # and the pruned store path returns exactly the in-memory IVFPQ answer
+    expect = pq_ops.ann_search_ivfpq(spark, SF_SMALL)
+    assert df.exceptAll(expect).count() == 0 and expect.exceptAll(df).count() == 0
+
+
 def test_ivf_index_store_partition_prunes(spark, tmp_path):
     path = str(tmp_path / "ivf_idx")
     assigned = ivf.ivf_index(spark, SF_SMALL)
