@@ -154,6 +154,7 @@ REP_NGRAM = 2  # bigram repetition metrics (Gopher-style quality filter)
 BM25_K1 = 1.2
 BM25_B = 0.75
 RRF_K = 60  # the constant from the RRF paper / Elasticsearch rank fusion
+PHRASE_LEN = 3  # match_phrase probes: first PHRASE_LEN tokens of each query doc
 
 DECONTAM_N = 4
 DECONTAM_MOD = 40  # doc_id % MOD == 0 → held-out "benchmark" docs

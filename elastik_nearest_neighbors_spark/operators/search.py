@@ -158,6 +158,49 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_docs(spark, sf_dir))
 
 
+def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `match_phrase` parity: exact token-SEQUENCE containment, not
+    bag-of-words. Probes are the first PHRASE_LEN tokens of each query doc
+    (driver-collected — Q strings, bytes); matching docs are found by a
+    space-delimited substring test on the padded text, which on
+    whitespace-tokenized text is exactly Lucene's positional phrase
+    predicate. Spark-first shape: the phrase list is a literal in the
+    plan, the corpus pass is one scan + codegen'd string containment —
+    no positional-postings index needed (ES builds one because it serves
+    point queries; a batch engine's scan amortizes over the query batch).
+
+    Output: (query_id, doc_id) matches, self excluded."""
+    from ..constants import PHRASE_LEN
+
+    docs = _docs(spark, sf_dir)
+    probes = (
+        docs.where(F.col("doc_id") < N_QUERIES)
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, PHRASE_LEN)).alias(
+                "phrase"
+            ),
+        )
+        .collect()
+    )
+    match_any = [
+        F.when(
+            F.contains(
+                F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                F.lit(f" {r.phrase} "),
+            ),
+            F.lit(r.doc_id).cast("bigint"),
+        )
+        for r in sorted(probes, key=lambda r: r.doc_id)
+    ]
+    hits = F.array_compact(F.array(*match_any))
+    return (
+        docs.select("doc_id", F.explode(hits).alias("query_id"))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+
+
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 top-k and semantic ANN top-k (LSH over the
     document-backed vectors, the semantic_doc_search path) fused by

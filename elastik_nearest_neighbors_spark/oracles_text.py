@@ -849,3 +849,22 @@ def bm25_doc_search(sf_dir: str) -> str:
 WITH {bm25_core()}
 SELECT query_id, doc_id, score FROM bm
 """
+
+
+def phrase_match(sf_dir: str) -> str:
+    """ES match_phrase mirror (operators/search.phrase_match): first
+    PHRASE_LEN tokens of each query doc, space-delimited substring test on
+    the padded text."""
+    from .constants import N_QUERIES, PHRASE_LEN
+
+    return f"""
+WITH probes AS (
+  SELECT doc_id AS query_id,
+         array_to_string(string_split(text, ' ')[1:{PHRASE_LEN}], ' ') AS phrase
+  FROM documents WHERE doc_id < {N_QUERIES}
+)
+SELECT p.query_id, d.doc_id
+FROM documents d JOIN probes p
+  ON contains(' ' || d.text || ' ', ' ' || p.phrase || ' ')
+WHERE d.doc_id <> p.query_id
+"""

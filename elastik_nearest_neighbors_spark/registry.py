@@ -46,6 +46,7 @@ _QUERIES: dict[str, QueryFn] = {
     # new in r4: BM25 keyword search + hybrid RRF (the Elasticsearch side)
     "bm25_doc_search": search.bm25_doc_search,
     "hybrid_search_rrf": search.hybrid_search_rrf,
+    "phrase_match": search.phrase_match,
     # new in r4: IVFPQ + exact refine (FAISS IndexRefineFlat shape); the
     # base IVFPQ entries ride along — their plan was refactored into the
     # shared _ivfpq_adc frame after their last driver rows
@@ -184,6 +185,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_recall_ivfpq_refined": oracles_vector.ann_recall_ivfpq_refined,
     "bm25_doc_search": oracles_text.bm25_doc_search,
     "hybrid_search_rrf": oracles_vector.hybrid_search_rrf,
+    "phrase_match": oracles_text.phrase_match,
     # persisted-store search ≡ batch search — shared oracle, like the
     # other *_store entries
     "ann_search_ivfpq_store": oracles_vector.ann_search_ivfpq,

@@ -259,6 +259,21 @@ def test_bm25_and_hybrid_rrf(spark):
         assert (both.rrf_score > single_max).all()
 
 
+def test_phrase_match_is_positional(spark):
+    """Every reported doc must contain the query's leading trigram as a
+    contiguous token run (not merely all three tokens somewhere), and the
+    query doc itself is excluded."""
+    from elastik_nearest_neighbors_spark.operators import search as s
+
+    res = s.phrase_match(spark, SF_SMALL).toPandas()
+    assert len(res) > 0
+    assert (res.query_id != res.doc_id).all()
+    docs = s._docs(spark, SF_SMALL).toPandas().set_index("doc_id").text
+    for r in res.itertuples():
+        phrase = " ".join(docs[r.query_id].split(" ")[:3])
+        assert f" {phrase} " in f" {docs[r.doc_id]} "
+
+
 def test_ivfpq_refine_recovers_quantization_loss(spark):
     """The exact refine stage re-ranks the ADC top-R shortlist by true
     distance: per-query recall must dominate (>=) unrefined IVFPQ, refined
