@@ -37,8 +37,10 @@ HEADLINE = [
     "ann_search_pq",
     "ann_search_ivfpq",
     "ann_search_ivfpq_refined",
+    "ann_search_ivfpq_store",
     "bm25_doc_search",
     "hybrid_search_rrf",
+    "phrase_match",
     "range_search",
     "knn_graph",
     "knn_graph_multiprobe",
