@@ -174,3 +174,48 @@ def test_connected_components_matches_union_find(spark):
         e = spark.createDataFrame(edges, "doc_a long, doc_b long")
         got = {r.doc_id: r.cluster_id for r in _connected_components(nodes, e).collect()}
         assert got == want, {v: (got[v], want[v]) for v in got if got[v] != want[v]}
+
+
+def test_two_level_pruned_rows_properties():
+    """_pruned_rows on random matrices: every input row gets candidates;
+    distances are true rounded euclideans; the first candidate per row is
+    exactly the flat rounded-argmin RESTRICTED to the scanned set
+    (lexsort tie rule: min dist, then min list_id); and scanning all
+    coarse groups (w = #groups) reproduces flat argmin exactly."""
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark.constants import DIST_ROUND
+    from elastik_nearest_neighbors_spark.operators.ivf import (
+        _chunked_sq_dists,
+        _coarse_members,
+        _lloyd,
+        _pruned_rows,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        n, d, k = int(rng.integers(30, 200)), int(rng.integers(2, 16)), int(rng.integers(8, 40))
+        x = rng.normal(size=(n, d))
+        cent = _lloyd(x, min(k, n), 3)
+        coarse, members = _coarse_members(cent, _lloyd(cent, max(2, int(round(len(cent) ** 0.5))), 2))
+        # every fine list belongs to exactly one kept coarse group
+        assert np.array_equal(np.sort(np.concatenate(members)), np.arange(len(cent)))
+        v = rng.normal(size=(17, d))
+        for w in (1, 2, len(coarse)):
+            rows, lids, dists = _pruned_rows(v, cent, coarse, members, w)
+            first = np.unique(rows, return_index=True)[1]
+            assert len(first) == len(v)
+            chk = np.round(
+                np.sqrt(((v - cent[lids[first]]) ** 2).sum(axis=1)), DIST_ROUND
+            )
+            assert np.allclose(chk, dists[first])
+            # per-row winner == flat argmin over the scanned candidate set
+            full = np.round(np.sqrt(_chunked_sq_dists(v, cent)), DIST_ROUND)
+            for ri in range(len(v)):
+                cand = lids[rows == ri]
+                best = cand[np.lexsort((cand, full[ri, cand]))[0]]
+                assert lids[first[ri]] == best
+        # w = all groups ⇒ identical to unrestricted flat argmin
+        rows, lids, dists = _pruned_rows(v, cent, coarse, members, len(coarse))
+        first = np.unique(rows, return_index=True)[1]
+        assert np.array_equal(lids[first], full.argmin(axis=1))
