@@ -20,6 +20,7 @@ HEADLINE = [
     "lsh_index",
     "ann_search_lsh",
     "ann_search_lsh_filtered",
+    "ann_search_lsh_multiprobe",
     "ann_search_lsh_store",
     "semantic_doc_search",
     "ann_recall_sweep",

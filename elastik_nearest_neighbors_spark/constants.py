@@ -155,6 +155,11 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 RRF_K = 60  # the constant from the RRF paper / Elasticsearch rank fusion
 PHRASE_LEN = 3  # match_phrase probes: first PHRASE_LEN tokens of each query doc
+# multi-probe LSH (Lv et al., VLDB'07): per table, also probe the buckets
+# reached by flipping the LSH_MULTIPROBE lowest-|margin| bits — the recall
+# knob that costs extra bucket LOOKUPS instead of extra tables (no index
+# growth, no extra hash pass). Ties on equal |margin| break on bit index.
+LSH_MULTIPROBE = 2
 
 DECONTAM_N = 4
 DECONTAM_MOD = 40  # doc_id % MOD == 0 → held-out "benchmark" docs

@@ -218,6 +218,47 @@ def ann_search_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search_lsh(emb, queries, model)
 
 
+def ann_search_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH search (Lv et al., VLDB'07): each query probes, per
+    table, its own bucket PLUS the LSH_MULTIPROBE buckets reached by
+    flipping the lowest-|margin| bits — the recall knob that costs extra
+    bucket LOOKUPS instead of extra tables: the index is untouched (same
+    size, same single hash pass) and only the broadcast query side grows
+    ×(1+P). A neighbor still matches at most one probed bucket per table
+    (hashes differ), so n_match keeps its ≤T semantics and the k1/k2
+    ranking tail is shared with the base search.
+
+    Output: (query_id, neighbor_id, n_match, distance) top-ANN_K2."""
+    from ..constants import LSH_MULTIPROBE
+
+    emb = _emb(spark, sf_dir)
+    model = _model_for(emb, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    idx_exp = explode_hashes(build_index(emb, model), "vec_id", "neighbor_id")
+    step = 1 + LSH_MULTIPROBE
+    qp = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.posexplode(model.probe_hash_udf(LSH_MULTIPROBE)(F.col("embedding"))).alias(
+            "pos", "hash"
+        ),
+    ).select("query_id", (F.col("pos") / step).cast("int").alias("tbl"), "hash")
+    counts = (
+        idx_exp.join(F.broadcast(qp), ["tbl", "hash"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    return rank_term_matches(counts, emb, queries)
+
+
+def ann_recall_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k2 of multi-probe LSH vs exact kNN — the lift over the base
+    single-probe recall (ann_recall) is the knob's value, regression-guarded
+    in tests."""
+    ann = ann_search_lsh_multiprobe(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_of(ann, exact_ground_truth(spark, sf_dir))
+
+
 def ann_search_lsh_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #99: `_aknn_search` composed with a metadata predicate —
     the ES host runs the hash term-match alongside ordinary query filters,

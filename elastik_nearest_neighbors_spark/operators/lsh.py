@@ -95,6 +95,37 @@ class LshModel:
     def with_hashes(self, df: DataFrame, vec_col: str = "embedding", out: str = "hashes") -> DataFrame:
         return df.withColumn(out, self.hash_udf()(F.col(vec_col)))
 
+    def probe_hash_udf(self, n_flips: int):
+        """Multi-probe hashes: per table, the base hash followed by
+        `n_flips` variants flipping the lowest-|margin| bits in turn (the
+        buckets the vector most nearly fell into — Lv et al.'s probing
+        sequence, depth 1). Output is a flat array of T·(1+n_flips)
+        hashes, table-major, so `pos // (1+n_flips)` recovers the table.
+        Ties on equal rounded |margin| break on the lower bit index (the
+        stable argsort), mirrored by the oracle's (|margin|, bit) struct
+        sort."""
+        normals, offsets = self.normals, self.offsets
+        tables, bits = self.tables, self.bits
+        weights = 1 << np.arange(bits, dtype=np.int64)
+
+        @pandas_udf("array<bigint>")
+        def _probe(vecs: pd.Series) -> pd.Series:
+            v = np.array(vecs.tolist(), dtype=np.float64)
+            margin = np.round(v @ normals.T - offsets, DIST_ROUND)
+            m3 = margin.reshape(len(v), tables, bits)
+            hashes = ((m3 > 0) * weights).sum(axis=2).astype(np.int64)
+            order = np.argsort(np.abs(m3), axis=2, kind="stable")
+            step = 1 + n_flips
+            out = np.empty((len(v), tables * step), dtype=np.int64)
+            out[:, ::step] = hashes
+            for p in range(n_flips):
+                out[:, p + 1 :: step] = hashes ^ (
+                    np.int64(1) << order[:, :, p].astype(np.int64)
+                )
+            return pd.Series(list(out))
+
+        return _probe
+
     def subset(self, tables: int) -> "LshModel":
         """First-`tables` prefix of this model — a valid smaller model (each
         table's hyperplanes are independent), used by the recall sweep to

@@ -1188,3 +1188,88 @@ fused AS (
 SELECT query_id, doc_id, rrf_score, in_bm25, in_ann FROM fused
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) <= {ANN_K2}
 """
+
+
+def _multiprobe_qh(model, nq: int, p: int) -> str:
+    """Query-side multi-probe hashes (operators/lsh.probe_hash_udf mirror):
+    per table the base hash plus p variants flipping the lowest-|margin|
+    bits; the (|margin|, bit) struct sort is DuckDB's list_sort, matching
+    numpy's stable argsort tie rule."""
+    parts = []
+    for t in range(model.tables):
+        structs = []
+        for b in range(model.bits):
+            i = t * model.bits + b
+            lit = "[" + ",".join(repr(float(x)) for x in model.normals[i]) + "]"
+            c = repr(float(model.offsets[i]))
+            structs.append(
+                "struct_pack(a := abs(round(list_dot_product(embedding::DOUBLE[], "
+                f"CAST({lit} AS DOUBLE[])) - ({c}), 6)), j := {b})"
+            )
+        probes = "[h" + "".join(
+            f", xor(h, CAST(1 << f[{i + 1}] AS BIGINT))" for i in range(p)
+        ) + "]"
+        parts.append(
+            f"SELECT vec_id, CAST({t} AS INT) AS tbl, unnest({probes}) AS hash\n"
+            f"FROM (SELECT vec_id, {_hash_sql(model, t)} AS h,\n"
+            f"             list_transform(list_sort([{', '.join(structs)}]), x -> x.j) AS f\n"
+            f"      FROM embeddings WHERE vec_id < {nq})"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _multiprobe_core(sf_dir: str) -> str:
+    """CTE chain ending in `ann` for the multi-probe search."""
+    from .constants import LSH_MULTIPROBE
+
+    model = lsh_model_for(sf_dir)
+    return f"""hashes AS (
+{_hashes_cte(model)}
+), qh AS (
+{_multiprobe_qh(model, N_QUERIES, LSH_MULTIPROBE)}
+), cand AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id, CAST(COUNT(*) AS BIGINT) AS n_match
+  FROM hashes i JOIN qh q ON i.tbl = q.tbl AND i.hash = q.hash
+  WHERE i.vec_id <> q.vec_id
+  GROUP BY 1, 2
+), k1_sel AS (
+  SELECT query_id, neighbor_id, n_match,
+         row_number() OVER (PARTITION BY query_id ORDER BY n_match DESC, neighbor_id) AS rn
+  FROM cand
+), ann AS (
+  SELECT query_id, neighbor_id, n_match, distance
+  FROM (SELECT k.query_id, k.neighbor_id, k.n_match,
+               round(list_distance(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS distance,
+               row_number() OVER (PARTITION BY k.query_id
+                                  ORDER BY round(list_distance(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6), k.neighbor_id) AS rn2
+        FROM k1_sel k
+        JOIN embeddings qe ON qe.vec_id = k.query_id
+        JOIN embeddings ne ON ne.vec_id = k.neighbor_id
+        WHERE k.rn <= {ANN_K1})
+  WHERE rn2 <= {ANN_K2}
+)"""
+
+
+def ann_search_lsh_multiprobe(sf_dir: str) -> str:
+    return f"""
+WITH {_multiprobe_core(sf_dir)}
+SELECT * FROM ann
+"""
+
+
+def ann_recall_lsh_multiprobe(sf_dir: str) -> str:
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    return f"""
+WITH {_multiprobe_core(sf_dir)},
+a2 AS (SELECT query_id, neighbor_id FROM ann),
+exact AS ({exact}),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM a2 a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+)
+SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
+FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+"""

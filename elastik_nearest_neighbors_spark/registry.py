@@ -47,6 +47,9 @@ _QUERIES: dict[str, QueryFn] = {
     "bm25_doc_search": search.bm25_doc_search,
     "hybrid_search_rrf": search.hybrid_search_rrf,
     "phrase_match": search.phrase_match,
+    # new in r4: multi-probe LSH (Lv et al.) — the bucket-lookup recall knob
+    "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
+    "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
     # new in r4: IVFPQ + exact refine (FAISS IndexRefineFlat shape); the
     # base IVFPQ entries ride along — their plan was refactored into the
     # shared _ivfpq_adc frame after their last driver rows
@@ -186,6 +189,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "bm25_doc_search": oracles_text.bm25_doc_search,
     "hybrid_search_rrf": oracles_vector.hybrid_search_rrf,
     "phrase_match": oracles_text.phrase_match,
+    "ann_search_lsh_multiprobe": oracles_vector.ann_search_lsh_multiprobe,
+    "ann_recall_lsh_multiprobe": oracles_vector.ann_recall_lsh_multiprobe,
     # persisted-store search ≡ batch search — shared oracle, like the
     # other *_store entries
     "ann_search_ivfpq_store": oracles_vector.ann_search_ivfpq,

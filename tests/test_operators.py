@@ -259,6 +259,24 @@ def test_bm25_and_hybrid_rrf(spark):
         assert (both.rrf_score > single_max).all()
 
 
+def test_multiprobe_lifts_lsh_recall(spark):
+    """Multi-probe probes a superset of buckets, so the candidate pool can
+    only grow richer in true neighbors; k1 truncation can still reshuffle
+    individual queries, so assert the MEAN recall dominates the base
+    search's. n_match keeps its <=T bound (one bucket hit per table)."""
+    from elastik_nearest_neighbors_spark.constants import LSH_TABLES
+    from elastik_nearest_neighbors_spark.operators import knn as knn_mod
+
+    mp = knn_mod.ann_search_lsh_multiprobe(spark, SF_SMALL).toPandas()
+    assert set(mp.groupby("query_id").size()) == {10}
+    assert (mp.n_match <= LSH_TABLES).all()
+    r_mp = knn_mod.ann_recall_lsh_multiprobe(spark, SF_SMALL).toPandas()
+    r_base = knn_mod.ann_recall_q(spark, SF_SMALL).toPandas()
+    m = r_mp.merge(r_base, on="query_id", suffixes=("_mp", "_base"))
+    assert m.recall_mp.mean() >= m.recall_base.mean()
+    assert m.recall_mp.mean() > 0
+
+
 def test_phrase_match_is_positional(spark):
     """Every reported doc must contain the query's leading trigram as a
     contiguous token run (not merely all three tokens somewhere), and the
