@@ -1024,33 +1024,35 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric. WAU needs a 7-day DISTINCT count, which no window frame
     supports; the scalable formulation: collapse to distinct (user, day)
     once, EXPLODE each pair onto the 7 target days it contributes to
-    (a fixed ×7, orders of magnitude below raw events), and count distinct
-    per target day. Target days are joined against the observed-day list
-    (broadcast — it's |days| rows) so no phantom trailing days appear.
+    (a fixed ×7, orders of magnitude below raw events), and aggregate
+    ONCE — per (user, target-day) keep an active-on-that-day flag, then
+    per target day wau = row count and dau = flag sum. DAU riding the
+    same tree (instead of a second countDistinct branch) means the
+    events table is scanned once, not twice, and no multi-distinct
+    Expand appears. Phantom trailing days (tday past the last observed
+    day) are exactly the dau = 0 rows, so the observed-day broadcast
+    join collapses to a filter.
 
     Output: (day, dau, wau, stickiness = dau/wau)."""
     configure(spark)
     ev = io.table(spark, sf_dir, "events")
     ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
-    days = ud.select("day").distinct()
     contrib = ud.select(
         "user_id",
+        "day",
         F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("tday"),
     )
-    wau = (
-        contrib.join(F.broadcast(days), contrib["tday"] == days["day"])
-        .groupBy("tday")
-        .agg(F.countDistinct("user_id").alias("wau"))
+    per_user = contrib.groupBy("user_id", "tday").agg(
+        F.max((F.col("tday") == F.col("day")).cast("int")).alias("act")
     )
-    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    return (
-        dau.join(wau, dau["day"] == wau["tday"])
-        .select(
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "dau",
-            "wau",
-            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
-        )
+    agg = per_user.groupBy("tday").agg(
+        F.sum("act").alias("dau"), F.count(F.lit(1)).alias("wau")
+    )
+    return agg.where(F.col("dau") > 0).select(
+        F.date_format("tday", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
     )
 
 

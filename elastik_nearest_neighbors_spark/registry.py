@@ -30,6 +30,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # entry's LATEST driver row is ≤1 round old.
 _QUERIES: dict[str, QueryFn] = {
     # -- r4: code changed this round or after the entry's last driver row --
+    # dau/wau rewritten late in r4 (single-scan fold) — keep at window top
+    "events_dau_wau": analytics.events_dau_wau,
     "index_upsert": knn.index_upsert,
     "ann_search_lsh_store": knn.ann_search_lsh_store,
     "corpus_curate_full": textops.corpus_curate_full,
@@ -143,7 +145,6 @@ _QUERIES: dict[str, QueryFn] = {
     "events_rolling_7d": analytics.events_rolling_7d,
     "knn_join": knn.knn_join,
     "source_mix": textops.source_mix,
-    "events_dau_wau": analytics.events_dau_wau,
     "semantic_doc_search": knn.semantic_doc_search,
     "ann_recall_sweep": knn.ann_recall_sweep,
     "streaming_sliding_window": ingest.streaming_sliding_window,
