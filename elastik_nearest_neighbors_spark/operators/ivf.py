@@ -103,6 +103,11 @@ def _pruned_rows(
     fine members of its `w` nearest coarse groups only — ~(1+w)·√L distance
     rows per vector instead of L. Same rounding and tie rules as the flat
     path, restricted to the scanned set."""
+    if len(v) == 0:
+        # Arrow batches can be empty on sparse partitions; with no rows no
+        # group accumulates candidates and np.concatenate([]) would raise
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, np.array([], dtype=np.float64)
     dc = np.round(np.sqrt(_chunked_sq_dists(v, coarse)), DIST_ROUND)
     w = min(w, dc.shape[1])
     order = np.argsort(dc, axis=1, kind="stable")[:, :w]
@@ -212,6 +217,10 @@ class IvfModel:
     # -- assignment ----------------------------------------------------------
     def _dists(self, vecs: pd.Series) -> np.ndarray:
         v = np.array(vecs.tolist(), dtype=np.float64)
+        if len(v) == 0:
+            # empty Arrow batch: np.array([]) is 1-D, which would break the
+            # (n, d) unpack inside _chunked_sq_dists
+            return np.empty((0, len(self.centroids)), dtype=np.float64)
         # sqrt(sum((v-c)^2)) computed directly (not the matmul expansion) so
         # the float ops line up with DuckDB's list_distance; rounded before
         # any argmin/rank so last-ulp noise can't flip an assignment;
@@ -487,6 +496,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector stay FLAT as data grows; at the test SFs it coincides with
     the serving quantizer. Matrix math is rounded to DIST_ROUND before the
     τ filter, which the DuckDB oracle matches bit-for-bit.
+
+    Numerical caveat (ADVICE r4): the cosine numerator here is a BLAS gram
+    matrix (x @ x.T); DuckDB's list_cosine_similarity is a sequential
+    per-pair dot. Blocked accumulation can differ from the sequential sum
+    in the last ulp, which could flip round(., DIST_ROUND) for a value
+    sitting exactly on a rounding boundary, or flip the >= SEMDEDUP_TAU
+    test at the threshold. Driver gates r4+ are green at the gated SFs
+    (so no gated value sits on such a boundary), but the equivalence is
+    empirical, not analytic — keep this entry in the gate window after any
+    change to the cosine math, and re-run the local parity suite before
+    trusting it at a new SF.
 
     Output: (list_id, vec_a, vec_b, cosine) with cosine ≥ SEMDEDUP_TAU."""
     from ..constants import SEMDEDUP_TAU

@@ -29,87 +29,42 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # and rotates back into the window in later rounds. Goal invariant: every
 # entry's LATEST driver row is ≤1 round old.
 _QUERIES: dict[str, QueryFn] = {
-    # -- r4: code changed this round or after the entry's last driver row --
-    # dau/wau rewritten late in r4 (single-scan fold) — keep at window top
-    "events_dau_wau": analytics.events_dau_wau,
-    "index_upsert": knn.index_upsert,
-    "ann_search_lsh_store": knn.ann_search_lsh_store,
-    "corpus_curate_full": textops.corpus_curate_full,
-    "dup_clusters": dedup.dup_clusters,
-    "multimodal_audio_stats": multimodal.multimodal_audio_stats,
-    # r4: image + video upgraded to REAL decode (BMP / RVID parsers)
-    "multimodal_featurize": multimodal.multimodal_featurize,
-    "multimodal_framesample": multimodal.multimodal_framesample,
-    "events_approx_distinct": analytics.events_approx_distinct,
-    # new in r4: hash-gated tolerance twin of the HLL entry
-    "events_approx_distinct_check": analytics.events_approx_distinct_check,
-    # new in r4: EsAknn three-endpoint facade, gated by the shared oracle
-    "aknn_search_api": api.aknn_search_api,
-    # new in r4: BM25 keyword search + hybrid RRF (the Elasticsearch side)
+    # ---- r5 GATE WINDOW: exactly 50 entries above the boundary comment ----
+    # (1) r5-changed code — ivf.py hierarchy/guards touched the whole IVF
+    # family, whose last driver row was r2 despite three r4 rewrites
+    "ivf_index": ivf.ivf_index,
+    "ann_search_ivf": ivf.ann_search_ivf_q,
+    "ann_recall_ivf": ivf.ann_recall_ivf_q,
+    "ann_search_ivf_store": ivf.ann_search_ivf_store,
+    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
+    "dedup_semantic": ivf.dedup_semantic,
+    "knn_graph": ivf.knn_graph,
+    # (1) r5-changed code — BM25 large-Q path + single-pass tf (search.py)
     "bm25_doc_search": search.bm25_doc_search,
     "hybrid_search_rrf": search.hybrid_search_rrf,
     "phrase_match": search.phrase_match,
-    # new in r4: multi-probe LSH (Lv et al.) — the bucket-lookup recall knob
-    "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
-    "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
-    # new in r4: IVFPQ + exact refine (FAISS IndexRefineFlat shape); the
-    # base IVFPQ entries ride along — their plan was refactored into the
-    # shared _ivfpq_adc frame after their last driver rows
-    "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
-    "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
-    "ann_search_ivfpq": pq.ann_search_ivfpq,
-    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
-    # new in r4: persisted IVFPQ store (completes the store matrix)
-    "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
-    # new in r4: graph-expanded ANN (HNSW-class capability, Spark-first)
-    "knn_graph_multiprobe": graph.knn_graph_multiprobe,
-    "ann_search_graph": graph.ann_search_graph_q,
-    "ann_recall_graph": graph.ann_recall_graph_q,
-    "ann_search_graph_store": graph.ann_search_graph_store,
-    "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
-    "embedding_clusters": graph.embedding_clusters,
-    # r4: ported to the scaled build quantizer + local-group numpy kNN
-    "dedup_semantic": ivf.dedup_semantic,
-    "knn_graph": ivf.knn_graph,
-    "streaming_graph_search": ingest.streaming_graph_search,
-    "streaming_index_store": ingest.streaming_index_store,
-    "streaming_index_compact": ingest.streaming_index_compact,
-    "streaming_index": ingest.streaming_index,
-    # -- r1 green, never re-gated since (oldest rows on record) --
-    "streaming_ann_search": ingest.streaming_ann_search,
-    "source_stats": analytics.source_stats,
-    "events_asof_join": analytics.events_asof_join,
-    "events_topk_users": analytics.events_topk_users,
-    "events_hourly": analytics.events_hourly,
-    "events_sessionize": analytics.events_sessionize,
-    "q1_pricing_summary": analytics.q1_pricing_summary,
-    "q3_shipping_priority": analytics.q3_shipping_priority,
-    "q4_order_priority": analytics.q4_order_priority,
-    "q14_promo_revenue": analytics.q14_promo_revenue,
-    "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
-    "q6_revenue_delta": analytics.q6_revenue_delta,
-    # -- r2-era greens, re-gate rotation (vector core + minhash dedup) --
-    "lsh_index": knn.lsh_index,
-    "ann_search_lsh": knn.ann_search_lsh_q,
-    "knn_exact_euclidean": knn.knn_exact_euclidean_q,
-    "knn_exact_cosine": knn.knn_exact_cosine_q,
-    "knn_exact_mips": knn.knn_exact_mips_q,
+    # (1) r5-changed code — quality/lang scan constant (textops._count_in)
+    # and every entry composing _quality_cols/_lang_pred
+    "quality_score": textops.quality_score,
+    "corpus_clean": textops.corpus_clean,
+    "corpus_curate_full": textops.corpus_curate_full,
+    "quality_quantile": textops.quality_quantile,
+    "corpus_to_sequences": textops.corpus_to_sequences,
+    "lang_id": textops.lang_id,
+    "lang_confusion": textops.lang_confusion,
+    # (2) believed-gated in r4 but past the real 50-entry cut
+    # (CORRECTNESS_r04 ends at knn_exact_mips)
     "label_centroids": knn.label_centroids_q,
     "ann_recall": knn.ann_recall_q,
     "similarity_join_lsh": knn.similarity_join_lsh_q,
     "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
     "vector_stats": knn.vector_stats_q,
-    "ivf_index": ivf.ivf_index,
-    "ann_search_ivf": ivf.ann_search_ivf_q,
-    "ann_recall_ivf": ivf.ann_recall_ivf_q,
-    "ann_search_ivf_store": ivf.ann_search_ivf_store,
     "pq_codes": pq.pq_codes,
     "ann_search_pq": pq.ann_search_pq,
-    # ---- GATE WINDOW BOUNDARY (~entry 50): keep new keys ABOVE this line
-    # ---- and push an equal number of entries below.
-    # -- r5 rotation queue: r2-era greens not re-gated in r4 --
     "ann_recall_pq": pq.ann_recall_pq,
+    # (3) oldest never-re-gated greens (r2-era rows)
     "range_search": knn.range_search_q,
+    "sq8_quantize": pq.sq8_quantize,
     "ann_search_sq8": pq.ann_search_sq8,
     "ann_recall_sq8": pq.ann_recall_sq8,
     "dedup_exact": dedup.dedup_exact,
@@ -119,13 +74,9 @@ _QUERIES: dict[str, QueryFn] = {
     "minhash_est_jaccard": dedup.minhash_est_jaccard,
     "dedup_simhash": dedup.dedup_simhash,
     "ngram_jaccard_join": dedup.ngram_jaccard_join,
-    "lang_id": textops.lang_id,
-    "lang_confusion": textops.lang_confusion,
-    "quality_score": textops.quality_score,
     "token_count": textops.token_count,
     "doc_fingerprint": textops.doc_fingerprint,
     "doc_chunk": textops.doc_chunk,
-    "corpus_clean": textops.corpus_clean,
     "idf_scores": textops.idf_scores,
     "pii_scrub": textops.pii_scrub,
     "corpus_sample": textops.corpus_sample,
@@ -133,20 +84,23 @@ _QUERIES: dict[str, QueryFn] = {
     "doc_repetition": textops.doc_repetition,
     "decontaminate": textops.decontaminate,
     "seq_pack": textops.seq_pack,
-    "corpus_to_sequences": textops.corpus_to_sequences,
     "source_cap": textops.source_cap,
-    "quality_quantile": textops.quality_quantile,
     "stratified_sample": textops.stratified_sample,
     "doc_logprob": textops.doc_logprob,
-    # -- r3-proven greens (fresh rows in CORRECTNESS_r03) --
-    "sq8_quantize": pq.sq8_quantize,
+    # (4) r3 re-gate queue head
+    "ann_recall_sweep": knn.ann_recall_sweep,
+    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
+    # entries (measured r3 AND r4: CORRECTNESS_r{03,04}.json each hold 50
+    # keys — the r4 comment sat ~7 entries past the true cut and left the
+    # IVF family un-re-gated; count with list(_QUERIES)[:50] before
+    # trusting placement). Keep new/changed keys ABOVE this line and push
+    # an equal number below.
+    # -- r6 rotation queue: r3-era greens (2 rounds old at r5 end) --
     "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
-    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
     "events_rolling_7d": analytics.events_rolling_7d,
     "knn_join": knn.knn_join,
     "source_mix": textops.source_mix,
     "semantic_doc_search": knn.semantic_doc_search,
-    "ann_recall_sweep": knn.ann_recall_sweep,
     "streaming_sliding_window": ingest.streaming_sliding_window,
     "streaming_sessionize": ingest.streaming_sessionize,
     "streaming_dedup_state": ingest.streaming_dedup_state,
@@ -175,6 +129,51 @@ _QUERIES: dict[str, QueryFn] = {
     "events_props_extract": analytics.events_props_extract,
     "events_anomaly": analytics.events_anomaly,
     "events_user_ltv": analytics.events_user_ltv,
+    # -- fresh r4 driver greens (1 round old at r5 end) --
+    "events_dau_wau": analytics.events_dau_wau,
+    "index_upsert": knn.index_upsert,
+    "ann_search_lsh_store": knn.ann_search_lsh_store,
+    "dup_clusters": dedup.dup_clusters,
+    "multimodal_audio_stats": multimodal.multimodal_audio_stats,
+    "multimodal_featurize": multimodal.multimodal_featurize,
+    "multimodal_framesample": multimodal.multimodal_framesample,
+    "events_approx_distinct": analytics.events_approx_distinct,
+    "events_approx_distinct_check": analytics.events_approx_distinct_check,
+    "aknn_search_api": api.aknn_search_api,
+    "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
+    "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
+    "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
+    "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
+    "ann_search_ivfpq": pq.ann_search_ivfpq,
+    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
+    "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
+    "knn_graph_multiprobe": graph.knn_graph_multiprobe,
+    "ann_search_graph": graph.ann_search_graph_q,
+    "ann_recall_graph": graph.ann_recall_graph_q,
+    "ann_search_graph_store": graph.ann_search_graph_store,
+    "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
+    "embedding_clusters": graph.embedding_clusters,
+    "streaming_graph_search": ingest.streaming_graph_search,
+    "streaming_index_store": ingest.streaming_index_store,
+    "streaming_index_compact": ingest.streaming_index_compact,
+    "streaming_index": ingest.streaming_index,
+    "streaming_ann_search": ingest.streaming_ann_search,
+    "source_stats": analytics.source_stats,
+    "events_asof_join": analytics.events_asof_join,
+    "events_topk_users": analytics.events_topk_users,
+    "events_hourly": analytics.events_hourly,
+    "events_sessionize": analytics.events_sessionize,
+    "q1_pricing_summary": analytics.q1_pricing_summary,
+    "q3_shipping_priority": analytics.q3_shipping_priority,
+    "q4_order_priority": analytics.q4_order_priority,
+    "q14_promo_revenue": analytics.q14_promo_revenue,
+    "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
+    "q6_revenue_delta": analytics.q6_revenue_delta,
+    "lsh_index": knn.lsh_index,
+    "ann_search_lsh": knn.ann_search_lsh_q,
+    "knn_exact_euclidean": knn.knn_exact_euclidean_q,
+    "knn_exact_cosine": knn.knn_exact_cosine_q,
+    "knn_exact_mips": knn.knn_exact_mips_q,
 }
 
 # oracle builders: sf_dir -> SQL

@@ -219,3 +219,30 @@ def test_two_level_pruned_rows_properties():
         rows, lids, dists = _pruned_rows(v, cent, coarse, members, len(coarse))
         first = np.unique(rows, return_index=True)[1]
         assert np.array_equal(lids[first], full.argmin(axis=1))
+
+
+def test_pruned_rows_and_dists_empty_batch():
+    """Empty Arrow batches (sparse partitions) must yield empty candidate
+    arrays, not a np.concatenate([]) ValueError (ADVICE r4)."""
+    import numpy as np
+    import pandas as pd
+
+    from elastik_nearest_neighbors_spark.operators.ivf import (
+        IvfModel,
+        _coarse_members,
+        _lloyd,
+        _pruned_rows,
+    )
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(120, 8))
+    cent = _lloyd(x, 32, 3)
+    coarse, members = _coarse_members(cent, _lloyd(cent, 6, 2))
+    v = np.empty((0, 8), dtype=np.float64)
+    rows, lids, dists = _pruned_rows(v, cent, coarse, members, 2)
+    assert rows.shape == (0,) and lids.shape == (0,) and dists.shape == (0,)
+    assert rows.dtype == np.int64 and dists.dtype == np.float64
+    # the flat path too: np.array([]) from an empty pd.Series is 1-D
+    m = IvfModel(cent)
+    d = m._dists(pd.Series([], dtype=object))
+    assert d.shape == (0, 32)
