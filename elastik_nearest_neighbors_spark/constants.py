@@ -153,6 +153,16 @@ REP_NGRAM = 2  # bigram repetition metrics (Gopher-style quality filter)
 # and the sum is order-insensitive.
 BM25_K1 = 1.2
 BM25_B = 0.75
+# Query-batch plan-shape switch (r5): the literal-map BM25 path compiles one
+# map/when branch PER QUERY into the plan — unbeatable at interactive Q
+# (zero joins against the corpus) but plan size, constant folding and
+# codegen method size all grow linearly with Q; a 10k-query batch would
+# blow past Catalyst's 64KB codegen method limit. Above these thresholds
+# the operators switch to a broadcast query-terms (resp. phrase) join whose
+# plan is O(1) in Q — same per-term float ops, same integer-micros sums,
+# so both paths are oracle-identical (equality asserted in tests).
+BM25_LITERAL_MAX_Q = 64
+PHRASE_LITERAL_MAX_Q = 256
 RRF_K = 60  # the constant from the RRF paper / Elasticsearch rank fusion
 PHRASE_LEN = 3  # match_phrase probes: first PHRASE_LEN tokens of each query doc
 # multi-probe LSH (Lv et al., VLDB'07): per table, also probe the buckets

@@ -37,30 +37,51 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return io.table(spark, sf_dir, "documents", widen=True)
 
 
-def bm25_scores(docs: DataFrame, k: int = ANN_K2) -> DataFrame:
+def bm25_scores(
+    docs: DataFrame,
+    k: int = ANN_K2,
+    n_queries: int = N_QUERIES,
+    max_literal_q: int | None = None,
+) -> DataFrame:
     """Top-k BM25 over `docs` for more-like-this queries (query docs =
-    doc_id < N_QUERIES, query terms = their distinct tokens, self-match
+    doc_id < `n_queries`, query terms = their distinct tokens, self-match
     excluded).
 
     score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf / (tf + K1·(1 − B + B·dl/avgdl))
     with Lucene's idf = ln(1 + (N − df + ½)/(df + ½)).
 
-    Plan shape (second cut — the first joined a 74M-row term-match at 500k
-    docs): the query side collapses to Q literal token→idf MAP columns
-    (bounded by the query batch's term count, the same broadcast-the-query
-    discipline as the ANN family), and each doc row computes its score
-    against all Q maps ROW-LOCALLY via higher-order functions — tf from
-    the doc's own token array, the per-term sum as exact integer micros
-    (term values are 6-dp by construction, so micros are whole and the
-    long sum is order-insensitive; /1e6 at the edge lands on the same
-    double as the decimal route). The corpus is never joined or shuffled:
-    the only corpus-wide exchanges left are the O(doc·distinct-token) df
-    aggregation behind idf and the final top-k, which a per-partition
-    pre-top-k shrinks to ≤ partitions·Q·k rows.
+    Plan shape, Q ≤ BM25_LITERAL_MAX_Q (third cut): the query side
+    collapses to Q literal token→idf MAP columns (bounded by the query
+    batch's term count, the same broadcast-the-query discipline as the ANN
+    family), and each doc row computes its score against all Q maps
+    ROW-LOCALLY — tf entries from ONE sorted run-length pass over the
+    doc's token array (O(len·log len), r5; the previous
+    `distinct × filter` derivation was O(distinct·len)), the per-term sum
+    as exact integer micros (term values are 6-dp by construction, so
+    micros are whole and the long sum is order-insensitive; /1e6 at the
+    edge lands on the same double as the decimal route). The corpus is
+    never joined or shuffled: the only corpus-wide exchanges left are the
+    O(doc·distinct-token) df aggregation behind idf and the final top-k,
+    which a per-partition pre-top-k shrinks to ≤ partitions·Q·k rows.
+
+    Plan shape, Q > BM25_LITERAL_MAX_Q (r5): literal maps would grow the
+    plan — and Catalyst constant-folding + codegen method size — linearly
+    with Q, past the 64KB method cliff around 10³ queries. The large-batch
+    path instead broadcast-joins the Q·|terms| query-term relation against
+    the exploded per-doc postings (still map-side only: the corpus never
+    repartitions; the groupBy(query, doc) micro-sum shuffles ≤ matched
+    pairs) with the IDENTICAL per-term float ops and integer-micros sum,
+    so both paths are oracle-identical (asserted in tests). The first cut
+    of this join shape measured ~4.5× slower than literals at Q=8/sf10 —
+    which is why the literal path stays the default under the threshold.
 
     Output: (query_id, doc_id, score) top-k per query, rank order
     (score DESC, doc_id)."""
+    from ..constants import BM25_LITERAL_MAX_Q
     from .knn import _partial_topk
+
+    if max_literal_q is None:
+        max_literal_q = BM25_LITERAL_MAX_Q
 
     toks = F.split(F.col("text"), " ")
     # two driver-side scalars (one tiny agg job): corpus size + avg doc len
@@ -89,19 +110,32 @@ def bm25_scores(docs: DataFrame, k: int = ANN_K2) -> DataFrame:
     # query term→idf maps, driver-collected: ≤ Q·|query terms| rows — the
     # full-vocab idf relation is O(vocab) and never leaves the cluster;
     # only the query docs' own terms (semi-joined against idf) do
-    qterms = docs.where(F.col("doc_id") < N_QUERIES).select(
+    qterms = docs.where(F.col("doc_id") < n_queries).select(
         "doc_id", F.explode(F.array_distinct(toks)).alias("token")
     )
     by_q: dict[int, list] = {}
     for r in qterms.join(idf, "token").collect():
         by_q.setdefault(r.doc_id, []).append((r.token, float(r.idf)))
 
-    # per-doc reusable columns, projected ONCE so the O(len²) tf entries
-    # aren't re-derived per query map
-    entries = F.transform(
-        F.array_distinct(toks),
-        lambda t: F.struct(
-            t.alias("token"), F.size(F.filter(toks, lambda x: x == t)).alias("tf")
+    # per-doc (token, tf) entries in ONE sorted run-length pass: run starts
+    # are the positions where the sorted array changes value, tf = gap to
+    # the next start. O(len·log len) and single-traversal vs the previous
+    # O(distinct·len) filter-per-distinct-token; downstream consumers
+    # (commutative micros sum, exists) don't depend on entry order, so
+    # sorted order ≡ first-occurrence order
+    stoks = F.array_sort(toks)
+    n_tok = F.size(stoks)
+    starts = F.filter(
+        F.sequence(F.lit(1), n_tok),
+        lambda i: (i == F.lit(1))
+        | (F.element_at(stoks, i) != F.element_at(stoks, i - 1)),
+    )
+    nexts = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n_tok + 1))
+    entries = F.zip_with(
+        starts,
+        nexts,
+        lambda s, nx: F.struct(
+            F.element_at(stoks, s).alias("token"), (nx - s).cast("int").alias("tf")
         ),
     )
     kt = F.lit(BM25_K1) * (
@@ -109,42 +143,83 @@ def bm25_scores(docs: DataFrame, k: int = ANN_K2) -> DataFrame:
     )
     base = docs.select("doc_id", entries.alias("entries"), kt.alias("kt"))
 
-    def q_struct(qid: int, terms: list) -> F.Column:
-        m = F.map_from_arrays(
-            F.array(*[F.lit(t) for t, _ in terms]),
-            F.array(*[F.lit(i) for _, i in terms]),
-        )
-        term_micros = lambda e: F.when(  # noqa: E731
-            F.element_at(m, e["token"]).isNotNull(),
-            F.floor(
-                F.round(
-                    F.element_at(m, e["token"]) * (e["tf"] / (e["tf"] + F.col("kt"))),
-                    DIST_ROUND,
-                )
-                * F.lit(1000000.0)
-                + F.lit(0.5)
-            ),
-        ).otherwise(F.lit(0).cast("long"))
-        return F.struct(
-            F.lit(qid).cast("bigint").alias("query_id"),
-            F.aggregate(
-                F.col("entries"), F.lit(0).cast("long"), lambda acc, e: acc + term_micros(e)
-            ).alias("micros"),
-            F.exists(
-                F.col("entries"), lambda e: F.element_at(m, e["token"]).isNotNull()
-            ).alias("hit"),
-        )
+    if len(by_q) <= max_literal_q:
+        # literal-map path: zero corpus joins, one when-branch per query
 
-    per_q = F.array(*[q_struct(q, terms) for q, terms in sorted(by_q.items())])
-    scored = (
-        base.select("doc_id", F.explode(per_q).alias("s"))
-        .where(F.col("s.hit") & (F.col("doc_id") != F.col("s.query_id")))
-        .select(
-            F.col("s.query_id").alias("query_id"),
-            F.col("doc_id").alias("neighbor_id"),
-            (F.col("s.micros") / F.lit(1000000.0)).alias("score"),
+        def q_struct(qid: int, terms: list) -> F.Column:
+            m = F.map_from_arrays(
+                F.array(*[F.lit(t) for t, _ in terms]),
+                F.array(*[F.lit(i) for _, i in terms]),
+            )
+            term_micros = lambda e: F.when(  # noqa: E731
+                F.element_at(m, e["token"]).isNotNull(),
+                F.floor(
+                    F.round(
+                        F.element_at(m, e["token"]) * (e["tf"] / (e["tf"] + F.col("kt"))),
+                        DIST_ROUND,
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                ),
+            ).otherwise(F.lit(0).cast("long"))
+            return F.struct(
+                F.lit(qid).cast("bigint").alias("query_id"),
+                F.aggregate(
+                    F.col("entries"), F.lit(0).cast("long"), lambda acc, e: acc + term_micros(e)
+                ).alias("micros"),
+                F.exists(
+                    F.col("entries"), lambda e: F.element_at(m, e["token"]).isNotNull()
+                ).alias("hit"),
+            )
+
+        per_q = F.array(*[q_struct(q, terms) for q, terms in sorted(by_q.items())])
+        scored = (
+            base.select("doc_id", F.explode(per_q).alias("s"))
+            .where(F.col("s.hit") & (F.col("doc_id") != F.col("s.query_id")))
+            .select(
+                F.col("s.query_id").alias("query_id"),
+                F.col("doc_id").alias("neighbor_id"),
+                (F.col("s.micros") / F.lit(1000000.0)).alias("score"),
+            )
         )
-    )
+    else:
+        # large-Q path: broadcast the query-term relation, keep the plan
+        # O(1) in Q. The per-term micros expression is IDENTICAL to the
+        # literal path's (same doubles: idf survives the collect →
+        # createDataFrame round-trip exactly), and the long sum is
+        # commutative, so both paths return the same rows bit-for-bit.
+        spark = docs.sparkSession
+        qdf = spark.createDataFrame(
+            [(q, t, i) for q, terms in sorted(by_q.items()) for t, i in terms],
+            "query_id long, token string, idf double",
+        )
+        postings = base.select(
+            "doc_id", "kt", F.explode("entries").alias("e")
+        ).select(
+            "doc_id",
+            "kt",
+            F.col("e.token").alias("token"),
+            F.col("e.tf").alias("tf"),
+        )
+        micros = F.floor(
+            F.round(
+                F.col("idf") * (F.col("tf") / (F.col("tf") + F.col("kt"))),
+                DIST_ROUND,
+            )
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+        scored = (
+            postings.join(F.broadcast(qdf), "token")
+            .where(F.col("doc_id") != F.col("query_id"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(micros).alias("micros"))
+            .select(
+                "query_id",
+                F.col("doc_id").alias("neighbor_id"),
+                (F.col("micros") / F.lit(1000000.0)).alias("score"),
+            )
+        )
     pre = _partial_topk(scored, "score", k, ascending=False)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -158,23 +233,37 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_docs(spark, sf_dir))
 
 
-def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def phrase_match_impl(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = N_QUERIES,
+    max_literal_q: int | None = None,
+) -> DataFrame:
     """ES `match_phrase` parity: exact token-SEQUENCE containment, not
     bag-of-words. Probes are the first PHRASE_LEN tokens of each query doc
     (driver-collected — Q strings, bytes); matching docs are found by a
     space-delimited substring test on the padded text, which on
     whitespace-tokenized text is exactly Lucene's positional phrase
-    predicate. Spark-first shape: the phrase list is a literal in the
-    plan, the corpus pass is one scan + codegen'd string containment —
-    no positional-postings index needed (ES builds one because it serves
+    predicate.
+
+    Plan shape, Q ≤ PHRASE_LITERAL_MAX_Q: the phrase list is a literal in
+    the plan, the corpus pass one scan + codegen'd string containment — no
+    positional-postings index needed (ES builds one because it serves
     point queries; a batch engine's scan amortizes over the query batch).
+    Above the threshold (r5) the literal when-chain would grow the plan —
+    and the codegen method — linearly with Q, so the phrases become a
+    broadcast relation instead: a BroadcastNestedLoopJoin on the same
+    containment predicate, O(1) plan size, identical matches (asserted in
+    tests). Both shapes stream the corpus exactly once.
 
     Output: (query_id, doc_id) matches, self excluded."""
-    from ..constants import PHRASE_LEN
+    from ..constants import PHRASE_LEN, PHRASE_LITERAL_MAX_Q
 
+    if max_literal_q is None:
+        max_literal_q = PHRASE_LITERAL_MAX_Q
     docs = _docs(spark, sf_dir)
     probes = (
-        docs.where(F.col("doc_id") < N_QUERIES)
+        docs.where(F.col("doc_id") < n_queries)
         .select(
             "doc_id",
             F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, PHRASE_LEN)).alias(
@@ -183,22 +272,44 @@ def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    match_any = [
-        F.when(
-            F.contains(
-                F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
-                F.lit(f" {r.phrase} "),
-            ),
-            F.lit(r.doc_id).cast("bigint"),
+    if len(probes) <= max_literal_q:
+        match_any = [
+            F.when(
+                F.contains(
+                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                    F.lit(f" {r.phrase} "),
+                ),
+                F.lit(r.doc_id).cast("bigint"),
+            )
+            for r in sorted(probes, key=lambda r: r.doc_id)
+        ]
+        hits = F.array_compact(F.array(*match_any))
+        return (
+            docs.select("doc_id", F.explode(hits).alias("query_id"))
+            .where(F.col("doc_id") != F.col("query_id"))
+            .select("query_id", "doc_id")
         )
-        for r in sorted(probes, key=lambda r: r.doc_id)
-    ]
-    hits = F.array_compact(F.array(*match_any))
+    qdf = spark.createDataFrame(
+        [(int(r.doc_id), r.phrase) for r in sorted(probes, key=lambda r: r.doc_id)],
+        "query_id long, phrase string",
+    )
+    padded = docs.select(
+        "doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("padded")
+    )
     return (
-        docs.select("doc_id", F.explode(hits).alias("query_id"))
+        padded.join(
+            F.broadcast(qdf),
+            F.contains(
+                F.col("padded"), F.concat(F.lit(" "), F.col("phrase"), F.lit(" "))
+            ),
+        )
         .where(F.col("doc_id") != F.col("query_id"))
         .select("query_id", "doc_id")
     )
+
+
+def phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phrase_match_impl(spark, sf_dir)
 
 
 def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -259,6 +259,38 @@ def test_bm25_and_hybrid_rrf(spark):
         assert (both.rrf_score > single_max).all()
 
 
+def test_bm25_join_path_equals_literal_path(spark):
+    """The large-Q broadcast-join BM25 path must return row-identical
+    results to the literal-map path (same per-term float ops, commutative
+    integer-micros sum) — forcing max_literal_q=0 routes every Q through
+    the join shape at gate scale."""
+    from elastik_nearest_neighbors_spark.operators import search as s
+
+    docs = s._docs(spark, SF_SMALL)
+    lit = s.bm25_scores(docs, max_literal_q=10**9).toPandas()
+    join = s.bm25_scores(docs, max_literal_q=0).toPandas()
+    key = ["query_id", "doc_id"]
+    lit = lit.sort_values(key).reset_index(drop=True)
+    join = join.sort_values(key).reset_index(drop=True)
+    assert lit[key].equals(join[key])
+    assert (lit.score.values == join.score.values).all()  # bit-exact
+
+
+def test_phrase_join_path_equals_literal_path(spark):
+    """The broadcast-phrase BNLJ path must match the literal when-chain
+    exactly (same containment predicate, O(1) plan size in Q)."""
+    from elastik_nearest_neighbors_spark.operators import search as s
+
+    lit = s.phrase_match_impl(spark, SF_SMALL, max_literal_q=10**9).toPandas()
+    join = s.phrase_match_impl(spark, SF_SMALL, max_literal_q=0).toPandas()
+    key = ["query_id", "doc_id"]
+    assert (
+        lit.sort_values(key)
+        .reset_index(drop=True)
+        .equals(join.sort_values(key).reset_index(drop=True))
+    )
+
+
 def test_multiprobe_lifts_lsh_recall(spark):
     """Multi-probe probes a superset of buckets, so the candidate pool can
     only grow richer in true neighbors; k1 truncation can still reshuffle
