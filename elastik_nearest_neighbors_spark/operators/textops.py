@@ -40,14 +40,29 @@ def _lang_pred(toks: Column) -> tuple[Column, Column]:
 
 def _quality_cols(toks: Column) -> dict[str, Column]:
     """Quality feature columns keyed by output name — shared by
-    quality_score and corpus_clean (same single-scan rationale)."""
+    quality_score and corpus_clean (same single-scan rationale).
+
+    r5 reformulations, measured at 500k docs (see BASELINE.md):
+    - punct count via length(translate(text, <allowed chars>, '')) — a
+      per-char map lookup, identical per-char semantics to
+      regexp_count('[^a-z0-9 ]') but 21× faster (17.3 s → 0.8 s; the
+      regex automaton was THE quality_score constant, not the stopword
+      HOF the r4 verdict guessed — measured, 0 value mismatches).
+    - token-length sum = n_chars - (n_tok - 1): splitting on every single
+      space yields exactly n_tok parts whose content length is the text
+      minus the n_tok-1 separators, for any text (empty tokens included),
+      so the transform+aggregate HOF pass drops out entirely.
+    The stopword membership HOF stays: measured equal (1.3 s) to a
+    string-replace counting trick, so the simpler formulation wins."""
     n_tok = F.size(toks)
     n_chars = F.length("text")
     stop_ratio = F.round(_count_in(toks, STOPWORDS_EN) / n_tok, 6)
-    punct_ratio = F.round(F.regexp_count("text", F.lit("[^a-z0-9 ]")) / n_chars, 6)
-    tok_len_sum = F.aggregate(
-        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    punct_ratio = F.round(
+        F.length(F.translate("text", "abcdefghijklmnopqrstuvwxyz0123456789 ", ""))
+        / n_chars,
+        6,
     )
+    tok_len_sum = n_chars - n_tok + 1
     quality = F.round(
         F.lit(0.4) * stop_ratio
         + F.lit(0.3) * F.least(F.lit(1.0), n_tok / F.lit(100.0))

@@ -87,8 +87,8 @@ _QUERIES: dict[str, QueryFn] = {
     "source_cap": textops.source_cap,
     "stratified_sample": textops.stratified_sample,
     "doc_logprob": textops.doc_logprob,
-    # (4) r3 re-gate queue head
-    "ann_recall_sweep": knn.ann_recall_sweep,
+    # (4) composes _quality_cols (r5-changed) — rotated up from the r4 block
+    "source_stats": analytics.source_stats,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
     # entries (measured r3 AND r4: CORRECTNESS_r{03,04}.json each hold 50
     # keys — the r4 comment sat ~7 entries past the true cut and left the
@@ -130,6 +130,7 @@ _QUERIES: dict[str, QueryFn] = {
     "events_anomaly": analytics.events_anomaly,
     "events_user_ltv": analytics.events_user_ltv,
     # -- fresh r4 driver greens (1 round old at r5 end) --
+    "ann_recall_sweep": knn.ann_recall_sweep,
     "events_dau_wau": analytics.events_dau_wau,
     "index_upsert": knn.index_upsert,
     "ann_search_lsh_store": knn.ann_search_lsh_store,
@@ -158,7 +159,6 @@ _QUERIES: dict[str, QueryFn] = {
     "streaming_index_compact": ingest.streaming_index_compact,
     "streaming_index": ingest.streaming_index,
     "streaming_ann_search": ingest.streaming_ann_search,
-    "source_stats": analytics.source_stats,
     "events_asof_join": analytics.events_asof_join,
     "events_topk_users": analytics.events_topk_users,
     "events_hourly": analytics.events_hourly,
