@@ -245,6 +245,18 @@ GRAPH_LIST_TARGET = 250
 # mirror bit-for-bit; activation is deterministic in (N via nlist).
 TWO_LEVEL_MIN_NLIST = 128
 IVF_COARSE_PROBES = 8
+# r5: the single √L coarse level became a LOG-DEPTH hierarchy — √L kept
+# assignment ~N^1.5 once L ∝ N (sf100 measured 29× time for 10× data).
+# Each hierarchy level is ~HIER_BRANCH× smaller than the one below, the
+# top has ≤ HIER_TOP centroids (scanned exhaustively), and each level
+# keeps the IVF_COARSE_PROBES nearest groups while descending — per-vector
+# assignment ~HIER_TOP + depth·probes·branch distance rows, N·log N
+# total. Level fits recurse (hierarchical Lloyd) once a flat fit would
+# exceed FLAT_FIT_MAX distance rows per step. Activation threshold stays
+# TWO_LEVEL_MIN_NLIST (the historical name), above every oracle-gated SF.
+HIER_BRANCH = 32
+HIER_TOP = 32
+FLAT_FIT_MAX = 1 << 22
 # single-linkage clustering over the graph's edges. Threshold swept at
 # sf0.01 (min pair distance ≈ 1.05): 1.2 percolates into one 474-member
 # blob, 1.05 leaves only pairs; 1.12 gives 63 non-singleton clusters up to

@@ -66,10 +66,19 @@ def graph_model_for(sf_dir: str) -> IvfModel:
     """BUILD quantizer: lists scale with N (≈ N / GRAPH_LIST_TARGET, floor
     IVF_NLIST) so per-list membership — and with it the pair step per
     vector — stays FLAT as data grows; total build work is linear in N,
-    which is the floor for an all-vectors graph. The model is still
-    KB-to-MB sized (L × D float64) and driver-fit from the same
+    which is the floor for an all-vectors graph. Driver-fit from the same
     deterministic sample rule as the serving quantizer, so the oracle
-    builder regenerates bit-identical centroid literals."""
+    builder regenerates bit-identical centroid literals.
+
+    Size honesty (r5, was "KB-to-MB"): lists ∝ N means the MODEL is O(N)
+    — L × D float64 is ~4 MB at sf100 (2M vectors), ~40 MB at 20M, ~2 GB
+    at 10^9; past L ≈ 10^6-10^7 the centroid table stops being a sane
+    closure/broadcast payload and the assignment fit stops being a
+    driver-side job. The r5 log-depth hierarchy (ivf.IvfModel) fixes the
+    assignment COST (~N·log N), not the model SIZE; the scheduled fix for
+    size is sharding the fine level by coarse group into a DataFrame
+    (top levels broadcast, fine level co-partitioned join). Until then
+    this quantizer is honest only up to ~10^8-10^9 vectors per model."""
     m = _GRAPH_MODEL_CACHE.get(sf_dir)
     if m is None:
         import pyarrow.parquet as pq

@@ -91,6 +91,68 @@ def _coarse_members(
     return coarse[keep], [np.nonzero(f2c == g)[0].astype(np.int64) for g in keep]
 
 
+def _descend_rows(
+    v: "np.ndarray",
+    cent: "np.ndarray",
+    levels: list[tuple["np.ndarray", list["np.ndarray"]]],
+    w: int,
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Log-depth candidate rows (row_idx, list_id, dist) lexsorted by
+    (row, dist, list_id). `levels` is the centroid hierarchy from
+    just-above-fine (levels[0]) to top (levels[-1]); each level's
+    members[g] indexes the level below (fine centroids for levels[0]).
+
+    Per input row: scan all top centroids (≤ HIER_TOP), keep the `w`
+    nearest groups, descend — at each level compute rounded euclideans to
+    the selected groups' children, re-rank, keep the `w` nearest child
+    groups — until levels[0], whose selected groups' FINE members are all
+    emitted as candidates. ~top + depth·w·branch distance rows per vector
+    (N·log N total with lists ∝ N) vs L flat / (1+w)·√L two-level. Same
+    rounding (round before every rank) and tie rules (min dist, then min
+    id — the lexsort) as the flat path, restricted to the scanned set."""
+    if len(v) == 0:
+        # Arrow batches can be empty on sparse partitions; with no rows no
+        # group accumulates candidates and np.concatenate([]) would raise
+        empty = np.array([], dtype=np.int64)
+        return empty, empty, np.array([], dtype=np.float64)
+    n = len(v)
+    top_c = levels[-1][0]
+    d = np.round(np.sqrt(_chunked_sq_dists(v, top_c)), DIST_ROUND)
+    order = np.argsort(d, axis=1, kind="stable")[:, : min(w, d.shape[1])]
+    sel = np.zeros((n, len(top_c)), dtype=bool)
+    np.put_along_axis(sel, order, True, axis=1)
+    for li in range(len(levels) - 1, -1, -1):
+        c_level, members = levels[li]
+        child_c = cent if li == 0 else levels[li - 1][0]
+        rows_l, gids_l, dists_l = [], [], []
+        for g in range(len(c_level)):
+            r = np.nonzero(sel[:, g])[0]
+            if not len(r):
+                continue
+            ch = members[g]
+            dd = np.round(np.sqrt(_chunked_sq_dists(v[r], child_c[ch])), DIST_ROUND)
+            rows_l.append(np.repeat(r, len(ch)))
+            gids_l.append(np.tile(ch, len(r)))
+            dists_l.append(dd.ravel())
+        rows = np.concatenate(rows_l)
+        gids = np.concatenate(gids_l)
+        dists = np.concatenate(dists_l)
+        o = np.lexsort((gids, dists, rows))
+        rows, gids, dists = rows[o], gids[o], dists[o]
+        if li == 0:
+            return rows, gids, dists
+        # keep the w nearest child groups per row → selection one level down
+        # (members partition the level below, so (row, child) pairs are
+        # unique and positional rank within each row-run is the rank)
+        starts = np.unique(rows, return_index=True)[1]
+        run_len = np.diff(np.append(starts, len(rows)))
+        idx_in_run = np.arange(len(rows)) - np.repeat(starts, run_len)
+        keep = idx_in_run < w
+        sel = np.zeros((n, len(child_c)), dtype=bool)
+        sel[rows[keep], gids[keep]] = True
+    raise AssertionError("levels must be non-empty")
+
+
 def _pruned_rows(
     v: "np.ndarray",
     cent: "np.ndarray",
@@ -98,52 +160,58 @@ def _pruned_rows(
     members: list["np.ndarray"],
     w: int,
 ) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
-    """Two-level candidate rows (row_idx, list_id, dist) lexsorted by
-    (row, dist, list_id): per input row, rounded euclidean distances to the
-    fine members of its `w` nearest coarse groups only — ~(1+w)·√L distance
-    rows per vector instead of L. Same rounding and tie rules as the flat
-    path, restricted to the scanned set."""
-    if len(v) == 0:
-        # Arrow batches can be empty on sparse partitions; with no rows no
-        # group accumulates candidates and np.concatenate([]) would raise
-        empty = np.array([], dtype=np.int64)
-        return empty, empty, np.array([], dtype=np.float64)
-    dc = np.round(np.sqrt(_chunked_sq_dists(v, coarse)), DIST_ROUND)
-    w = min(w, dc.shape[1])
-    order = np.argsort(dc, axis=1, kind="stable")[:, :w]
-    rows_l, lids_l, dists_l = [], [], []
-    for g in range(len(coarse)):
-        mask = (order == g).any(axis=1)
-        if not mask.any():
-            continue
-        fine = members[g]
-        r = np.nonzero(mask)[0]
-        d = np.round(np.sqrt(_chunked_sq_dists(v[r], cent[fine])), DIST_ROUND)
-        rows_l.append(np.repeat(r, len(fine)))
-        lids_l.append(np.tile(fine, len(r)))
-        dists_l.append(d.ravel())
-    rows = np.concatenate(rows_l)
-    lids = np.concatenate(lids_l)
-    dists = np.concatenate(dists_l)
-    o = np.lexsort((lids, dists, rows))
-    return rows[o], lids[o], dists[o]
+    """Two-level candidate rows — the single-level case of _descend_rows
+    (kept as the primitive the property tests pin down)."""
+    return _descend_rows(v, cent, [(coarse, members)], w)
 
 
-def _lloyd_two_level(x: "np.ndarray", k: int, iters: int) -> "np.ndarray":
-    """Hierarchical Lloyd for big k: each iteration rebuilds a √k coarse
-    level over the CURRENT fine centroids (cheap — k rows) and assigns the
-    sample through the pruned two-level path instead of the full k-wide
-    argmin, cutting the fit from iters·n·k to ~iters·n·(1+W)·√k distance
-    rows. Centroid updates are vectorized (np.add.at accumulates in row
-    order — deterministic); empty clusters keep their previous centroid.
-    Only used for models whose serving assignment is two-level anyway, so
-    fit and serving share the same approximation class."""
+def _build_levels(
+    cent: "np.ndarray",
+) -> list[tuple["np.ndarray", list["np.ndarray"]]]:
+    """Centroid hierarchy over `cent`: each level ~HIER_BRANCH× smaller
+    than the one below, until ≤ HIER_TOP centroids remain at the top.
+    Level fits recurse through _fit_centroids, so building the hierarchy
+    itself stays O(L·branch·log L) rather than O(L^1.5)."""
+    from ..constants import HIER_BRANCH, HIER_TOP
+
+    levels: list[tuple[np.ndarray, list[np.ndarray]]] = []
+    cur = cent
+    while len(cur) > HIER_TOP:
+        k_next = max(2, -(-len(cur) // HIER_BRANCH))
+        sub = _fit_centroids(cur, k_next, 2)
+        sub, members = _coarse_members(cur, sub)
+        levels.append((sub, members))
+        cur = sub
+    return levels
+
+
+def _fit_centroids(x: "np.ndarray", k: int, iters: int) -> "np.ndarray":
+    """Route a centroid fit: flat Lloyd while n·k distance rows per step
+    stay small, hierarchical Lloyd beyond (each recursion shrinks k by
+    ~HIER_BRANCH, so the recursion is log-deep)."""
+    from ..constants import FLAT_FIT_MAX, TWO_LEVEL_MIN_NLIST
+
+    if k < TWO_LEVEL_MIN_NLIST or len(x) * k <= FLAT_FIT_MAX:
+        return _lloyd(x, k, iters)
+    return _lloyd_hier(x, k, iters)
+
+
+def _lloyd_hier(x: "np.ndarray", k: int, iters: int) -> "np.ndarray":
+    """Hierarchical Lloyd for big k (r5, replacing the one-coarse-level √k
+    variant): each iteration rebuilds a log-depth hierarchy over the
+    CURRENT fine centroids and assigns the sample through _descend_rows
+    instead of the full k-wide argmin, cutting the fit from iters·n·k to
+    ~iters·n·branch·w·log k distance rows. Centroid updates are
+    vectorized (np.add.at accumulates in row order — deterministic);
+    empty clusters keep their previous centroid. Only used for models
+    whose serving assignment is hierarchical anyway, so fit and serving
+    share the same approximation class."""
     from ..constants import IVF_COARSE_PROBES
 
     cent = x[:k].copy()
     for _ in range(iters):
-        coarse, members = _coarse_members(cent, _lloyd(cent, max(2, int(round(k**0.5))), 2))
-        rows, lids, _d = _pruned_rows(x, cent, coarse, members, IVF_COARSE_PROBES)
+        levels = _build_levels(cent)
+        rows, lids, _d = _descend_rows(x, cent, levels, IVF_COARSE_PROBES)
         assign = lids[np.unique(rows, return_index=True)[1]]
         sums = np.zeros_like(cent)
         np.add.at(sums, assign, x)
@@ -156,23 +224,51 @@ def _lloyd_two_level(x: "np.ndarray", k: int, iters: int) -> "np.ndarray":
 class IvfModel:
     """Coarse quantizer: NLIST centroids from deterministic Lloyd k-means.
 
-    Above TWO_LEVEL_MIN_NLIST lists the model carries a second, √L-sized
-    level fit over the fine centroids themselves: assignment/probing then
-    scans only the fine members of the IVF_COARSE_PROBES nearest coarse
-    groups (~(1+W)·√L distance rows per vector instead of L). Flat argmin
-    with L ∝ N is quadratic in N — measured dominant at 2M vectors × 8000
-    lists; the two-level path keeps the scaled quantizers' assignment cost
-    near-linear. Never active at the oracle-gated SFs (L=16 there), so the
-    DuckDB flat-argmin mirrors stay bit-exact."""
+    Above TWO_LEVEL_MIN_NLIST lists the model carries a LOG-DEPTH centroid
+    hierarchy over the fine centroids (r5; previously one √L coarse
+    level): assignment/probing descends the hierarchy, scanning
+    ~HIER_TOP + depth·IVF_COARSE_PROBES·HIER_BRANCH distance rows per
+    vector instead of L — N·log N total with lists ∝ N (flat argmin was
+    quadratic, measured dominant at 2M vectors × 8000 lists; the √L
+    two-level cut it to ~N^1.5, still 29× time for 10× data at sf100).
+    Never active at the oracle-gated SFs (L=16 there), so the DuckDB
+    flat-argmin mirrors stay bit-exact.
 
-    def __init__(self, centroids: np.ndarray, coarse: np.ndarray | None = None):
+    Model-size envelope (honest version, r5): the model itself is the
+    FULL fine-centroid table — L × D float64 (+ ~1/HIER_BRANCH for the
+    hierarchy). With lists ∝ N/250 that is ~4 MB at 2M vectors (sf100),
+    ~40 MB at 20M, and ~2 GB at 10^9 vectors — the practical
+    closure/broadcast ceiling sits near L ≈ 10^6-10^7 (0.5-5 GB). Beyond
+    that the fine level must leave the driver: shard the centroid table
+    by coarse group into a DataFrame and turn assignment into a
+    two-stage join (top levels broadcast, fine level co-partitioned) —
+    scheduled work, not yet implemented; see graph.graph_model_for."""
+
+    def __init__(
+        self,
+        centroids: np.ndarray,
+        coarse: np.ndarray | None = None,
+        levels: list[tuple[np.ndarray, list[np.ndarray]]] | None = None,
+    ):
         self.centroids = np.asarray(centroids, dtype=np.float64)
-        self.coarse = None
-        self.members: list[np.ndarray] = []
-        if coarse is not None:
-            self.coarse, self.members = _coarse_members(
-                self.centroids, np.asarray(coarse, dtype=np.float64)
-            )
+        if levels is not None:
+            self.levels = levels
+        elif coarse is not None:
+            self.levels = [
+                _coarse_members(self.centroids, np.asarray(coarse, dtype=np.float64))
+            ]
+        else:
+            self.levels = []
+
+    # level-0 views, kept for callers/tests written against the two-level
+    # model shape (None/[] when the model is flat)
+    @property
+    def coarse(self) -> np.ndarray | None:
+        return self.levels[0][0] if self.levels else None
+
+    @property
+    def members(self) -> list[np.ndarray]:
+        return self.levels[0][1] if self.levels else []
 
     @classmethod
     def fit_path(
@@ -207,12 +303,9 @@ class IvfModel:
         if two_level is None:
             two_level = nlist >= TWO_LEVEL_MIN_NLIST
         if two_level:
-            cent = _lloyd_two_level(x, nlist, iters)
-            coarse = _lloyd(cent, max(2, int(round(nlist**0.5))), iters)
-        else:
-            cent = _lloyd(x, nlist, iters)
-            coarse = None
-        return cls(cent, coarse)
+            cent = _lloyd_hier(x, nlist, iters)
+            return cls(cent, levels=_build_levels(cent))
+        return cls(_lloyd(x, nlist, iters))
 
     # -- assignment ----------------------------------------------------------
     def _dists(self, vecs: pd.Series) -> np.ndarray:
@@ -231,10 +324,10 @@ class IvfModel:
     def _pruned_candidates(
         self, v: "np.ndarray"
     ) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
-        """Two-level candidate rows for this model — see _pruned_rows."""
+        """Hierarchical candidate rows for this model — see _descend_rows."""
         from ..constants import IVF_COARSE_PROBES
 
-        return _pruned_rows(v, self.centroids, self.coarse, self.members, IVF_COARSE_PROBES)
+        return _descend_rows(v, self.centroids, self.levels, IVF_COARSE_PROBES)
 
     def assign_udf(self):
         model = self

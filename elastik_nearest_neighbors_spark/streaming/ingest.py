@@ -522,6 +522,28 @@ KAFKA_BOOTSTRAP_ENV = "ENN_KAFKA_BOOTSTRAP"
 VECTOR_JSON_SCHEMA = "vec_id bigint, embedding array<double>"
 
 
+def kafka_source_options(bootstrap: str, topic: str) -> dict[str, str]:
+    """The exact option set handed to the kafka connector — split out so
+    the broker-less contract test pins it (the wiring can't rot silently
+    even though no broker/connector ships in this sandbox)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+    }
+
+
+def parse_vector_payload(raw: DataFrame) -> DataFrame:
+    """kafka `value` (binary JSON {vec_id, embedding}) → typed rows. Pure
+    projection, shared verbatim by the streaming source and the contract
+    test (which feeds it a batch frame of to_json payloads and asserts a
+    bit-exact double round-trip — Spark's to_json emits shortest-repr
+    doubles, which from_json parses back exactly)."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), VECTOR_JSON_SCHEMA).alias("v")
+    ).select("v.*")
+
+
 def kafka_vector_source(spark: SparkSession, topic: str = "vectors") -> DataFrame:
     """The reference's actual ingestion source (Kafka consumer → batched
     `_aknn_index`): Structured Streaming's kafka connector with JSON
@@ -537,16 +559,10 @@ def kafka_vector_source(spark: SparkSession, topic: str = "vectors") -> DataFram
         raise RuntimeError(
             f"Kafka source disabled: set {KAFKA_BOOTSTRAP_ENV}=host:port"
         )
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .load()
-    )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), VECTOR_JSON_SCHEMA).alias("v")
-    ).select("v.*")
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(bootstrap, topic).items():
+        reader = reader.option(k, v)
+    return parse_vector_payload(reader.load())
 
 
 def streaming_index_kafka(

@@ -221,6 +221,53 @@ def test_two_level_pruned_rows_properties():
         assert np.array_equal(lids[first], full.argmin(axis=1))
 
 
+def test_descend_rows_multilevel_properties(monkeypatch):
+    """Log-depth descent (r5): with a forced-deep hierarchy every input
+    row still gets candidates, candidate distances are true rounded
+    euclideans, the winner is the flat argmin over the scanned set, and
+    scanning with w ≥ every level's width reproduces flat argmin exactly."""
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark import constants
+    from elastik_nearest_neighbors_spark.constants import DIST_ROUND
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_mod
+
+    monkeypatch.setattr(constants, "HIER_BRANCH", 8)
+    monkeypatch.setattr(constants, "HIER_TOP", 4)
+
+    rng = np.random.default_rng(23)
+    x = rng.normal(size=(400, 6))
+    cent = ivf_mod._lloyd(x, 150, 3)
+    levels = ivf_mod._build_levels(cent)
+    assert len(levels) >= 2  # 150 -> ~19 -> ~3: genuinely multi-level
+    # every level's members partition the level below
+    below = len(cent)
+    for c_lvl, members in levels:
+        assert np.array_equal(
+            np.sort(np.concatenate(members)), np.arange(below)
+        )
+        below = len(c_lvl)
+    v = rng.normal(size=(23, 6))
+    full = np.round(np.sqrt(ivf_mod._chunked_sq_dists(v, cent)), DIST_ROUND)
+    for w in (1, 2, 3):
+        rows, lids, dists = ivf_mod._descend_rows(v, cent, levels, w)
+        first = np.unique(rows, return_index=True)[1]
+        assert len(first) == len(v)
+        chk = np.round(
+            np.sqrt(((v - cent[lids[first]]) ** 2).sum(axis=1)), DIST_ROUND
+        )
+        assert np.allclose(chk, dists[first])
+        for ri in range(len(v)):
+            cand = lids[rows == ri]
+            best = cand[np.lexsort((cand, full[ri, cand]))[0]]
+            assert lids[first[ri]] == best
+    # w wide enough to keep every group at every level ⇒ flat argmin
+    w_all = max(len(c) for c, _ in levels)
+    rows, lids, dists = ivf_mod._descend_rows(v, cent, levels, w_all)
+    first = np.unique(rows, return_index=True)[1]
+    assert np.array_equal(lids[first], full.argmin(axis=1))
+
+
 def test_pruned_rows_and_dists_empty_batch():
     """Empty Arrow batches (sparse partitions) must yield empty candidate
     arrays, not a np.concatenate([]) ValueError (ADVICE r4)."""
