@@ -112,6 +112,114 @@ def aknn_search(
     )
 
 
+class AknnModelRegistry:
+    """Named multi-model management — the reference stores each fitted LSH
+    model as a named document in its `_aknn` index and `_aknn_index` /
+    `_aknn_search` reference models BY NAME; several models coexist
+    (SURVEY §1, API-level citation). Restated for a batch engine: a
+    catalog directory of KB-sized model JSONs (at 100 TB scale: an
+    object-store prefix — models are tiny, the catalog is metadata).
+
+    JSON round-trips are exact (json emits shortest-repr doubles, parsed
+    back to identical float64), so a model fetched by name hashes — and
+    therefore searches — bit-identically to the in-memory object; the
+    gated registry entry proves it against the shared ann_search_lsh
+    oracle."""
+
+    def __init__(self, root: str):
+        import os
+
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        import os
+        import re
+
+        if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+            raise ValueError(f"bad model name: {name!r}")
+        return os.path.join(self.root, f"{name}.json")
+
+    def save(self, name: str, model: LshModel) -> None:
+        import os
+        import tempfile
+
+        # write-then-rename so a concurrent get() never sees a torn file
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(model.to_json())
+        os.replace(tmp, self._path(name))
+
+    def get(self, name: str) -> LshModel:
+        try:
+            with open(self._path(name)) as f:
+                return LshModel.from_json(f.read())
+        except FileNotFoundError:
+            raise KeyError(f"no such model: {name!r}") from None
+
+    def names(self) -> list[str]:
+        import os
+
+        return sorted(
+            f[: -len(".json")]
+            for f in os.listdir(self.root)
+            if f.endswith(".json")
+        )
+
+    def delete(self, name: str) -> None:
+        import os
+
+        try:
+            os.remove(self._path(name))
+        except FileNotFoundError:
+            raise KeyError(f"no such model: {name!r}") from None
+
+    def create(
+        self,
+        name: str,
+        docs: DataFrame,
+        nb_tables: int = LSH_TABLES,
+        nb_bits_per_table: int = LSH_BITS,
+        nb_dimensions: int | None = None,
+        id_field: str = ID_FIELD,
+        vector_field: str = VECTOR_FIELD,
+    ) -> LshModel:
+        """`POST /_aknn_create` with a model NAME, like the plugin: fit and
+        store under the name, return the fitted model."""
+        model = aknn_create(
+            docs, nb_tables, nb_bits_per_table, nb_dimensions, id_field, vector_field
+        )
+        self.save(name, model)
+        return model
+
+
+def aknn_model_registry(spark, sf_dir: str) -> DataFrame:
+    """Registry entry (SURVEY §2 #128): named multi-model round-trip. Two
+    models coexist in one catalog — the canonical 16×6 model saved under
+    "default" and an independently fitted 4×2 model under "small" — and
+    the search runs against the "default" model FETCHED BY NAME (a full
+    JSON round-trip), so the hash/search path off the catalog must equal
+    the in-memory path bit-for-bit: gated by the shared ann_search_lsh
+    oracle, like the facade entry."""
+    from . import io
+    from .constants import N_QUERIES
+    from .operators.knn import _model_for
+    from .session import configure
+
+    configure(spark)
+    emb = io.table(spark, sf_dir, "embeddings", widen=True)
+    docs = emb.select(
+        F.col("vec_id").alias(ID_FIELD), F.col("embedding").alias(VECTOR_FIELD)
+    )
+    reg = AknnModelRegistry(io.scratch_dir("aknn_models", sf_dir))
+    reg.save("default", _model_for(emb, sf_dir))
+    if "small" not in reg.names():
+        reg.create("small", docs, nb_tables=4, nb_bits_per_table=2)
+    model = reg.get("default")
+    indexed = aknn_index(docs, model)
+    return aknn_search(indexed, range(N_QUERIES))
+
+
 def aknn_search_api(spark, sf_dir: str) -> DataFrame:
     """Registry entry proving facade parity: drive the three endpoints over
     the embeddings table with the reference's field names and assert (via

@@ -52,6 +52,8 @@ _QUERIES: dict[str, QueryFn] = {
     "corpus_to_sequences": textops.corpus_to_sequences,
     "lang_id": textops.lang_id,
     "lang_confusion": textops.lang_confusion,
+    # (2) new in r5: named multi-model catalog (EsAknn `_aknn` model docs)
+    "aknn_model_registry": api.aknn_model_registry,
     # (2) believed-gated in r4 but past the real 50-entry cut
     # (CORRECTNESS_r04 ends at knn_exact_mips)
     "label_centroids": knn.label_centroids_q,
@@ -86,7 +88,6 @@ _QUERIES: dict[str, QueryFn] = {
     "seq_pack": textops.seq_pack,
     "source_cap": textops.source_cap,
     "stratified_sample": textops.stratified_sample,
-    "doc_logprob": textops.doc_logprob,
     # (4) composes _quality_cols (r5-changed) — rotated up from the r4 block
     "source_stats": analytics.source_stats,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
@@ -96,6 +97,7 @@ _QUERIES: dict[str, QueryFn] = {
     # trusting placement). Keep new/changed keys ABOVE this line and push
     # an equal number below.
     # -- r6 rotation queue: r3-era greens (2 rounds old at r5 end) --
+    "doc_logprob": textops.doc_logprob,
     "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
     "events_rolling_7d": analytics.events_rolling_7d,
     "knn_join": knn.knn_join,
@@ -209,6 +211,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_search_lsh_store": oracles_vector.ann_search_lsh,
     # the facade drives the same model/index/search → same oracle
     "aknn_search_api": oracles_vector.ann_search_lsh,
+    # catalog-fetched model round-trips exactly → same oracle again
+    "aknn_model_registry": oracles_vector.ann_search_lsh,
     "knn_exact_euclidean": oracles_vector.knn_exact_euclidean,
     "knn_exact_cosine": oracles_vector.knn_exact_cosine,
     "knn_exact_mips": oracles_vector.knn_exact_mips,
