@@ -52,6 +52,7 @@ HEADLINE = [
     "ann_recall_graph_sweep",
     "streaming_graph_search",
     "aknn_search_api",
+    "aknn_model_registry",
     "sq8_quantize",
     "ann_search_sq8",
     "ann_recall_sq8",

@@ -75,10 +75,12 @@ def graph_model_for(sf_dir: str) -> IvfModel:
     at 10^9; past L ≈ 10^6-10^7 the centroid table stops being a sane
     closure/broadcast payload and the assignment fit stops being a
     driver-side job. The r5 log-depth hierarchy (ivf.IvfModel) fixes the
-    assignment COST (~N·log N), not the model SIZE; the scheduled fix for
-    size is sharding the fine level by coarse group into a DataFrame
-    (top levels broadcast, fine level co-partitioned join). Until then
-    this quantizer is honest only up to ~10^8-10^9 vectors per model."""
+    assignment COST (~N·log N), not the model SIZE; past the ceiling the
+    fix is ivf.assign_sharded (r5): the fine level becomes a DataFrame
+    keyed by level-0 group and assignment a co-partitioned shuffle join —
+    bit-equal to the closure path (asserted in tests), at the price of one
+    extra ~probes·N-row exchange. The closure path stays the default for
+    every model that still broadcasts (all bench/test scales)."""
     m = _GRAPH_MODEL_CACHE.get(sf_dir)
     if m is None:
         import pyarrow.parquet as pq

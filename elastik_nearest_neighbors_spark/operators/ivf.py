@@ -239,10 +239,12 @@ class IvfModel:
     hierarchy). With lists ∝ N/250 that is ~4 MB at 2M vectors (sf100),
     ~40 MB at 20M, and ~2 GB at 10^9 vectors — the practical
     closure/broadcast ceiling sits near L ≈ 10^6-10^7 (0.5-5 GB). Beyond
-    that the fine level must leave the driver: shard the centroid table
-    by coarse group into a DataFrame and turn assignment into a
-    two-stage join (top levels broadcast, fine level co-partitioned) —
-    scheduled work, not yet implemented; see graph.graph_model_for."""
+    that the fine level must leave the driver: `assign_sharded` (r5)
+    does exactly that — fine centroids as a DataFrame keyed by level-0
+    group (`fine_level_table`), upper hierarchy as the only closure,
+    assignment as a co-partitioned shuffle join + numpy distance pass,
+    bit-equal to this closure path (asserted in tests). The closure path
+    stays the default below the ceiling; see graph.graph_model_for."""
 
     def __init__(
         self,
@@ -376,6 +378,125 @@ class IvfModel:
             return pd.Series(list(order.astype(np.int32)))
 
         return _probe
+
+
+def _select_level0_groups(
+    v: "np.ndarray",
+    levels: list[tuple["np.ndarray", list["np.ndarray"]]],
+    w: int,
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Upper-hierarchy descent only: per input row, the `w` nearest
+    level-0 GROUPS (indices into levels[0]) under the same rounded
+    distances / (dist, id) tie rules as the full descent — without ever
+    touching the fine centroid table. Returns (rows, group_ids) with rows
+    sorted, ≤ w groups per row."""
+    c0 = levels[0][0]
+    if len(v) == 0:
+        empty = np.array([], dtype=np.int64)
+        return empty, empty
+    if len(levels) == 1:
+        d = np.round(np.sqrt(_chunked_sq_dists(v, c0)), DIST_ROUND)
+        order = np.argsort(d, axis=1, kind="stable")[:, : min(w, d.shape[1])]
+        rows = np.repeat(np.arange(len(v)), order.shape[1])
+        return rows, order.ravel()
+    rows, gids, _d = _descend_rows(v, c0, levels[1:], w)
+    starts = np.unique(rows, return_index=True)[1]
+    run_len = np.diff(np.append(starts, len(rows)))
+    idx_in_run = np.arange(len(rows)) - np.repeat(starts, run_len)
+    keep = idx_in_run < w
+    return rows[keep], gids[keep]
+
+
+def fine_level_table(spark: SparkSession, model: IvfModel) -> DataFrame:
+    """The model's fine level as a DATAFRAME (group_id, list_id, centroid)
+    — the shape the fine level takes once it outgrows the driver (the
+    lists ∝ N build quantizer makes the MODEL O(N): past L ≈ 10^6-10^7
+    the L×D centroid table stops being a broadcastable closure; see
+    IvfModel's size-envelope docstring). Here it is materialized from the
+    in-memory model; at real scale it would be a persisted parquet table
+    partitioned by group_id, written once at fit time."""
+    if not model.levels:
+        raise ValueError("fine_level_table needs a hierarchical model")
+    members = model.levels[0][1]
+    rows = [
+        (int(g), int(lid), model.centroids[lid].tolist())
+        for g in range(len(members))
+        for lid in members[g]
+    ]
+    return spark.createDataFrame(
+        rows, "group_id int, list_id int, centroid array<double>"
+    )
+
+
+def assign_sharded(
+    df: DataFrame,
+    model: IvfModel,
+    fine: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale-path assignment with the fine centroid level OUT of the
+    closure: vectors carry only the broadcast-sized upper hierarchy
+    (~L/HIER_BRANCH centroids) through a pandas_udf that picks their
+    IVF_COARSE_PROBES nearest level-0 groups; the fine level arrives as a
+    DataFrame keyed by group_id and the (vector, group) pairs join it —
+    a shuffle join co-partitioned on group_id, NOT a broadcast — before a
+    numpy distance pass and a (dist, list_id) window argmin.
+
+    Bit-equal to the driver-side descent (asserted in tests): the group
+    selection runs the same _descend_rows code, and the per-pair distance
+    uses the same numpy ops on the same float64 — ((v-c)^2).sum over the
+    dim axis is numpy pairwise summation in BOTH paths, so the rounded
+    doubles are identical and the (dist, list_id) winner matches the
+    lexsort rule. Cost: one extra exchange of ~probes·N rows versus the
+    closure path — the price of unbounded L; below the broadcast ceiling
+    the closure path stays the default.
+
+    Output: (vec_id, list_id, center_dist) — one row per input vector."""
+    if not model.levels:
+        raise ValueError("assign_sharded needs a hierarchical model")
+    spark = df.sparkSession
+    if fine is None:
+        fine = fine_level_table(spark, model)
+    upper = model.levels  # closure: hierarchy only, no fine table
+
+    @pandas_udf("array<int>")
+    def _groups(vecs: pd.Series) -> pd.Series:
+        from ..constants import IVF_COARSE_PROBES
+
+        v = np.array(vecs.tolist(), dtype=np.float64)
+        rows, gids = _select_level0_groups(v, upper, IVF_COARSE_PROBES)
+        starts = np.unique(rows, return_index=True)[1] if len(rows) else np.array([], dtype=np.int64)
+        bounds = np.append(starts, len(rows))
+        return pd.Series(
+            [gids[bounds[i] : bounds[i + 1]].astype(np.int32) for i in range(len(starts))]
+        )
+
+    pairs = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("v"),
+        F.explode(_groups(F.col(vec_col))).alias("group_id"),
+    )
+    joined = pairs.repartition("group_id").join(fine, "group_id")
+
+    def _dist(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            c = np.array(pdf["centroid"].tolist(), dtype=np.float64)
+            d = np.round(np.sqrt(((v - c) ** 2).sum(axis=1)), DIST_ROUND)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "list_id": pdf["list_id"], "center_dist": d}
+            )
+
+    scored = joined.mapInPandas(_dist, "vec_id long, list_id int, center_dist double")
+    w = Window.partitionBy("vec_id").orderBy(F.asc("center_dist"), F.asc("list_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
 
 
 _MODEL_CACHE: dict[str, IvfModel] = {}

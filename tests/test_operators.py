@@ -259,6 +259,53 @@ def test_bm25_and_hybrid_rrf(spark):
         assert (both.rrf_score > single_max).all()
 
 
+def test_sharded_fine_level_assignment_bit_equals_closure_path(spark, monkeypatch):
+    """assign_sharded (fine centroids as a DataFrame, upper hierarchy as
+    the only closure) must reproduce the driver-side descent EXACTLY —
+    same list_id and same rounded center_dist for every vector — on both
+    a single-level hierarchy and a forced-deep one. This is the scale
+    path for models past the broadcast ceiling (L ≈ 10^6+), so bit
+    equality with the gated closure path is its correctness story."""
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark import constants, io as enn_io
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_mod
+
+    emb = enn_io.table(spark, SF_SMALL, "embeddings", widen=True)
+
+    def check(model):
+        closure = (
+            ivf_mod.build_ivf_index(emb, model)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        sharded = (
+            ivf_mod.assign_sharded(emb, model)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert len(closure) == len(sharded)
+        assert (closure.vec_id.values == sharded.vec_id.values).all()
+        assert (closure.list_id.values == sharded.list_id.values).all()
+        assert (closure.center_dist.values == sharded.center_dist.values).all()
+
+    check(ivf_mod.IvfModel.fit_path(SF_SMALL, nlist=64, sample_n=320, two_level=True))
+    # deep hierarchy: 64 -> 16 -> 4 with branch 4, top 4
+    monkeypatch.setattr(constants, "HIER_BRANCH", 4)
+    monkeypatch.setattr(constants, "HIER_TOP", 4)
+    deep = ivf_mod.IvfModel.fit_path(SF_SMALL, nlist=64, sample_n=320, two_level=True)
+    assert len(deep.levels) >= 2
+    check(deep)
+    import pytest as pt
+
+    with pt.raises(ValueError, match="hierarchical"):
+        ivf_mod.assign_sharded(
+            emb, ivf_mod.IvfModel.fit_path(SF_SMALL, nlist=16, sample_n=320, two_level=False)
+        )
+
+
 def test_bm25_join_path_equals_literal_path(spark):
     """The large-Q broadcast-join BM25 path must return row-identical
     results to the literal-map path (same per-term float ops, commutative
