@@ -129,7 +129,12 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    # "sf0.1", "sf100", but also suffixed dirs like "sf1000v" (the r5
+    # 20M-vector embeddings-only step-up dir)
+    import re as _re
+
+    _m = _re.search(r"sf([0-9.]+)", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    sf = float(_m.group(1)) if _m else 0.0
     spark = get_spark(app_name="enn-bench", cpus=cpus, shuffle_partitions=max(cpus, 32))
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()

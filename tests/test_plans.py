@@ -555,3 +555,33 @@ def test_source_cap_single_exchange_and_bound(spark):
     assert plans.shuffle_count(df) == 2  # one Exchange: hash by source
     per_src = df.groupBy("source").count()
     assert per_src.agg(F.max("count")).collect()[0][0] <= SOURCE_CAP
+
+
+def test_bm25_join_path_broadcasts_query_terms(spark):
+    """The large-Q BM25 path must broadcast the query-term relation (the
+    corpus postings never shuffle to meet the queries) and keep exactly
+    one aggregation exchange — on the matched (query, doc) pairs."""
+    from elastik_nearest_neighbors_spark.operators import search as s
+
+    docs = s._docs(spark, SF_SMALL)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = s.bm25_scores(docs, max_literal_q=0)  # force the join path
+        plan = plans.formatted_plan(df)
+        assert plans.broadcast_join_count(df) >= 1, plan
+        assert "SortMergeJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_phrase_join_path_is_broadcast_nlj(spark):
+    """Above the literal threshold the phrase predicate rides a
+    BroadcastNestedLoopJoin — O(1) plan size in Q, corpus streamed once,
+    never a cartesian shuffle."""
+    from elastik_nearest_neighbors_spark.operators import search as s
+
+    df = s.phrase_match_impl(spark, SF_SMALL, max_literal_q=0)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
