@@ -112,21 +112,29 @@ def local_knn_groups(mem: DataFrame, k: int) -> DataFrame:
     Output: (vec_a, vec_b, distance), ≤k rows per (list group, vec_a).
     Single-membership callers (nprobe=1: ivf.knn_graph) get disjoint groups
     — the per-group top-k IS the global top-k; multi-membership callers
-    (build_graph_edges) must distinct + re-rank across groups."""
+    (build_graph_edges) must distinct + re-rank across groups.
+
+    Exact-duplicate collapse (r5, learned at 20M vectors): corpora with
+    viral duplicates — and replicated benchmarks — put d copies of a
+    vector in one list, and the dense m×m matrix is then QUADRATIC in d
+    (a 1000×-duplicated 20M-vector run sat >30 min in this operator).
+    When a group holds duplicates, the distance matrix shrinks to the u
+    distinct values (u×u), and each member's top-k reconstructs exactly:
+    candidates group-wise at the group's distance, at most k+1 smallest
+    ids per value group (only those can reach a top-k that breaks ties on
+    id), boundary groups included through the kth-distance tie. Work
+    drops from O(m²) to O(u² + m·k·log) with bit-identical output
+    (equality property-tested against the dense path)."""
     from .ivf import _chunked_sq_dists
 
-    def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["vec_id"].to_numpy()
-        x = np.array(pdf["v"].tolist(), dtype=np.float64)
+    def _dense(ids: "np.ndarray", x: "np.ndarray", out_a, out_b, out_d) -> None:
         d = np.round(np.sqrt(_chunked_sq_dists(x, x)), DIST_ROUND)
-        out_a, out_b, out_d = [], [], []
         for i in range(len(ids)):
             row = d[i]
             # order by (distance, vec_b), excluding self. Prune with the
             # kth-smallest distance but keep EVERY candidate tied at it —
-            # duplicate-heavy data (100 identical copies ⇒ 99 zero
-            # distances) must tie-break on vec_b over the full tie set,
-            # not an arbitrary argpartition subset
+            # the tie-break on vec_b must see the full tie set, not an
+            # arbitrary argpartition subset
             mask = ids != ids[i]
             cand = np.nonzero(mask)[0]
             if len(cand) > k:
@@ -138,6 +146,58 @@ def local_knn_groups(mem: DataFrame, k: int) -> DataFrame:
             out_a.extend([ids[i]] * len(order))
             out_b.extend(ids[order].tolist())
             out_d.extend(row[order].tolist())
+
+    def _collapsed(
+        ids: "np.ndarray", x: "np.ndarray", uvals, inv, out_a, out_b, out_d
+    ) -> None:
+        u = len(uvals)
+        d = np.round(np.sqrt(_chunked_sq_dists(uvals, uvals)), DIST_ROUND)
+        groups = [np.sort(ids[inv == j]) for j in range(u)]
+        caps = [g[: k + 2] for g in groups]  # k+2 covers self-removal
+        sizes = np.array([len(g) for g in groups], dtype=np.int64)
+        for i in range(len(ids)):
+            gi = inv[i]
+            row = d[gi]
+            gorder = np.argsort(row, kind="stable")
+            avail = sizes[gorder] - (gorder == gi)
+            cum = np.cumsum(avail)
+            need = int(np.searchsorted(cum, k))
+            if need >= u:
+                sel = gorder
+            else:
+                bdist = row[gorder[need]]
+                last = need
+                while last + 1 < u and row[gorder[last + 1]] == bdist:
+                    last += 1
+                sel = gorder[: last + 1]
+            cd_l, cid_l = [], []
+            for j in sel:
+                gj = caps[j]
+                if j == gi:
+                    gj = gj[gj != ids[i]]
+                gj = gj[: k + 1]
+                if not len(gj):
+                    continue
+                cd_l.append(np.full(len(gj), row[j]))
+                cid_l.append(gj)
+            if not cd_l:
+                continue
+            cd = np.concatenate(cd_l)
+            cid = np.concatenate(cid_l)
+            order = np.lexsort((cid, cd))[:k]
+            out_a.extend([ids[i]] * len(order))
+            out_b.extend(cid[order].tolist())
+            out_d.extend(cd[order].tolist())
+
+    def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        x = np.array(pdf["v"].tolist(), dtype=np.float64)
+        out_a, out_b, out_d = [], [], []
+        uvals, inv = np.unique(x, axis=0, return_inverse=True)
+        if len(uvals) == len(ids):
+            _dense(ids, x, out_a, out_b, out_d)
+        else:
+            _collapsed(ids, x, uvals, inv, out_a, out_b, out_d)
         return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "distance": out_d})
 
     return mem.groupBy("list_id").applyInPandas(

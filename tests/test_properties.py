@@ -293,3 +293,73 @@ def test_pruned_rows_and_dists_empty_batch():
     m = IvfModel(cent)
     d = m._dists(pd.Series([], dtype=object))
     assert d.shape == (0, 32)
+
+
+def test_local_knn_duplicate_collapse_equals_bruteforce(spark):
+    """The duplicate-collapsed per-list kNN (r5) must equal an independent
+    brute-force (round(dist), id) ranking on duplicate-heavy groups —
+    including all-duplicate groups, groups mixing several duplicated
+    values, boundary ties across value groups, and a no-duplicate group
+    (which takes the dense path)."""
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark.constants import DIST_ROUND, KNN_GRAPH_K
+    from elastik_nearest_neighbors_spark.operators.graph import local_knn_groups
+
+    rng = np.random.default_rng(31)
+    rows = []
+    vid = 0
+    # group 0: two duplicated values x 12 copies + 6 singletons
+    base = rng.normal(size=(2, 4))
+    for j in range(2):
+        for _ in range(12):
+            rows.append((vid, base[j].tolist(), 0)); vid += 1
+    for _ in range(6):
+        rows.append((vid, rng.normal(size=4).tolist(), 0)); vid += 1
+    # group 1: ALL duplicates of one value (17 copies)
+    v1 = rng.normal(size=4)
+    for _ in range(17):
+        rows.append((vid, v1.tolist(), 1)); vid += 1
+    # group 2: equidistant tie construction — two values at the same
+    # rounded distance from a third, each duplicated
+    a = np.zeros(4); b = np.array([1.0, 0, 0, 0]); c = np.array([0, 1.0, 0, 0])
+    for val, reps in ((a, 5), (b, 4), (c, 4)):
+        for _ in range(reps):
+            rows.append((vid, val.tolist(), 2)); vid += 1
+    # group 3: no duplicates at all (dense path)
+    for _ in range(9):
+        rows.append((vid, rng.normal(size=4).tolist(), 3)); vid += 1
+
+    mem = spark.createDataFrame(rows, "vec_id long, v array<double>, list_id int")
+    got = (
+        local_knn_groups(mem, KNN_GRAPH_K)
+        .toPandas()
+        .sort_values(["vec_a", "distance", "vec_b"])
+        .reset_index(drop=True)
+    )
+
+    # independent brute force per group
+    import pandas as pd
+
+    want_rows = []
+    by_list: dict[int, list] = {}
+    for r in rows:
+        by_list.setdefault(r[2], []).append(r)
+    for lid, members in by_list.items():
+        ids = np.array([m[0] for m in members])
+        x = np.array([m[1] for m in members])
+        for i in range(len(ids)):
+            d = np.round(np.sqrt(((x - x[i]) ** 2).sum(axis=1)), DIST_ROUND)
+            cand = [(d[j], ids[j]) for j in range(len(ids)) if ids[j] != ids[i]]
+            cand.sort()
+            for dd, nb in cand[:KNN_GRAPH_K]:
+                want_rows.append((ids[i], nb, dd))
+    want = (
+        pd.DataFrame(want_rows, columns=["vec_a", "vec_b", "distance"])
+        .sort_values(["vec_a", "distance", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.vec_a.values == want.vec_a.values).all()
+    assert (got.vec_b.values == want.vec_b.values).all()
+    assert (got.distance.values == want.distance.values).all()
