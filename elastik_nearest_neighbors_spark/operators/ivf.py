@@ -729,31 +729,84 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
         lid = int(pdf["list_id"].iloc[0])
-        ids = pdf["vec_id"].to_numpy()
-        x = np.array(pdf["v"].tolist(), dtype=np.float64)
-        nrm = np.sqrt((x * x).sum(axis=1))
-        m = len(ids)
-        out_a, out_b, out_c = [], [], []
-        # row-chunked gram matrix: (rows × m) blocks bound the intermediate
-        # the way _chunked_sq_dists does for distances
-        rows = max(1, (64 << 20) // max(1, m * 8))
-        with np.errstate(divide="ignore", invalid="ignore"):
+        a, b, c = semantic_pairs_local(
+            pdf["vec_id"].to_numpy(),
+            np.array(pdf["v"].tolist(), dtype=np.float64),
+            SEMDEDUP_TAU,
+        )
+        return pd.DataFrame({"list_id": lid, "vec_a": a, "vec_b": b, "cosine": c})
+
+    return mem.groupBy("list_id").applyInPandas(
+        per_list, "list_id int, vec_a long, vec_b long, cosine double"
+    )
+
+
+def semantic_pairs_local(
+    ids: "np.ndarray", x: "np.ndarray", tau: float
+) -> tuple[list, list, list]:
+    """All (vec_a < vec_b, cosine ≥ tau) pairs within one member group —
+    the numpy-local heart of dedup_semantic, factored out so the
+    duplicate-collapsed branch is property-testable on its own.
+
+    Dense branch (all vectors distinct — every oracle-gated SF): the r4
+    row-chunked gram matrix, unchanged. Collapsed branch (r5, learned at
+    the 20M-vector step-up where every vector recurs ~1000×): the gram
+    shrinks to the u distinct values and qualifying VALUE pairs expand to
+    id pairs — within-value groups as ordered combinations, cross-value
+    groups as min/max-oriented cross products. The OUTPUT is still
+    inherently quadratic in the duplication factor (every duplicate pair
+    IS a semantic near-dup — that is the operator's contract; a real
+    pipeline runs exact dedup first), but the matrix COMPUTE stops being
+    m² — only the emission scales with the answer."""
+    m = len(ids)
+    out_a: list = []
+    out_b: list = []
+    out_c: list = []
+    uvals, inv = np.unique(x, axis=0, return_inverse=True)
+    u = len(uvals)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        if u == m:
+            nrm = np.sqrt((x * x).sum(axis=1))
+            rows = max(1, (64 << 20) // max(1, m * 8))
             for i in range(0, m, rows):
                 blk = x[i : i + rows] @ x.T
                 cos = np.round(blk / (nrm[i : i + rows, None] * nrm[None, :]), DIST_ROUND)
-                ii, jj = np.nonzero(cos >= SEMDEDUP_TAU)
+                ii, jj = np.nonzero(cos >= tau)
                 gi = ii + i
                 keep = ids[gi] < ids[jj]
                 out_a.extend(ids[gi[keep]].tolist())
                 out_b.extend(ids[jj[keep]].tolist())
                 out_c.extend(cos[ii[keep], jj[keep]].tolist())
-        return pd.DataFrame(
-            {"list_id": lid, "vec_a": out_a, "vec_b": out_b, "cosine": out_c}
-        )
-
-    return mem.groupBy("list_id").applyInPandas(
-        per_list, "list_id int, vec_a long, vec_b long, cosine double"
-    )
+            return out_a, out_b, out_c
+        groups = [np.sort(ids[inv == j]) for j in range(u)]
+        nrm = np.sqrt((uvals * uvals).sum(axis=1))
+        rows = max(1, (64 << 20) // max(1, u * 8))
+        for i in range(0, u, rows):
+            blk = uvals[i : i + rows] @ uvals.T
+            cos = np.round(blk / (nrm[i : i + rows, None] * nrm[None, :]), DIST_ROUND)
+            ii, jj = np.nonzero(cos >= tau)
+            for bi, j2 in zip(ii, jj):
+                j1 = bi + i
+                if j1 > j2:
+                    continue  # each unordered value pair once (cos symmetric)
+                g1 = groups[j1]
+                val = cos[bi, j2]
+                if j1 == j2:
+                    # within one duplicate set: ordered combinations a < b
+                    A = np.repeat(g1, len(g1))
+                    B = np.tile(g1, len(g1))
+                    sel = A < B
+                    A, B = A[sel], B[sel]
+                else:
+                    g2 = groups[j2]
+                    A0 = np.repeat(g1, len(g2))
+                    B0 = np.tile(g2, len(g1))
+                    A = np.minimum(A0, B0)
+                    B = np.maximum(A0, B0)
+                out_a.extend(A.tolist())
+                out_b.extend(B.tolist())
+                out_c.extend([float(val)] * len(A))
+    return out_a, out_b, out_c
 
 
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

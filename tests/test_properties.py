@@ -363,3 +363,54 @@ def test_local_knn_duplicate_collapse_equals_bruteforce(spark):
     assert (got.vec_a.values == want.vec_a.values).all()
     assert (got.vec_b.values == want.vec_b.values).all()
     assert (got.distance.values == want.distance.values).all()
+
+
+def test_semantic_pairs_duplicate_collapse_equals_bruteforce():
+    """semantic_pairs_local's collapsed branch must emit exactly the dense
+    semantics — every (min-id, max-id) pair with rounded cosine >= tau,
+    including all within-duplicate-set pairs (cos=1) and cross-value pairs
+    in both id orientations."""
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark.constants import DIST_ROUND
+    from elastik_nearest_neighbors_spark.operators.ivf import semantic_pairs_local
+
+    rng = np.random.default_rng(41)
+    # ids deliberately interleaved across value groups so cross-group pairs
+    # occur in both orientations
+    vals = rng.normal(size=(5, 6))
+    ids, x = [], []
+    vid = 0
+    for rep in range(8):
+        for j in range(5):
+            ids.append(vid)
+            x.append(vals[j])
+            vid += 1
+    ids = np.array(ids)
+    x = np.array(x)
+    tau = -1.0  # every pair qualifies: the expansion logic is fully exercised
+    a, b, c = semantic_pairs_local(ids, x, tau)
+    got = sorted(zip(a, b, c))
+    # brute force over all m^2 pairs
+    want = []
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j]:
+                cos = np.round(
+                    float(x[i] @ x[j])
+                    / (np.sqrt(float(x[i] @ x[i])) * np.sqrt(float(x[j] @ x[j]))),
+                    DIST_ROUND,
+                )
+                if cos >= tau:
+                    want.append((ids[i], ids[j], cos))
+    want.sort()
+    assert len(got) == len(want)
+    for (ga, gb, gc), (wa, wb, wc) in zip(got, want):
+        assert ga == wa and gb == wb
+        assert abs(gc - wc) < 2e-6  # same rounded value modulo gemm ulp
+    # a positive tau on duplicate-heavy data: all within-set pairs present
+    a, b, c = semantic_pairs_local(ids, x, 0.999999)
+    within = sum(1 for i in range(len(ids)) for j in range(len(ids))
+                 if ids[i] < ids[j] and (x[i] == x[j]).all())
+    assert len(a) >= within
+    assert all(v >= 0.999999 for v in c)
