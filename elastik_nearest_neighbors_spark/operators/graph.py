@@ -87,6 +87,25 @@ def graph_model_for(sf_dir: str) -> IvfModel:
 
         n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
         nlist = max(IVF_NLIST, n // GRAPH_LIST_TARGET)
+        if nlist > IVF_NLIST:
+            # Scale lists with the DISTINCT vector count, not raw rows
+            # (r5, learned at the 20M-vector step-up: a 1000×-duplicated
+            # corpus made lists ∝ N give one list per distinct value —
+            # a degenerate graph — while per-list membership exploded
+            # with the duplication factor anyway). Content diversity is
+            # what SemDeDup-style cluster counts should track; duplicate
+            # mass rides along inside each list, where the r5 collapse
+            # keeps the pair work u²-bounded. One driver-side DuckDB
+            # aggregate; at 100 TB this would be approx_count_distinct
+            # in the fit job. Duplicate-free data (every gated SF and
+            # sf0.1/sf1): distinct == n, bit-identical model.
+            import duckdb
+
+            p = os.path.join(sf_dir, "embeddings.parquet")
+            distinct = duckdb.sql(
+                f"SELECT count(DISTINCT embedding::varchar) FROM '{p}'"
+            ).fetchone()[0]
+            nlist = max(IVF_NLIST, distinct // GRAPH_LIST_TARGET)
         if nlist == IVF_NLIST:
             m = model_for(sf_dir)  # coincides with the serving quantizer
         else:

@@ -302,6 +302,18 @@ class IvfModel:
         )
         df = t.to_pandas().sort_values("vec_id").head(sample_n)
         x = np.array(df["embedding"].tolist(), dtype=np.float64)
+        # Duplicate-saturated samples (r5, learned at the 20M-vector
+        # step-up: a 1000×-replicated corpus put ≤20k distinct values in a
+        # 320k-row sample) make Lloyd fit k centroids to far fewer distinct
+        # points — 28 driver-minutes of meaningless iteration. Dedup the
+        # sample in FIRST-OCCURRENCE order (so a duplicate-free sample —
+        # every oracle-gated SF — takes the unchanged path bit-for-bit)
+        # and cap nlist at the distinct count: more centroids than distinct
+        # points is degenerate by definition.
+        _, first_idx = np.unique(x, axis=0, return_index=True)
+        if len(first_idx) < len(x):
+            x = x[np.sort(first_idx)]
+            nlist = min(nlist, len(x))
         if two_level is None:
             two_level = nlist >= TWO_LEVEL_MIN_NLIST
         if two_level:
