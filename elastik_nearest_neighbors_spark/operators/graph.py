@@ -146,7 +146,7 @@ def local_knn_groups(mem: DataFrame, k: int) -> DataFrame:
     (equality property-tested against the dense path)."""
     from .ivf import _chunked_sq_dists
 
-    def _dense(ids: "np.ndarray", x: "np.ndarray", out_a, out_b, out_d) -> None:
+    def _dense(ids: "np.ndarray", x: "np.ndarray", acc_a, acc_b, acc_d) -> None:
         d = np.round(np.sqrt(_chunked_sq_dists(x, x)), DIST_ROUND)
         for i in range(len(ids)):
             row = d[i]
@@ -162,20 +162,30 @@ def local_knn_groups(mem: DataFrame, k: int) -> DataFrame:
             else:
                 part = cand
             order = part[np.lexsort((ids[part], row[part]))][:k]
-            out_a.extend([ids[i]] * len(order))
-            out_b.extend(ids[order].tolist())
-            out_d.extend(row[order].tolist())
+            acc_a.append(np.full(len(order), ids[i]))
+            acc_b.append(ids[order])
+            acc_d.append(row[order])
 
     def _collapsed(
-        ids: "np.ndarray", x: "np.ndarray", uvals, inv, out_a, out_b, out_d
+        ids: "np.ndarray", x: "np.ndarray", uvals, inv, acc_a, acc_b, acc_d
     ) -> None:
+        # Per-VALUE-group work, not per-member: a member's result depends
+        # only on its value group and on whether its own id sits inside
+        # that group's k+2 smallest-id cap (self-removal reach). Every
+        # member OUTSIDE the cap therefore shares one generic neighbor
+        # list — computed once and replicated by repeat/tile — so the
+        # Python-level loop is O(u·k) instead of O(m) (a 1000×-duplicated
+        # 20M-vector run spent ~200 s just iterating members here).
         u = len(uvals)
         d = np.round(np.sqrt(_chunked_sq_dists(uvals, uvals)), DIST_ROUND)
         groups = [np.sort(ids[inv == j]) for j in range(u)]
         caps = [g[: k + 2] for g in groups]  # k+2 covers self-removal
         sizes = np.array([len(g) for g in groups], dtype=np.int64)
-        for i in range(len(ids)):
-            gi = inv[i]
+
+        def _topk(gi: int, self_id) -> tuple | None:
+            # ≤k (neighbor id, distance) rows for a member of value group
+            # gi; self_id=None means the member's id is outside caps[gi]
+            # (its removal can't change the cap's first k+1 ids).
             row = d[gi]
             gorder = np.argsort(row, kind="stable")
             avail = sizes[gorder] - (gorder == gi)
@@ -192,32 +202,66 @@ def local_knn_groups(mem: DataFrame, k: int) -> DataFrame:
             cd_l, cid_l = [], []
             for j in sel:
                 gj = caps[j]
-                if j == gi:
-                    gj = gj[gj != ids[i]]
+                if j == gi and self_id is not None:
+                    gj = gj[gj != self_id]
                 gj = gj[: k + 1]
                 if not len(gj):
                     continue
                 cd_l.append(np.full(len(gj), row[j]))
                 cid_l.append(gj)
             if not cd_l:
-                continue
+                return None
             cd = np.concatenate(cd_l)
             cid = np.concatenate(cid_l)
             order = np.lexsort((cid, cd))[:k]
-            out_a.extend([ids[i]] * len(order))
-            out_b.extend(cid[order].tolist())
-            out_d.extend(cd[order].tolist())
+            return cid[order], cd[order]
+
+        for g in range(u):
+            grp = groups[g]
+            cap = caps[g]
+            for sid in cap:  # ≤ k+2 members whose id is inside the cap
+                res = _topk(g, int(sid))
+                if res is None:
+                    continue
+                cid, cd = res
+                acc_a.append(np.full(len(cid), sid))
+                acc_b.append(cid)
+                acc_d.append(cd)
+            rest = grp[len(cap):]
+            if len(rest):
+                res = _topk(g, None)
+                if res is not None:
+                    cid, cd = res
+                    acc_a.append(np.repeat(rest, len(cid)))
+                    acc_b.append(np.tile(cid, len(rest)))
+                    acc_d.append(np.tile(cd, len(rest)))
 
     def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
         x = np.array(pdf["v"].tolist(), dtype=np.float64)
-        out_a, out_b, out_d = [], [], []
+        acc_a: list = []
+        acc_b: list = []
+        acc_d: list = []
         uvals, inv = np.unique(x, axis=0, return_inverse=True)
         if len(uvals) == len(ids):
-            _dense(ids, x, out_a, out_b, out_d)
+            _dense(ids, x, acc_a, acc_b, acc_d)
         else:
-            _collapsed(ids, x, uvals, inv, out_a, out_b, out_d)
-        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "distance": out_d})
+            _collapsed(ids, x, uvals, inv, acc_a, acc_b, acc_d)
+        if not acc_a:
+            return pd.DataFrame(
+                {
+                    "vec_a": np.empty(0, dtype=np.int64),
+                    "vec_b": np.empty(0, dtype=np.int64),
+                    "distance": np.empty(0, dtype=np.float64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(acc_a).astype(np.int64, copy=False),
+                "vec_b": np.concatenate(acc_b).astype(np.int64, copy=False),
+                "distance": np.concatenate(acc_d),
+            }
+        )
 
     return mem.groupBy("list_id").applyInPandas(
         per_list, "vec_a long, vec_b long, distance double"

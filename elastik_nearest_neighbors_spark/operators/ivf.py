@@ -755,7 +755,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def semantic_pairs_local(
     ids: "np.ndarray", x: "np.ndarray", tau: float
-) -> tuple[list, list, list]:
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
     """All (vec_a < vec_b, cosine ≥ tau) pairs within one member group —
     the numpy-local heart of dedup_semantic, factored out so the
     duplicate-collapsed branch is property-testable on its own.
@@ -769,11 +769,23 @@ def semantic_pairs_local(
     inherently quadratic in the duplication factor (every duplicate pair
     IS a semantic near-dup — that is the operator's contract; a real
     pipeline runs exact dedup first), but the matrix COMPUTE stops being
-    m² — only the emission scales with the answer."""
+    m² — only the emission scales with the answer.
+
+    Emission is pure numpy end-to-end (arrays accumulated and
+    concatenated once, no per-element Python lists): the first sf100
+    measurement of the collapsed branch spent ~0.5 µs/pair in
+    list.extend(ndarray.tolist()) — 8+ minutes of the answer's 10⁹ pairs
+    going through the interpreter while 8 id-expansion tasks starved 32
+    cores. Arrays keep the expansion at memory bandwidth."""
     m = len(ids)
-    out_a: list = []
-    out_b: list = []
-    out_c: list = []
+    empty = (
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.int64),
+        np.empty(0, dtype=np.float64),
+    )
+    acc_a: list = []
+    acc_b: list = []
+    acc_c: list = []
     uvals, inv = np.unique(x, axis=0, return_inverse=True)
     u = len(uvals)
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -786,39 +798,45 @@ def semantic_pairs_local(
                 ii, jj = np.nonzero(cos >= tau)
                 gi = ii + i
                 keep = ids[gi] < ids[jj]
-                out_a.extend(ids[gi[keep]].tolist())
-                out_b.extend(ids[jj[keep]].tolist())
-                out_c.extend(cos[ii[keep], jj[keep]].tolist())
-            return out_a, out_b, out_c
-        groups = [np.sort(ids[inv == j]) for j in range(u)]
-        nrm = np.sqrt((uvals * uvals).sum(axis=1))
-        rows = max(1, (64 << 20) // max(1, u * 8))
-        for i in range(0, u, rows):
-            blk = uvals[i : i + rows] @ uvals.T
-            cos = np.round(blk / (nrm[i : i + rows, None] * nrm[None, :]), DIST_ROUND)
-            ii, jj = np.nonzero(cos >= tau)
-            for bi, j2 in zip(ii, jj):
-                j1 = bi + i
-                if j1 > j2:
-                    continue  # each unordered value pair once (cos symmetric)
-                g1 = groups[j1]
-                val = cos[bi, j2]
-                if j1 == j2:
-                    # within one duplicate set: ordered combinations a < b
-                    A = np.repeat(g1, len(g1))
-                    B = np.tile(g1, len(g1))
-                    sel = A < B
-                    A, B = A[sel], B[sel]
-                else:
-                    g2 = groups[j2]
-                    A0 = np.repeat(g1, len(g2))
-                    B0 = np.tile(g2, len(g1))
-                    A = np.minimum(A0, B0)
-                    B = np.maximum(A0, B0)
-                out_a.extend(A.tolist())
-                out_b.extend(B.tolist())
-                out_c.extend([float(val)] * len(A))
-    return out_a, out_b, out_c
+                acc_a.append(ids[gi[keep]])
+                acc_b.append(ids[jj[keep]])
+                acc_c.append(cos[ii[keep], jj[keep]])
+        else:
+            groups = [np.sort(ids[inv == j]) for j in range(u)]
+            nrm = np.sqrt((uvals * uvals).sum(axis=1))
+            rows = max(1, (64 << 20) // max(1, u * 8))
+            for i in range(0, u, rows):
+                blk = uvals[i : i + rows] @ uvals.T
+                cos = np.round(blk / (nrm[i : i + rows, None] * nrm[None, :]), DIST_ROUND)
+                ii, jj = np.nonzero(cos >= tau)
+                for bi, j2 in zip(ii, jj):
+                    j1 = bi + i
+                    if j1 > j2:
+                        continue  # each unordered value pair once (cos symmetric)
+                    g1 = groups[j1]
+                    val = cos[bi, j2]
+                    if j1 == j2:
+                        # within one duplicate set: ordered combinations a < b
+                        A = np.repeat(g1, len(g1))
+                        B = np.tile(g1, len(g1))
+                        sel = A < B
+                        A, B = A[sel], B[sel]
+                    else:
+                        g2 = groups[j2]
+                        A0 = np.repeat(g1, len(g2))
+                        B0 = np.tile(g2, len(g1))
+                        A = np.minimum(A0, B0)
+                        B = np.maximum(A0, B0)
+                    acc_a.append(A)
+                    acc_b.append(B)
+                    acc_c.append(np.full(len(A), float(val)))
+    if not acc_a:
+        return empty
+    return (
+        np.concatenate(acc_a).astype(np.int64, copy=False),
+        np.concatenate(acc_b).astype(np.int64, copy=False),
+        np.concatenate(acc_c).astype(np.float64, copy=False),
+    )
 
 
 def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
