@@ -65,6 +65,73 @@ def _chunked_sq_dists(v: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
     return out
 
 
+_ROW_HASH_CONSTS: dict[int, "np.ndarray"] = {}
+
+
+def unique_rows(
+    x: "np.ndarray",
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Exact (uvals, inv, first_idx) row-unique — the duplicate-collapse
+    entry point for semantic_pairs_local / local_knn_groups / fit_path.
+
+    np.unique(x, axis=0) comparison-sorts 512-byte records: 38 s on one
+    1.25M-member list group at the 20M-vector step-up — more than the
+    whole rest of the operator. This formulation hashes each row's bit
+    pattern (vectorized mix-multiply + fmix), sorts the 1-D uint64 hashes,
+    and splits groups on ADJACENT row inequality (<1.5 s at the same
+    size). Exactness is unconditional, not probabilistic: a hash collision
+    between distinct values would surface as an equal-hash adjacent
+    mismatch, which falls back to np.unique for that input. uvals come
+    back in hash order (not lexicographic); every caller is
+    order-insensitive — they group by value identity, never by value
+    rank. first_idx is each group's first-occurrence original index, the
+    np.unique(return_index=True) contract fit_path's sample dedup needs.
+
+    Bit-pattern equality vs np.unique's value equality differ only on
+    -0.0 == 0.0 (split here, merged there): value-equal rows have
+    identical distances/cosines to everything, so collapsed-branch
+    OUTPUT is invariant to that split — the dense-vs-collapsed property
+    tests pin this."""
+    m, d = x.shape
+    if m == 0:
+        return (
+            x.copy(),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+        )
+    consts = _ROW_HASH_CONSTS.get(d)
+    if consts is None:
+        rng = np.random.default_rng(0xC0FFEE)
+        consts = rng.integers(0, 1 << 63, size=d, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+        _ROW_HASH_CONSTS[d] = consts
+    bits = np.ascontiguousarray(x).view(np.uint64)
+    with np.errstate(over="ignore"):
+        h = (bits * consts[None, :]).sum(axis=1)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    xs = x[order]
+    hdiff = hs[1:] != hs[:-1]
+    rowdiff = (xs[1:] != xs[:-1]).any(axis=1)
+    if (~hdiff & rowdiff).any():
+        # equal hash, different value: the one case where hash order can
+        # interleave two values inside a run — exactness over speed
+        uvals, first_idx, inv = np.unique(x, axis=0, return_index=True, return_inverse=True)
+        return uvals, inv, first_idx
+    newgrp = np.empty(m, dtype=bool)
+    newgrp[0] = True
+    newgrp[1:] = hdiff
+    inv_sorted = np.cumsum(newgrp) - 1
+    inv = np.empty(m, dtype=np.int64)
+    inv[order] = inv_sorted
+    starts = np.nonzero(newgrp)[0]
+    uvals = xs[starts]
+    first_idx = np.minimum.reduceat(order, starts)
+    return uvals, inv, first_idx
+
+
 def _lloyd(x: "np.ndarray", k: int, iters: int) -> "np.ndarray":
     """Deterministic Lloyd k-means: init = first k rows, `iters` full steps,
     empty clusters keep their previous centroid. Shared by the fine fit and
@@ -297,9 +364,23 @@ class IvfModel:
 
         from ..constants import TWO_LEVEL_MIN_NLIST
 
-        t = pq.read_table(
-            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-        )
+        p = os.path.join(sf_dir, "embeddings.parquet")
+        # The sample is the first sample_n rows BY vec_id — which does not
+        # require materializing the whole table in the driver (10 GB at the
+        # 20M-vector step-up). Pass 1 reads only the vec_id column to find
+        # the sample_n-th smallest id; pass 2 reads (vec_id, embedding)
+        # filtered to that threshold, which parquet row-group statistics
+        # prune to ~the sample's row groups. Same rows, same order → the
+        # model stays bit-identical to the full-read formulation (vec_ids
+        # are unique in the data model, so the threshold cut is exact).
+        ids = pq.read_table(p, columns=["vec_id"])["vec_id"].to_numpy()
+        if len(ids) > sample_n:
+            thr = int(np.partition(ids, sample_n - 1)[sample_n - 1])
+            t = pq.read_table(
+                p, columns=["vec_id", "embedding"], filters=[("vec_id", "<=", thr)]
+            )
+        else:
+            t = pq.read_table(p, columns=["vec_id", "embedding"])
         df = t.to_pandas().sort_values("vec_id").head(sample_n)
         x = np.array(df["embedding"].tolist(), dtype=np.float64)
         # Duplicate-saturated samples (r5, learned at the 20M-vector
@@ -310,7 +391,7 @@ class IvfModel:
         # every oracle-gated SF — takes the unchanged path bit-for-bit)
         # and cap nlist at the distinct count: more centroids than distinct
         # points is degenerate by definition.
-        _, first_idx = np.unique(x, axis=0, return_index=True)
+        _, _, first_idx = unique_rows(x)
         if len(first_idx) < len(x):
             x = x[np.sort(first_idx)]
             nlist = min(nlist, len(x))
@@ -688,6 +769,30 @@ def list_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_CORPUS_COUNTS_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def corpus_counts(sf_dir: str) -> tuple[int, int]:
+    """(rows, distinct vectors) of the embeddings table — the duplication
+    probe shared by graph.graph_model_for (lists ∝ distinct) and
+    dedup_semantic (path choice). Driver-side DuckDB aggregate, cached per
+    sf_dir: milliseconds at the gated SFs, one ~N scan once at bench
+    scale; at 100 TB this would be approx_count_distinct inside an
+    existing fit job rather than a dedicated scan."""
+    got = _CORPUS_COUNTS_CACHE.get(sf_dir)
+    if got is None:
+        import duckdb
+        import os as _os
+
+        p = _os.path.join(sf_dir, "embeddings.parquet")
+        n, distinct = duckdb.sql(
+            f"SELECT count(*), count(DISTINCT embedding) FROM '{p}'"
+        ).fetchone()
+        got = (int(n), int(distinct))
+        _CORPUS_COUNTS_CACHE[sf_dir] = got
+    return got
+
+
 def _single_list_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, list_id) under the BUILD quantizer (graph.graph_model_for:
     lists ∝ N) — the membership input for the numpy-local group operators.
@@ -734,22 +839,103 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     change to the cosine math, and re-run the local parity suite before
     trusting it at a new SF.
 
+    Duplicated corpora (r5, rows > distinct — never the gated SFs): the
+    answer is quadratic in the duplication factor, and emitting it from
+    inside per-list applyInPandas groups serializes ~answer/nlist rows
+    through ONE pandas frame per list — at 2M rows in 8 lists that is
+    eight ~3 GB frames on eight cores while the cluster idles. The scale
+    path instead emits VALUE-level pairs from the pandas stage (u-scale,
+    tiny) and expands them to id pairs with two JVM-side joins against
+    the (list_id, rep, vec_id) membership — the expansion shuffles on
+    (list_id, rep), whose key count is the distinct-vector count, so the
+    answer materializes across the whole cluster in whole-stage codegen.
+    Both paths are bit-identical (property-tested); path choice is the
+    driver-side corpus_counts probe.
+
     Output: (list_id, vec_a, vec_b, cosine) with cosine ≥ SEMDEDUP_TAU."""
     from ..constants import SEMDEDUP_TAU
 
     mem = _single_list_members(spark, sf_dir)
+    n_rows, n_distinct = corpus_counts(sf_dir)
+    if n_distinct == n_rows:
 
-    def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
-        lid = int(pdf["list_id"].iloc[0])
-        a, b, c = semantic_pairs_local(
-            pdf["vec_id"].to_numpy(),
-            np.array(pdf["v"].tolist(), dtype=np.float64),
-            SEMDEDUP_TAU,
+        def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
+            lid = int(pdf["list_id"].iloc[0])
+            a, b, c = semantic_pairs_local(
+                pdf["vec_id"].to_numpy(),
+                np.array(pdf["v"].tolist(), dtype=np.float64),
+                SEMDEDUP_TAU,
+            )
+            return pd.DataFrame({"list_id": lid, "vec_a": a, "vec_b": b, "cosine": c})
+
+        return mem.groupBy("list_id").applyInPandas(
+            per_list, "list_id int, vec_a long, vec_b long, cosine double"
         )
-        return pd.DataFrame({"list_id": lid, "vec_a": a, "vec_b": b, "cosine": c})
 
-    return mem.groupBy("list_id").applyInPandas(
-        per_list, "list_id int, vec_a long, vec_b long, cosine double"
+    rep = mem.groupBy("list_id", "v").agg(
+        F.min("vec_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
+    )
+
+    def per_list_vals(pdf: pd.DataFrame) -> pd.DataFrame:
+        # qualifying VALUE pairs within one list: j1 < j2 cross pairs plus
+        # the j1 == j2 self pair when the value has >1 member (its members
+        # form within-set id pairs at the diagonal cosine). Same gram /
+        # rounding math as semantic_pairs_local's branches.
+        lid = int(pdf["list_id"].iloc[0])
+        reps = pdf["rep"].to_numpy()
+        cnt = pdf["cnt"].to_numpy()
+        x = np.array(pdf["v"].tolist(), dtype=np.float64)
+        u = len(reps)
+        acc_a: list = []
+        acc_b: list = []
+        acc_c: list = []
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nrm = np.sqrt((x * x).sum(axis=1))
+            rows = max(1, (64 << 20) // max(1, u * 8))
+            for i in range(0, u, rows):
+                blk = x[i : i + rows] @ x.T
+                cos = np.round(blk / (nrm[i : i + rows, None] * nrm[None, :]), DIST_ROUND)
+                ii, jj = np.nonzero(cos >= SEMDEDUP_TAU)
+                gi = ii + i
+                keep = (gi < jj) | ((gi == jj) & (cnt[gi] > 1))
+                acc_a.append(reps[gi[keep]])
+                acc_b.append(reps[jj[keep]])
+                acc_c.append(cos[ii[keep], jj[keep]])
+        if not acc_a:
+            return pd.DataFrame(
+                {"list_id": np.empty(0, dtype=np.int32), "rep_a": [], "rep_b": [], "cosine": []}
+            )
+        return pd.DataFrame(
+            {
+                "list_id": lid,
+                "rep_a": np.concatenate(acc_a),
+                "rep_b": np.concatenate(acc_b),
+                "cosine": np.concatenate(acc_c),
+            }
+        )
+
+    val_pairs = rep.groupBy("list_id").applyInPandas(
+        per_list_vals, "list_id int, rep_a long, rep_b long, cosine double"
+    )
+    mm = mem.join(rep.select("list_id", "v", "rep"), ["list_id", "v"]).select(
+        "list_id", "rep", "vec_id"
+    )
+    ma = mm.select(
+        F.col("list_id").alias("la"), F.col("rep").alias("ra"), F.col("vec_id").alias("ida")
+    )
+    mb = mm.select(
+        F.col("list_id").alias("lb"), F.col("rep").alias("rb"), F.col("vec_id").alias("idb")
+    )
+    expanded = (
+        val_pairs.join(ma, (F.col("list_id") == F.col("la")) & (F.col("rep_a") == F.col("ra")))
+        .join(mb, (F.col("list_id") == F.col("lb")) & (F.col("rep_b") == F.col("rb")))
+        .where((F.col("rep_a") != F.col("rep_b")) | (F.col("ida") < F.col("idb")))
+    )
+    return expanded.select(
+        "list_id",
+        F.least("ida", "idb").alias("vec_a"),
+        F.greatest("ida", "idb").alias("vec_b"),
+        "cosine",
     )
 
 
@@ -786,7 +972,7 @@ def semantic_pairs_local(
     acc_a: list = []
     acc_b: list = []
     acc_c: list = []
-    uvals, inv = np.unique(x, axis=0, return_inverse=True)
+    uvals, inv, _ = unique_rows(x)
     u = len(uvals)
     with np.errstate(divide="ignore", invalid="ignore"):
         if u == m:

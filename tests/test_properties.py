@@ -414,3 +414,60 @@ def test_semantic_pairs_duplicate_collapse_equals_bruteforce():
                  if ids[i] < ids[j] and (x[i] == x[j]).all())
     assert len(a) >= within
     assert all(v >= 0.999999 for v in c)
+
+
+def test_dedup_semantic_join_expansion_equals_pandas_path(spark, tmp_path):
+    """On a duplicated corpus, dedup_semantic's join-expansion path must
+    emit exactly the rows of the legacy per-list pandas path (which the
+    collapse property test ties to brute force). The path switch keys off
+    corpus_counts, so both paths are forced by seeding its cache."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from elastik_nearest_neighbors_spark.operators import ivf
+
+    rng = np.random.default_rng(57)
+    # 7 base values, duplicated 1-9x, plus near-duplicates (tiny jitter)
+    # of two of them so cross-VALUE qualifying pairs exist
+    base = rng.normal(size=(7, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs, vid = [], 0
+    rows = []
+    for j in range(7):
+        for _ in range(1 + (j * 3) % 9):
+            rows.append((vid, base[j].tolist(), int(j % 3)))
+            vid += 1
+    for j in (0, 3):
+        near = base[j] + 1e-7 * rng.normal(size=8)
+        for _ in range(4):
+            rows.append((vid, near.tolist(), int(j % 3)))
+            vid += 1
+    sf_dir = str(tmp_path)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], type=pa.list_(pa.float64())),
+            "label": pa.array([r[2] for r in rows], type=pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{sf_dir}/embeddings.parquet")
+
+    n = len(rows)
+    distinct = 9  # 7 base + 2 near values
+    cols = ["list_id", "vec_a", "vec_b", "cosine"]
+    # forced legacy pandas path
+    ivf._CORPUS_COUNTS_CACHE[sf_dir] = (n, n)
+    legacy = dedup = ivf.dedup_semantic(spark, sf_dir).toPandas()
+    # forced join-expansion path
+    ivf._CORPUS_COUNTS_CACHE[sf_dir] = (n, distinct)
+    joined = ivf.dedup_semantic(spark, sf_dir).toPandas()
+    ivf._CORPUS_COUNTS_CACHE.pop(sf_dir, None)
+
+    legacy = legacy.sort_values(cols).reset_index(drop=True)
+    joined = joined.sort_values(cols).reset_index(drop=True)
+    assert len(legacy) > 0  # duplicates guarantee within-set pairs
+    assert len(legacy) == len(joined)
+    for c in cols:
+        assert (legacy[c].values == joined[c].values).all(), c
