@@ -150,24 +150,29 @@ def local_knn_groups(mem: DataFrame, k: int) -> DataFrame:
     from .ivf import _chunked_sq_dists, unique_rows
 
     def _dense(ids: "np.ndarray", x: "np.ndarray", acc_a, acc_b, acc_d) -> None:
+        # Whole-matrix top-k, no per-member Python loop (2M interpreter
+        # iterations dominated the 2M-distinct step-up): permute COLUMNS
+        # into ascending-id order, then a stable row argsort orders by
+        # (distance, vec_b) — equal distances keep column order, which IS
+        # id order. Self-exclusion: the member's own column pinned to +inf
+        # (never selected: take ≤ m-1 and only self is inf in a row).
+        m = len(ids)
+        take = min(k, m - 1)
+        if take <= 0:
+            return
         d = np.round(np.sqrt(_chunked_sq_dists(x, x)), DIST_ROUND)
-        for i in range(len(ids)):
-            row = d[i]
-            # order by (distance, vec_b), excluding self. Prune with the
-            # kth-smallest distance but keep EVERY candidate tied at it —
-            # the tie-break on vec_b must see the full tie set, not an
-            # arbitrary argpartition subset
-            mask = ids != ids[i]
-            cand = np.nonzero(mask)[0]
-            if len(cand) > k:
-                kth = np.partition(row[cand], k - 1)[k - 1]
-                part = cand[row[cand] <= kth]
-            else:
-                part = cand
-            order = part[np.lexsort((ids[part], row[part]))][:k]
-            acc_a.append(np.full(len(order), ids[i]))
-            acc_b.append(ids[order])
-            acc_d.append(row[order])
+        perm = np.argsort(ids, kind="stable")
+        ids_s = ids[perm]
+        ds = d[:, perm]
+        inv_perm = np.empty(m, dtype=np.int64)
+        inv_perm[perm] = np.arange(m)
+        ds[np.arange(m), inv_perm] = np.inf
+        rows = max(1, (64 << 20) // max(1, m * 8))
+        for i in range(0, m, rows):
+            order = np.argsort(ds[i : i + rows], axis=1, kind="stable")[:, :take]
+            acc_a.append(np.repeat(ids[i : i + rows], take))
+            acc_b.append(ids_s[order].ravel())
+            acc_d.append(np.take_along_axis(ds[i : i + rows], order, axis=1).ravel())
 
     def _collapsed(
         ids: "np.ndarray", x: "np.ndarray", uvals, inv, acc_a, acc_b, acc_d
