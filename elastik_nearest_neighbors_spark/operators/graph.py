@@ -35,7 +35,6 @@ import os
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -148,7 +147,7 @@ def local_knn_groups(mem: DataFrame, k: int) -> DataFrame:
     id), boundary groups included through the kth-distance tie. Work
     drops from O(m²) to O(u² + m·k·log) with bit-identical output
     (equality property-tested against the dense path)."""
-    from .ivf import _chunked_sq_dists, arrow_group_matrix, unique_rows
+    from .ivf import _chunked_sq_dists, unique_rows
 
     def _dense(ids: "np.ndarray", x: "np.ndarray", acc_a, acc_b, acc_d) -> None:
         # Whole-matrix top-k, no per-member Python loop (2M interpreter
@@ -245,8 +244,9 @@ def local_knn_groups(mem: DataFrame, k: int) -> DataFrame:
                     acc_b.append(np.tile(cid, len(rest)))
                     acc_d.append(np.tile(cd, len(rest)))
 
-    def per_list(tbl: pa.Table) -> pa.Table:
-        ids, x = arrow_group_matrix(tbl, "vec_id", "v")
+    def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        x = np.array(pdf["v"].tolist(), dtype=np.float64)
         acc_a: list = []
         acc_b: list = []
         acc_d: list = []
@@ -256,18 +256,22 @@ def local_knn_groups(mem: DataFrame, k: int) -> DataFrame:
         else:
             _collapsed(ids, x, uvals, inv, acc_a, acc_b, acc_d)
         if not acc_a:
-            acc_a = [np.empty(0, dtype=np.int64)]
-            acc_b = [np.empty(0, dtype=np.int64)]
-            acc_d = [np.empty(0, dtype=np.float64)]
-        return pa.table(
+            return pd.DataFrame(
+                {
+                    "vec_a": np.empty(0, dtype=np.int64),
+                    "vec_b": np.empty(0, dtype=np.int64),
+                    "distance": np.empty(0, dtype=np.float64),
+                }
+            )
+        return pd.DataFrame(
             {
-                "vec_a": pa.array(np.concatenate(acc_a).astype(np.int64, copy=False)),
-                "vec_b": pa.array(np.concatenate(acc_b).astype(np.int64, copy=False)),
-                "distance": pa.array(np.concatenate(acc_d)),
+                "vec_a": np.concatenate(acc_a).astype(np.int64, copy=False),
+                "vec_b": np.concatenate(acc_b).astype(np.int64, copy=False),
+                "distance": np.concatenate(acc_d),
             }
         )
 
-    return mem.groupBy("list_id").applyInArrow(
+    return mem.groupBy("list_id").applyInPandas(
         per_list, "vec_a long, vec_b long, distance double"
     )
 

@@ -28,7 +28,6 @@ import os
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
@@ -64,30 +63,6 @@ def _chunked_sq_dists(v: "np.ndarray", cent: "np.ndarray") -> "np.ndarray":
         blk = v[i : i + rows]
         out[i : i + rows] = ((blk[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     return out
-
-
-def arrow_group_matrix(tbl, id_col: str, vec_col: str) -> tuple["np.ndarray", "np.ndarray"]:
-    """(ids, row-matrix) from one applyInArrow group table — the zero-copy
-    replacement for applyInPandas + np.array(series.tolist()): the Arrow
-    list column's flat values buffer IS the float64 matrix (4.3 s of
-    per-element conversion per 1.25M-member group in the pandas form).
-    flatten() respects slice offsets; the uniform-length check guards the
-    reshape (embeddings are fixed-dim by data model). The matrix is a
-    read-only view of the Arrow buffer — callers only read it."""
-    ids = tbl.column(id_col).to_numpy()
-    m = len(ids)
-    col = tbl.column(vec_col).combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False)
-    if m == 0:
-        return ids, np.empty((0, 0), dtype=np.float64)
-    d = len(flat) // m
-    offs = col.offsets.to_numpy()
-    if len(flat) != m * d or not (np.diff(offs) == d).all():
-        # ragged lists never occur in the embeddings data model; fall back
-        # to the per-row conversion rather than mis-reshape
-        x = np.array(col.to_pylist(), dtype=np.float64)
-        return ids, x
-    return ids, flat.reshape(m, d)
 
 
 _ROW_HASH_CONSTS: dict[int, "np.ndarray"] = {}
@@ -884,20 +859,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows, n_distinct = corpus_counts(sf_dir)
     if n_distinct == n_rows:
 
-        def per_list(tbl: pa.Table) -> pa.Table:
-            lid = tbl.column("list_id")[0].as_py()
-            ids, x = arrow_group_matrix(tbl, "vec_id", "v")
-            a, b, c = semantic_pairs_local(ids, x, SEMDEDUP_TAU)
-            return pa.table(
-                {
-                    "list_id": pa.array(np.full(len(a), lid, dtype=np.int32)),
-                    "vec_a": pa.array(a),
-                    "vec_b": pa.array(b),
-                    "cosine": pa.array(c),
-                }
+        def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
+            lid = int(pdf["list_id"].iloc[0])
+            a, b, c = semantic_pairs_local(
+                pdf["vec_id"].to_numpy(),
+                np.array(pdf["v"].tolist(), dtype=np.float64),
+                SEMDEDUP_TAU,
             )
+            return pd.DataFrame({"list_id": lid, "vec_a": a, "vec_b": b, "cosine": c})
 
-        return mem.groupBy("list_id").applyInArrow(
+        return mem.groupBy("list_id").applyInPandas(
             per_list, "list_id int, vec_a long, vec_b long, cosine double"
         )
 
@@ -905,14 +876,15 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vec_id").alias("rep"), F.count(F.lit(1)).alias("cnt")
     )
 
-    def per_list_vals(tbl: pa.Table) -> pa.Table:
+    def per_list_vals(pdf: pd.DataFrame) -> pd.DataFrame:
         # qualifying VALUE pairs within one list: j1 < j2 cross pairs plus
         # the j1 == j2 self pair when the value has >1 member (its members
         # form within-set id pairs at the diagonal cosine). Same gram /
         # rounding math as semantic_pairs_local's branches.
-        lid = tbl.column("list_id")[0].as_py()
-        cnt = tbl.column("cnt").to_numpy()
-        reps, x = arrow_group_matrix(tbl, "rep", "v")
+        lid = int(pdf["list_id"].iloc[0])
+        reps = pdf["rep"].to_numpy()
+        cnt = pdf["cnt"].to_numpy()
+        x = np.array(pdf["v"].tolist(), dtype=np.float64)
         u = len(reps)
         acc_a: list = []
         acc_b: list = []
@@ -929,19 +901,20 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 acc_a.append(reps[gi[keep]])
                 acc_b.append(reps[jj[keep]])
                 acc_c.append(cos[ii[keep], jj[keep]])
-        a = np.concatenate(acc_a) if acc_a else np.empty(0, dtype=np.int64)
-        b = np.concatenate(acc_b) if acc_b else np.empty(0, dtype=np.int64)
-        c = np.concatenate(acc_c) if acc_c else np.empty(0, dtype=np.float64)
-        return pa.table(
+        if not acc_a:
+            return pd.DataFrame(
+                {"list_id": np.empty(0, dtype=np.int32), "rep_a": [], "rep_b": [], "cosine": []}
+            )
+        return pd.DataFrame(
             {
-                "list_id": pa.array(np.full(len(a), lid, dtype=np.int32)),
-                "rep_a": pa.array(a),
-                "rep_b": pa.array(b),
-                "cosine": pa.array(c),
+                "list_id": lid,
+                "rep_a": np.concatenate(acc_a),
+                "rep_b": np.concatenate(acc_b),
+                "cosine": np.concatenate(acc_c),
             }
         )
 
-    val_pairs = rep.groupBy("list_id").applyInArrow(
+    val_pairs = rep.groupBy("list_id").applyInPandas(
         per_list_vals, "list_id int, rep_a long, rep_b long, cosine double"
     )
     mm = mem.join(rep.select("list_id", "v", "rep"), ["list_id", "v"]).select(
