@@ -96,7 +96,16 @@ _QUERIES: dict[str, QueryFn] = {
     # IVF family un-re-gated; count with list(_QUERIES)[:50] before
     # trusting placement). Keep new/changed keys ABOVE this line and push
     # an equal number below.
-    # -- r6 rotation queue: r3-era greens (2 rounds old at r5 end) --
+    # -- r6 rotation queue, in priority order --
+    # (a) r5-changed code whose driver row is r4: the graph + IVFPQ serving
+    #     families (knn_graph_multiprobe, ann_search_graph[_store],
+    #     ann_recall_graph[_sweep], embedding_clusters,
+    #     streaming_graph_search, ann_search_ivfpq[_refined|_store],
+    #     ann_recall_ivfpq[_refined]) — fit_path's pruned sample read and
+    #     unique_rows touch every quantizer consumer. All 12 were
+    #     re-verified against the DuckDB oracle locally after the change
+    #     (r5 session), but the hard driver signal for them is r4.
+    # (b) the r3-era greens below (2 rounds old at r5 end):
     "doc_logprob": textops.doc_logprob,
     "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
     "events_rolling_7d": analytics.events_rolling_7d,
