@@ -1,0 +1,96 @@
+"""Gate-window placement invariant.
+
+The driver's correctness gate runs EXACTLY the first 50 registry entries
+(measured r3/r4/r5: each CORRECTNESS_r0N.json holds 50 keys). Rounds 4 and
+5 both lost a round of hard driver signal to comment-vs-reality drift about
+where that boundary sat. This test pins the window to a checked-in list so
+the drift is structurally impossible: promoting a key above the boundary
+without demoting another fails the suite, as does any silent reordering.
+
+Rotation procedure (per registry.py policy): edit registry._QUERIES AND
+EXPECTED_GATE_WINDOW below in the same commit, keeping both at exactly 50.
+"""
+
+from __future__ import annotations
+
+from elastik_nearest_neighbors_spark import registry
+
+GATE_WINDOW_SIZE = 50
+
+# The r6 window, in driver gate order: (1) the 12 graph/IVFPQ serving keys
+# whose r5 code changes never saw a driver gate, (2) the quantizer-stack
+# consumers changed in r6 (linearithmic collapse grouping, sharded-assign
+# auto-engage, URI-portable fit reads), (3) the oldest r3-era greens.
+EXPECTED_GATE_WINDOW = [
+    "knn_graph_multiprobe",
+    "ann_search_graph",
+    "ann_search_graph_store",
+    "ann_recall_graph",
+    "ann_recall_graph_sweep",
+    "embedding_clusters",
+    "streaming_graph_search",
+    "ann_search_ivfpq",
+    "ann_search_ivfpq_refined",
+    "ann_search_ivfpq_store",
+    "ann_recall_ivfpq",
+    "ann_recall_ivfpq_refined",
+    "ivf_index",
+    "ann_search_ivf",
+    "ann_recall_ivf",
+    "ann_search_ivf_store",
+    "ann_search_ivf_filtered",
+    "dedup_semantic",
+    "knn_graph",
+    "pq_codes",
+    "ann_search_pq",
+    "ann_recall_pq",
+    "sq8_quantize",
+    "ann_search_sq8",
+    "ann_recall_sq8",
+    "doc_logprob",
+    "ann_search_lsh_filtered",
+    "events_rolling_7d",
+    "knn_join",
+    "source_mix",
+    "semantic_doc_search",
+    "streaming_sliding_window",
+    "streaming_sessionize",
+    "streaming_dedup_state",
+    "streaming_events_hourly",
+    "streaming_sessionize_append",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "sales_rollup",
+    "q8_market_share",
+    "q9_product_profit",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    "q12_priority_lateness",
+    "q21_waiting_supplier",
+]
+
+
+def test_gate_window_matches_checked_in_list():
+    actual = list(registry.queries())[:GATE_WINDOW_SIZE]
+    assert actual == EXPECTED_GATE_WINDOW, (
+        "registry gate window drifted from the checked-in rotation plan; "
+        "update EXPECTED_GATE_WINDOW in the same commit as registry._QUERIES "
+        f"(first mismatch: {next((i, a, e) for i, (a, e) in enumerate(zip(actual, EXPECTED_GATE_WINDOW)) if a != e)})"
+    )
+
+
+def test_expected_window_is_exactly_the_gate_size():
+    assert len(EXPECTED_GATE_WINDOW) == GATE_WINDOW_SIZE
+    assert len(set(EXPECTED_GATE_WINDOW)) == GATE_WINDOW_SIZE
+
+
+def test_registry_still_covers_every_survey_key():
+    # the rotation must reorder, never drop: 128 keys, all unique
+    ks = list(registry.queries())
+    assert len(ks) == 128
+    assert len(set(ks)) == 128
