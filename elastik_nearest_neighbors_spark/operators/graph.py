@@ -147,7 +147,7 @@ def local_knn_groups(mem: DataFrame, k: int) -> DataFrame:
     id), boundary groups included through the kth-distance tie. Work
     drops from O(m²) to O(u² + m·k·log) with bit-identical output
     (equality property-tested against the dense path)."""
-    from .ivf import _chunked_sq_dists, unique_rows
+    from .ivf import _chunked_sq_dists, groups_by_inv, unique_rows
 
     def _dense(ids: "np.ndarray", x: "np.ndarray", acc_a, acc_b, acc_d) -> None:
         # Whole-matrix top-k, no per-member Python loop (2M interpreter
@@ -186,7 +186,7 @@ def local_knn_groups(mem: DataFrame, k: int) -> DataFrame:
         # 20M-vector run spent ~200 s just iterating members here).
         u = len(uvals)
         d = np.round(np.sqrt(_chunked_sq_dists(uvals, uvals)), DIST_ROUND)
-        groups = [np.sort(ids[inv == j]) for j in range(u)]
+        groups = groups_by_inv(ids, inv, u)
         caps = [g[: k + 2] for g in groups]  # k+2 covers self-removal
         sizes = np.array([len(g) for g in groups], dtype=np.int64)
 

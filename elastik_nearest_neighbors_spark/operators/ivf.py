@@ -132,6 +132,27 @@ def unique_rows(
     return uvals, inv, first_idx
 
 
+def groups_by_inv(ids: "np.ndarray", inv: "np.ndarray", u: int) -> list:
+    """Member-id arrays per value group, each sorted ascending — the
+    linearithmic replacement for ``[np.sort(ids[inv == j]) for j in
+    range(u)]``, which rescans the full m-length ``inv`` once per distinct
+    value. That naive form is invisible when u ≪ m (the 1000×-viral
+    regime it was written for) but is O(u·m) ≈ m²/2 on a half-duplicated
+    corpus (u ≈ m/2, every doc copied ~2× — the realistic web-crawl mix),
+    reintroducing the quadratic the duplicate collapse exists to kill.
+
+    One lexsort keyed (inv primary, id secondary) orders members by group
+    with ids already ascending inside each group; ``reduceat``-style
+    boundaries then split it in O(m). Output is list[np.ndarray] with the
+    exact contents/order of the naive form (property-tested equal at
+    tests/test_properties.py, including the u ≈ m/2 regime)."""
+    if u == 0:
+        return []  # np.split on empty input would yield one empty group
+    order = np.lexsort((ids, inv))
+    bounds = np.searchsorted(inv[order], np.arange(1, u))
+    return np.split(ids[order], bounds)
+
+
 def _lloyd(x: "np.ndarray", k: int, iters: int) -> "np.ndarray":
     """Deterministic Lloyd k-means: init = first k rows, `iters` full steps,
     empty clusters keep their previous centroid. Shared by the fine fit and
@@ -988,7 +1009,7 @@ def semantic_pairs_local(
                 acc_b.append(ids[jj[keep]])
                 acc_c.append(cos[ii[keep], jj[keep]])
         else:
-            groups = [np.sort(ids[inv == j]) for j in range(u)]
+            groups = groups_by_inv(ids, inv, u)
             nrm = np.sqrt((uvals * uvals).sum(axis=1))
             rows = max(1, (64 << 20) // max(1, u * 8))
             for i in range(0, u, rows):

@@ -471,3 +471,90 @@ def test_dedup_semantic_join_expansion_equals_pandas_path(spark, tmp_path):
     assert len(legacy) == len(joined)
     for c in cols:
         assert (legacy[c].values == joined[c].values).all(), c
+
+
+def test_groups_by_inv_equals_naive_all_regimes():
+    """groups_by_inv (r6: the linearithmic lexsort/split grouping) must
+    return exactly the naive ``[np.sort(ids[inv == j]) for j in range(u)]``
+    lists — same group order, same member order — across the regimes that
+    matter: u ≪ m (viral duplication), u ≈ m/2 (half-duplicated corpus,
+    the case whose O(u·m) cost motivated the rewrite), u == m (all
+    distinct), u == 1, and shuffled non-contiguous ids."""
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark.operators.ivf import groups_by_inv, unique_rows
+
+    rng = np.random.default_rng(67)
+    for m, u_target in ((0, 0), (1, 1), (40, 1), (200, 7), (400, 200), (300, 300)):
+        if m == 0:
+            ids = np.empty(0, dtype=np.int64)
+            inv = np.empty(0, dtype=np.int64)
+            u = 0
+        else:
+            # build vectors with exactly u_target distinct values, then let
+            # unique_rows produce the real inv (hash order, like production)
+            vals = rng.normal(size=(u_target, 6))
+            pick = np.concatenate(
+                [np.arange(u_target), rng.integers(0, u_target, size=m - u_target)]
+            )
+            rng.shuffle(pick)
+            x = vals[pick]
+            ids = rng.permutation(np.arange(10_000, 10_000 + m)).astype(np.int64)
+            _, inv, _ = unique_rows(x)
+            u = int(inv.max()) + 1
+            assert u == u_target
+        got = groups_by_inv(ids, inv, u)
+        want = [np.sort(ids[inv == j]) for j in range(u)]
+        assert len(got) == len(want) == u
+        for g, w in zip(got, want):
+            assert g.dtype == w.dtype == np.int64
+            assert (g == w).all()
+
+
+def test_local_knn_collapse_half_duplicated_corpus(spark):
+    """Collapsed-branch kNN on the u ≈ m/2 regime (every value duplicated
+    ~2×, no viral outliers): output must equal brute force. This is the
+    corpus shape where the pre-r6 per-group boolean-mask scan was O(m²/2);
+    correctness here pins the groups_by_inv rewrite inside the full
+    operator, not just in isolation."""
+    import numpy as np
+    import pandas as pd
+
+    from elastik_nearest_neighbors_spark.constants import DIST_ROUND, KNN_GRAPH_K
+    from elastik_nearest_neighbors_spark.operators.graph import local_knn_groups
+
+    rng = np.random.default_rng(73)
+    rows = []
+    vid = 0
+    # one list: 30 distinct values, each appearing exactly twice (u = m/2),
+    # ids interleaved so group membership isn't contiguous
+    vals = rng.normal(size=(30, 5))
+    order = rng.permutation(60)
+    for slot in order:
+        rows.append((vid, vals[slot % 30].tolist(), 0))
+        vid += 1
+    mem = spark.createDataFrame(rows, "vec_id long, v array<double>, list_id int")
+    got = (
+        local_knn_groups(mem, KNN_GRAPH_K)
+        .toPandas()
+        .sort_values(["vec_a", "distance", "vec_b"])
+        .reset_index(drop=True)
+    )
+    ids = np.array([r[0] for r in rows])
+    x = np.array([r[1] for r in rows])
+    want_rows = []
+    for i in range(len(ids)):
+        d = np.round(np.sqrt(((x - x[i]) ** 2).sum(axis=1)), DIST_ROUND)
+        cand = [(d[j], ids[j]) for j in range(len(ids)) if ids[j] != ids[i]]
+        cand.sort()
+        for dd, nb in cand[:KNN_GRAPH_K]:
+            want_rows.append((ids[i], nb, dd))
+    want = (
+        pd.DataFrame(want_rows, columns=["vec_a", "vec_b", "distance"])
+        .sort_values(["vec_a", "distance", "vec_b"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.vec_a.values == want.vec_a.values).all()
+    assert (got.vec_b.values == want.vec_b.values).all()
+    assert (got.distance.values == want.distance.values).all()
