@@ -52,7 +52,7 @@ from ..constants import (
 )
 from .. import io
 from ..functions.vector import as_double, euclidean
-from .ivf import IvfModel, _emb, ann_search_ivf, model_for
+from .ivf import IvfModel, _emb, ann_search_ivf, model_for, probe_pairs
 
 # graph edges, materialized once per (SparkContext, sf_dir) — the search
 # entry and the recall entry both consume them; same localCheckpoint-once
@@ -287,10 +287,9 @@ def build_graph_edges(emb: DataFrame, model) -> DataFrame:
     top-degree window; correct because a vector's true top-degree within
     its co-member union is contained in the union of its per-list
     top-degrees."""
-    mem = emb.select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("v"),
-        F.explode(model.probe_udf(GRAPH_PROBES)(F.col("embedding"))).alias("list_id"),
+    mem = probe_pairs(
+        emb, model, GRAPH_PROBES, out_id="vec_id",
+        extra=(as_double(F.col("embedding")).alias("v"),),
     )
     cand = local_knn_groups(mem, GRAPH_DEGREE).distinct()
     w = Window.partitionBy("vec_a").orderBy(F.asc("distance"), F.asc("vec_b"))

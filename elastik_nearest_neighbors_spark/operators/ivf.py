@@ -357,6 +357,17 @@ class IvfModel:
         return self.levels[0][0] if self.levels else None
 
     @property
+    def model_bytes(self) -> int:
+        """Closure payload if this model ships inside a pandas_udf: the
+        fine centroid table plus every hierarchy level's centroids —
+        L·D·8 (+ ~1/HIER_BRANCH for the upper levels). The
+        SHARDED_MODEL_BYTES auto-engage compares against this."""
+        n = self.centroids.nbytes
+        for c_level, _members in self.levels:
+            n += c_level.nbytes
+        return n
+
+    @property
     def members(self) -> list[np.ndarray]:
         return self.levels[0][1] if self.levels else []
 
@@ -567,8 +578,53 @@ def assign_sharded(
     the closure path stays the default.
 
     Output: (vec_id, list_id, center_dist) — one row per input vector."""
+    scored = _sharded_scores(df, model, fine, vec_col, id_col)
+    w = Window.partitionBy("vec_id").orderBy(F.asc("center_dist"), F.asc("list_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def probe_sharded(
+    query_df: DataFrame,
+    model: IvfModel,
+    nprobe: int = IVF_NPROBE,
+    fine: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale-path probe selection: the query twin of assign_sharded.
+    Same group selection and fine-level shuffle join, but keeping the
+    `nprobe` best (center_dist, list_id) lists per query instead of the
+    single best — exactly the order the closure probe_udf's descent emits
+    (its candidate runs are lexsorted (dist, list_id) per row), so the
+    probed set is bit-equal to the closure path (asserted in tests).
+
+    Output: (query_id, list_id) — ≤ nprobe rows per query, the exploded
+    shape ann_search_ivf's candidate join consumes directly."""
+    scored = _sharded_scores(query_df, model, fine, vec_col, id_col)
+    w = Window.partitionBy("vec_id").orderBy(F.asc("center_dist"), F.asc("list_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "list_id")
+    )
+
+
+def _sharded_scores(
+    df: DataFrame,
+    model: IvfModel,
+    fine: DataFrame | None,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(vec_id, list_id, center_dist) over each vector's selected level-0
+    groups' fine members — the shared candidate-scoring pipeline under
+    assign_sharded (rank 1) and probe_sharded (rank ≤ nprobe)."""
     if not model.levels:
-        raise ValueError("assign_sharded needs a hierarchical model")
+        raise ValueError("sharded assignment needs a hierarchical model")
     spark = df.sparkSession
     if fine is None:
         fine = fine_level_table(spark, model)
@@ -604,12 +660,59 @@ def assign_sharded(
                 {"vec_id": pdf["vec_id"], "list_id": pdf["list_id"], "center_dist": d}
             )
 
-    scored = joined.mapInPandas(_dist, "vec_id long, list_id int, center_dist double")
-    w = Window.partitionBy("vec_id").orderBy(F.asc("center_dist"), F.asc("list_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+    return joined.mapInPandas(_dist, "vec_id long, list_id int, center_dist double")
+
+
+def sharded_model_bytes_threshold() -> int:
+    """The broadcast ceiling for shipping the fine centroid table as a
+    closure — SHARDED_MODEL_BYTES, overridable via ENN_SHARDED_MODEL_BYTES
+    so tests (and an operator at a gated SF) can force the sharded path
+    end-to-end on a KB-sized model."""
+    from ..constants import SHARDED_MODEL_BYTES
+
+    env = os.environ.get("ENN_SHARDED_MODEL_BYTES")
+    return int(env) if env else SHARDED_MODEL_BYTES
+
+
+def use_sharded(model: IvfModel) -> bool:
+    """True when assignment/probing must leave the driver: the model has a
+    hierarchy to split (flat models are KB-sized by construction) and its
+    closure payload exceeds the broadcast ceiling. Deterministic in the
+    model alone, so the engaged plan is stable across stages of one query."""
+    return bool(model.levels) and model.model_bytes > sharded_model_bytes_threshold()
+
+
+def probe_pairs(
+    qdf: DataFrame,
+    model: IvfModel,
+    nprobe: int = IVF_NPROBE,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_id: str = "query_id",
+    extra: tuple = (),
+) -> DataFrame:
+    """(out_id, extra..., list_id) probe pairs — THE probe entry point for
+    every batch consumer (IVF/PQ search, graph membership, semantic-dedup
+    seeds). Below the broadcast ceiling it is the closure probe_udf in a
+    single narrow select; above it (use_sharded) the fine level leaves the
+    closure via probe_sharded and `extra` columns rejoin on the id — same
+    pairs either way, one extra exchange above the ceiling.
+
+    Streaming consumers keep the closure form directly (probe_sharded's
+    rank window isn't expressible on an unbounded stream; a beyond-ceiling
+    streaming deployment would wrap this inside foreachBatch)."""
+    if use_sharded(model):
+        pairs = probe_sharded(qdf, model, nprobe, vec_col=vec_col, id_col=id_col)
+        if out_id != "query_id":
+            pairs = pairs.withColumnRenamed("query_id", out_id)
+        if extra:
+            side = qdf.select(F.col(id_col).alias(out_id), *extra)
+            pairs = pairs.join(side, out_id).select(out_id, *side.columns[1:], "list_id")
+        return pairs
+    return qdf.select(
+        F.col(id_col).alias(out_id),
+        *extra,
+        F.explode(model.probe_udf(nprobe)(F.col(vec_col))).alias("list_id"),
     )
 
 
@@ -627,7 +730,16 @@ def build_ivf_index(
     df: DataFrame, model: IvfModel, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
     """(id, list_id, center_dist) — narrow pass; write partitioned by
-    list_id at scale for probe-time partition pruning."""
+    list_id at scale for probe-time partition pruning.
+
+    Past the broadcast ceiling (use_sharded: model_bytes >
+    SHARDED_MODEL_BYTES) the closure-free assign_sharded path engages
+    automatically — bit-equal output, one extra co-partitioned exchange.
+    Below it (every oracle-gated SF) the closure pandas_udf is the plan."""
+    if use_sharded(model):
+        return assign_sharded(df, model, vec_col=vec_col, id_col=id_col).select(
+            F.col("vec_id").alias(id_col), "list_id", "center_dist"
+        )
     a = model.assign_udf()(F.col(vec_col))
     return df.select(F.col(id_col), a.alias("a")).select(
         id_col, F.col("a.list_id").alias("list_id"), F.col("a.center_dist").alias("center_dist")
@@ -651,10 +763,7 @@ def ann_search_ivf(
     assigned = build_ivf_index(index_df, model, vec_col, id_col).select(
         F.col(id_col).alias("neighbor_id"), "list_id"
     )
-    probes = query_df.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(model.probe_udf(nprobe)(F.col(vec_col))).alias("list_id"),
-    )
+    probes = probe_pairs(query_df, model, nprobe, vec_col=vec_col, id_col=id_col)
     cand = assigned.join(F.broadcast(probes), "list_id").where(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -739,10 +848,7 @@ def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_ivf_index(build_ivf_index(emb, model), out)
 
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    probes = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(model.probe_udf()(F.col("embedding"))).alias("list_id"),
-    )
+    probes = probe_pairs(queries, model)
     probe_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
     assigned = load_ivf_lists(spark, out, probe_lists).select(
         F.col("vec_id").alias("neighbor_id"), "list_id"
@@ -823,10 +929,9 @@ def _single_list_members(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _emb(spark, sf_dir)
     model = graph_model_for(sf_dir)
-    return emb.select(
-        "vec_id",
-        as_double(F.col("embedding")).alias("v"),
-        F.explode(model.probe_udf(1)(F.col("embedding"))).alias("list_id"),
+    return probe_pairs(
+        emb, model, 1, out_id="vec_id",
+        extra=(as_double(F.col("embedding")).alias("v"),),
     )
 
 

@@ -215,13 +215,11 @@ def _ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..constants import DEC
     from .ivf import list_assignments
     from .ivf import model_for as ivf_model_for
+    from .ivf import probe_pairs
 
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    probes = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(ivf_model_for(sf_dir).probe_udf()(F.col("embedding"))).alias("list_id"),
-    )
+    probes = probe_pairs(queries, ivf_model_for(sf_dir))
     cand = (
         list_assignments(spark, sf_dir)
         .select(F.col("vec_id").alias("neighbor_id"), "list_id")
@@ -302,6 +300,7 @@ def ann_search_ivfpq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.index_store import load_ivf_lists, save_ivf_index
     from .ivf import list_assignments
     from .ivf import model_for as ivf_model_for
+    from .ivf import probe_pairs
 
     emb = _emb(spark, sf_dir)
     out = os.path.join(io.scratch_dir("ivfpq_store", sf_dir), "data")
@@ -312,10 +311,7 @@ def ann_search_ivfpq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_ivf_index(rows, out)
 
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    probes = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(ivf_model_for(sf_dir).probe_udf()(F.col("embedding"))).alias("list_id"),
-    )
+    probes = probe_pairs(queries, ivf_model_for(sf_dir))
     # KB-bounded driver probe set (N_QUERIES·nprobe ids) → literal pruning
     probe_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
     codes = load_ivf_lists(spark, out, probe_lists).withColumnRenamed("vec_id", "neighbor_id")
