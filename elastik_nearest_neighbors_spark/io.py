@@ -22,6 +22,15 @@ ORACLE_SF_DIR = "/root/testdata/sf0.01"
 _WIDEN_BYTES = 128 << 20
 
 
+def is_uri(path: str) -> bool:
+    """True for scheme-addressed paths (s3a://, hdfs://, file:) that have
+    no local filesystem entry — the switch between driver-local pyarrow
+    reads (oracle builders, gated SFs) and Spark-job reads (cluster
+    stores). Bare local paths stay False so the DuckDB oracle side never
+    needs a SparkSession."""
+    return "://" in path or path.startswith("file:")
+
+
 def _input_bytes(path: str, spark: SparkSession | None = None) -> int:
     """Total bytes under `path`, for ANY Hadoop-supported scheme.
 
@@ -30,7 +39,7 @@ def _input_bytes(path: str, spark: SparkSession | None = None) -> int:
     resolved through the Hadoop FileSystem API, so every loader here works
     unchanged against a blob store. Bare local paths keep the cheap os.walk
     (no JVM round-trip)."""
-    if "://" in path or path.startswith("file:"):
+    if is_uri(path):
         assert spark is not None, "URI paths need the session's Hadoop conf"
         jvm = spark.sparkContext._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(path)

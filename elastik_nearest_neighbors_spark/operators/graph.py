@@ -62,6 +62,47 @@ _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _GRAPH_MODEL_CACHE: dict[str, IvfModel] = {}
 
 
+def _uri_emb(sf_dir: str) -> DataFrame:
+    """embeddings as a Spark DataFrame for a URI-addressed store — the r6
+    portability seam: driver-local pyarrow/DuckDB reads are a dead end on
+    s3a://hdfs:// paths, so fit-time statistics route through io.table's
+    scheme-agnostic Hadoop-FS read instead."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            f"fitting from URI store {sf_dir!r} needs an active SparkSession"
+        )
+    return io.table(spark, sf_dir, "embeddings")
+
+
+def _corpus_rows(sf_dir: str) -> int:
+    """Row count of the embeddings table: parquet footer metadata locally
+    (no data read), a Spark count (footer-metadata-only under the parquet
+    source) on URI stores."""
+    if io.is_uri(sf_dir):
+        return _uri_emb(sf_dir).count()
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+
+
+def _corpus_distinct(sf_dir: str) -> int:
+    """Exact distinct-embedding count. Locally one DuckDB aggregate
+    (DISTINCT on the LIST value directly — native list hashing; the
+    ::varchar formulation paid a per-row string render, 6× slower at 2M
+    rows). On URI stores a Spark distinct().count() — one shuffle keyed on
+    the vector value, exact like the local path so both fits pick the same
+    nlist."""
+    if io.is_uri(sf_dir):
+        return _uri_emb(sf_dir).select("embedding").distinct().count()
+    import duckdb
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    return duckdb.sql(f"SELECT count(DISTINCT embedding) FROM '{p}'").fetchone()[0]
+
+
 def graph_model_for(sf_dir: str) -> IvfModel:
     """BUILD quantizer: lists scale with N (≈ N / GRAPH_LIST_TARGET, floor
     IVF_NLIST) so per-list membership — and with it the pair step per
@@ -83,9 +124,7 @@ def graph_model_for(sf_dir: str) -> IvfModel:
     every model that still broadcasts (all bench/test scales)."""
     m = _GRAPH_MODEL_CACHE.get(sf_dir)
     if m is None:
-        import pyarrow.parquet as pq
-
-        n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+        n = _corpus_rows(sf_dir)
         nlist = max(IVF_NLIST, n // GRAPH_LIST_TARGET)
         if nlist > IVF_NLIST:
             # Scale lists with the DISTINCT vector count, not raw rows
@@ -96,19 +135,12 @@ def graph_model_for(sf_dir: str) -> IvfModel:
             # what SemDeDup-style cluster counts should track; duplicate
             # mass rides along inside each list, where the r5 collapse
             # keeps the pair work u²-bounded. One driver-side DuckDB
-            # aggregate; at 100 TB this would be approx_count_distinct
-            # in the fit job. Duplicate-free data (every gated SF and
-            # sf0.1/sf1): distinct == n, bit-identical model.
-            import duckdb
-
-            p = os.path.join(sf_dir, "embeddings.parquet")
-            # DISTINCT on the LIST value directly — DuckDB hashes lists
-            # natively; the ::varchar formulation paid a per-row string
-            # render (6× slower at 2M rows)
-            distinct = duckdb.sql(
-                f"SELECT count(DISTINCT embedding) FROM '{p}'"
-            ).fetchone()[0]
-            nlist = max(IVF_NLIST, distinct // GRAPH_LIST_TARGET)
+            # aggregate locally, a Spark distinct-count on URI stores
+            # (r6; at 100 TB approx_count_distinct would do — exact kept
+            # here so local and URI fits agree). Duplicate-free data
+            # (every gated SF and sf0.1/sf1): distinct == n, bit-identical
+            # model.
+            nlist = max(IVF_NLIST, _corpus_distinct(sf_dir) // GRAPH_LIST_TARGET)
         if nlist == IVF_NLIST:
             m = model_for(sf_dir)  # coincides with the serving quantizer
         else:

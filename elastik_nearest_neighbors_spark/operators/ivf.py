@@ -132,6 +132,59 @@ def unique_rows(
     return uvals, inv, first_idx
 
 
+def _fit_sample(sf_dir: str, sample_n: int) -> "np.ndarray":
+    """The quantizer fit sample: the first `sample_n` embeddings BY vec_id,
+    as an (n, d) float64 array — without materializing the whole table in
+    the driver (10 GB at the 20M-vector step-up).
+
+    Local paths (every oracle-gated SF, and the DuckDB oracle builders,
+    which must regenerate bit-identical centroids WITHOUT a SparkSession):
+    two pyarrow passes — vec_id column to find the sample_n-th smallest
+    id, then a (vec_id, embedding) read filtered to that threshold, which
+    parquet row-group statistics prune to ~the sample's row groups.
+
+    URI paths (r6 — s3a://, hdfs://, file:; the 100 TB store case where no
+    local file exists): the same two passes as Spark jobs through
+    io.table's scheme-agnostic read. Pass 1 is a distributed top-sample_n
+    on vec_id (TakeOrdered — only sample_n ids reach the driver); pass 2
+    pushes the threshold filter into the scan. vec_ids are unique, both
+    passes end sorted by vec_id, so the sample rows — and therefore every
+    centroid bit — are identical to the local-path read (asserted in
+    tests/test_operators.py against a file:-URI twin of the same dir)."""
+    if io.is_uri(sf_dir):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                f"fitting from URI store {sf_dir!r} needs an active SparkSession"
+            )
+        emb = io.table(spark, sf_dir, "embeddings")
+        head = emb.select("vec_id").orderBy("vec_id").limit(sample_n).collect()
+        if len(head) == sample_n:
+            emb = emb.where(F.col("vec_id") <= head[-1][0])
+        df = (
+            emb.select("vec_id", "embedding")
+            .toPandas()
+            .sort_values("vec_id")
+            .head(sample_n)
+        )
+        return np.array(df["embedding"].tolist(), dtype=np.float64)
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    ids = pq.read_table(p, columns=["vec_id"])["vec_id"].to_numpy()
+    if len(ids) > sample_n:
+        thr = int(np.partition(ids, sample_n - 1)[sample_n - 1])
+        t = pq.read_table(
+            p, columns=["vec_id", "embedding"], filters=[("vec_id", "<=", thr)]
+        )
+    else:
+        t = pq.read_table(p, columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(sample_n)
+    return np.array(df["embedding"].tolist(), dtype=np.float64)
+
+
 def groups_by_inv(ids: "np.ndarray", inv: "np.ndarray", u: int) -> list:
     """Member-id arrays per value group, each sorted ascending — the
     linearithmic replacement for ``[np.sort(ids[inv == j]) for j in
@@ -392,29 +445,9 @@ class IvfModel:
 
         `two_level=None` auto-activates the coarse level at
         nlist ≥ TWO_LEVEL_MIN_NLIST (True/False force it for tests)."""
-        import pyarrow.parquet as pq
-
         from ..constants import TWO_LEVEL_MIN_NLIST
 
-        p = os.path.join(sf_dir, "embeddings.parquet")
-        # The sample is the first sample_n rows BY vec_id — which does not
-        # require materializing the whole table in the driver (10 GB at the
-        # 20M-vector step-up). Pass 1 reads only the vec_id column to find
-        # the sample_n-th smallest id; pass 2 reads (vec_id, embedding)
-        # filtered to that threshold, which parquet row-group statistics
-        # prune to ~the sample's row groups. Same rows, same order → the
-        # model stays bit-identical to the full-read formulation (vec_ids
-        # are unique in the data model, so the threshold cut is exact).
-        ids = pq.read_table(p, columns=["vec_id"])["vec_id"].to_numpy()
-        if len(ids) > sample_n:
-            thr = int(np.partition(ids, sample_n - 1)[sample_n - 1])
-            t = pq.read_table(
-                p, columns=["vec_id", "embedding"], filters=[("vec_id", "<=", thr)]
-            )
-        else:
-            t = pq.read_table(p, columns=["vec_id", "embedding"])
-        df = t.to_pandas().sort_values("vec_id").head(sample_n)
-        x = np.array(df["embedding"].tolist(), dtype=np.float64)
+        x = _fit_sample(sf_dir, sample_n)
         # Duplicate-saturated samples (r5, learned at the 20M-vector
         # step-up: a 1000×-replicated corpus put ≤20k distinct values in a
         # 320k-row sample) make Lloyd fit k centroids to far fewer distinct

@@ -1046,3 +1046,29 @@ def test_connected_components_long_path_logarithmic(spark):
     labels = _connected_components(nodes, edges, max_rounds=12).toPandas()
     assert len(labels) == n
     assert (labels.cluster_id == 0).all()
+
+
+def test_fit_path_uri_store_same_centroids(spark):
+    """r6 cluster-portability seam: fitting from a file:-URI twin of the
+    same sf dir (no local-path reads possible — the sample and the corpus
+    stats route through Spark's scheme-agnostic Hadoop-FS layer) must
+    produce bit-identical centroids to the driver-local pyarrow/DuckDB
+    fit, so a URI-addressed 100 TB store serves the same model."""
+    from elastik_nearest_neighbors_spark.operators import graph as graph_mod
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_mod
+
+    uri = "file://" + SF_SMALL
+    local = ivf_mod.IvfModel.fit_path(SF_SMALL, nlist=32, sample_n=320)
+    via_uri = ivf_mod.IvfModel.fit_path(uri, nlist=32, sample_n=320)
+    assert local.centroids.shape == via_uri.centroids.shape
+    assert (local.centroids == via_uri.centroids).all()
+    assert len(local.levels) == len(via_uri.levels)
+
+    g_local = graph_mod.graph_model_for(SF_SMALL)
+    g_uri = graph_mod.graph_model_for(uri)
+    try:
+        assert g_local.centroids.shape == g_uri.centroids.shape
+        assert (g_local.centroids == g_uri.centroids).all()
+    finally:
+        graph_mod._GRAPH_MODEL_CACHE.pop(uri, None)
+        ivf_mod._MODEL_CACHE.pop(uri, None)
