@@ -169,23 +169,41 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    result = json.dumps(
-        {
-            "metric": "headline_queries_total",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-        }
-    )
-    # the driver keeps only a TAIL of captured output, and r2's JSON was
-    # clipped by trailing shutdown noise: persist the line to a file, stop
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # the driver keeps only a TAIL of captured output (measured r5: exactly
+    # 2000 chars — the full 106-key line is ~2950, so BENCH_r05 recorded
+    # "parsed": null and lost 32 keys). Persist the COMPLETE record to
+    # BENCH_LOCAL.json (committed per round — the durable full data), stop
     # Spark FIRST (its shutdown logging lands before the JSON), then print
-    # the JSON as the very last output
+    # a final line guaranteed to fit the tail: full if small enough, else
+    # the same aggregate with the slowest queries that fit and an explicit
+    # queries_omitted count pointing at the full file.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
-        f.write(result + "\n")
+        f.write(json.dumps(full) + "\n")
+    line = json.dumps(full, separators=(",", ":"))
+    TAIL_BUDGET = 1900  # driver tail is 2000; leave margin for a newline etc.
+    if len(line) > TAIL_BUDGET:
+        slowest = sorted(timings, key=timings.get, reverse=True)
+        kept: dict[str, float] = {}
+        for name in slowest:
+            trial = dict(full, queries=dict(kept, **{name: timings[name]}))
+            trial["queries_omitted"] = len(timings) - len(trial["queries"])
+            trial["full"] = "BENCH_LOCAL.json"
+            if len(json.dumps(trial, separators=(",", ":"))) > TAIL_BUDGET:
+                break
+            kept[name] = timings[name]
+        out = dict(full, queries=kept)
+        out["queries_omitted"] = len(timings) - len(kept)
+        out["full"] = "BENCH_LOCAL.json"
+        line = json.dumps(out, separators=(",", ":"))
     spark.stop()
-    print(result)
+    print(line)
     sys.stdout.flush()
 
 
