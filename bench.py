@@ -51,6 +51,8 @@ HEADLINE = [
     "ann_search_graph_store",
     "ann_recall_graph_sweep",
     "streaming_graph_search",
+    "ann_search_graph_beam",
+    "ann_recall_graph_beam",
     "aknn_search_api",
     "aknn_model_registry",
     "sq8_quantize",

@@ -278,6 +278,19 @@ SHARDED_MODEL_BYTES = 512 << 20
 GRAPH_CLUSTER_TAU = 1.12
 # recall-vs-expansion-depth sweep: hops 0 (seeds only) .. 2
 GRAPH_SWEEP_HOPS = 2
+# r6 beam refinement (HNSW-style best-first, restated for batch Spark):
+# each round expands only the BEAM_WIDTH best not-yet-expanded candidates
+# per query, so BEAM_ROUNDS rounds touch ≤ seeds + rounds·width·degree
+# candidates (10 + 4·16·8 = 522/query) versus blanket depth-2 expansion's
+# ≤ seeds·(1+deg+deg²) = 730 — hop-4 reach at ~72% of depth-2's scored
+# budget. Width/rounds swept against the DuckDB oracle at sf0.01
+# (recall / budget): 4/3 → 0.775/106, 8/3 → 0.825/202, 8/4 → 0.850/266,
+# 12/4 → 0.875/394 (ties depth-2 at 54% budget), 16/4 → 0.9125/522
+# (STRICTLY beats depth-2's 0.875 at 72% budget — the chosen point).
+# Width/rounds are the ef analogues; both fixed and deterministic so the
+# DuckDB oracle unrolls the identical rounds.
+BEAM_WIDTH = 16
+BEAM_ROUNDS = 4
 SQ8_LEVELS = 255  # int8 scalar quantization: 256 levels per dimension
 ZSCORE_TAU = 3.0  # events_anomaly |z| threshold
 

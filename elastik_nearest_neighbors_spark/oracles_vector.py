@@ -946,6 +946,115 @@ SELECT query_id, neighbor_id, distance FROM ann
 """
 
 
+def _graph_beam_cte(sf_dir: str) -> str:
+    """Best-first beam refinement, unrolled round-for-round against the
+    Spark loop (operators/graph.ann_search_graph_beam): pool0 = scored
+    seeds; each round takes the BEAM_WIDTH best not-yet-expanded pool rows
+    per query (expansion history = the earlier beam CTEs), walks only
+    their out-edges, scores only unseen targets, and unions them into the
+    pool. Ends in ann AS (query_id, neighbor_id, distance) top-ANN_K2."""
+    from .constants import ANN_K2, BEAM_ROUNDS, BEAM_WIDTH, GRAPH_SEED_K, N_QUERIES
+
+    rounds = []
+    prev = "pool0"
+    for r in range(1, BEAM_ROUNDS + 1):
+        not_expanded = " AND ".join(
+            f"NOT EXISTS (SELECT 1 FROM beam{i} b{i} "
+            f"WHERE b{i}.query_id = p.query_id AND b{i}.neighbor_id = p.neighbor_id)"
+            for i in range(1, r)
+        )
+        where_ne = f"WHERE {not_expanded}" if not_expanded else ""
+        rounds.append(
+            f"""beam{r} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, p.neighbor_id, p.distance FROM {prev} p {where_ne}
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {BEAM_WIDTH}
+),
+hop{r} AS (
+  SELECT DISTINCT b.query_id, e.vec_b AS neighbor_id
+  FROM beam{r} b JOIN edges e ON e.vec_a = b.neighbor_id
+  WHERE e.vec_b <> b.query_id
+),
+new{r} AS (
+  SELECT h.query_id, h.neighbor_id FROM hop{r} h
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} p
+                    WHERE p.query_id = h.query_id AND p.neighbor_id = h.neighbor_id)
+),
+pool{r} AS (
+  SELECT query_id, neighbor_id, distance FROM {prev}
+  UNION ALL
+  SELECT n.query_id, n.neighbor_id,
+         round(list_distance(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS distance
+  FROM new{r} n
+  JOIN embeddings eq ON eq.vec_id = n.query_id
+  JOIN embeddings en ON en.vec_id = n.neighbor_id
+)"""
+        )
+        prev = f"pool{r}"
+    body = ",\n".join(rounds)
+    return f"""{_graph_edges_cte(sf_dir)},
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
+    FROM embeddings e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERIES}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+),
+pool0 AS (
+  SELECT query_id, neighbor_id, distance FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           round(list_distance(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS distance
+    FROM probes p
+    JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+    JOIN embeddings eq ON eq.vec_id = p.query_id
+    JOIN embeddings en ON en.vec_id = a.vec_id
+  ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {GRAPH_SEED_K}
+),
+{body},
+ann AS (
+  SELECT query_id, neighbor_id, distance FROM {prev}
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+)"""
+
+
+def ann_search_graph_beam(sf_dir: str) -> str:
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+{_graph_cent_cte(sf_dir)},
+{_graph_beam_cte(sf_dir)}
+SELECT query_id, neighbor_id, distance FROM ann
+"""
+
+
+def ann_recall_graph_beam(sf_dir: str) -> str:
+    from .constants import KNN_K
+
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+{_graph_cent_cte(sf_dir)},
+{_graph_beam_cte(sf_dir)},
+exact AS ({exact}),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+)
+SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
+FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+"""
+
+
 def ann_recall_graph(sf_dir: str) -> str:
     from .constants import KNN_K
 

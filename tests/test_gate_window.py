@@ -29,6 +29,8 @@ EXPECTED_GATE_WINDOW = [
     "ann_recall_graph_sweep",
     "embedding_clusters",
     "streaming_graph_search",
+    "ann_search_graph_beam",
+    "ann_recall_graph_beam",
     "ann_search_ivfpq",
     "ann_search_ivfpq_refined",
     "ann_search_ivfpq_store",
@@ -70,8 +72,6 @@ EXPECTED_GATE_WINDOW = [
     "q16_supplier_count",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
-    "q12_priority_lateness",
-    "q21_waiting_supplier",
 ]
 
 
@@ -90,7 +90,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 128 keys, all unique
+    # the rotation must reorder, never drop: 130 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 128
-    assert len(set(ks)) == 128
+    assert len(ks) == 130
+    assert len(set(ks)) == 130

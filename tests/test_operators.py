@@ -1072,3 +1072,28 @@ def test_fit_path_uri_store_same_centroids(spark):
     finally:
         graph_mod._GRAPH_MODEL_CACHE.pop(uri, None)
         ivf_mod._MODEL_CACHE.pop(uri, None)
+
+
+def test_beam_recall_dominates_depth2_at_lower_budget(spark):
+    """SURVEY #130's dominance claim at the driver's gate scale (sf0.01):
+    best-first beam refinement (BEAM_WIDTH=16 × BEAM_ROUNDS=4, ≤ 522
+    scored candidates/query) must beat blanket depth-2 expansion (≤ 730)
+    on mean recall. Guards the dominance ordering, not absolute numbers —
+    the width/rounds sweep behind the chosen point is recorded in
+    constants.py. (At sf0.001 the comparison is meaningless: depth-2's
+    730-candidate budget covers the whole 500-vector corpus.)"""
+    from pyspark.sql import functions as F
+
+    from elastik_nearest_neighbors_spark.operators import graph
+    from tests.conftest import SF_MED
+
+    beam = (
+        graph.ann_recall_graph_beam_q(spark, SF_MED).agg(F.avg("recall")).collect()[0][0]
+    )
+    sweep2 = (
+        graph.ann_recall_graph_sweep(spark, SF_MED)
+        .where(F.col("hops") == 2)
+        .agg(F.avg("recall"))
+        .collect()[0][0]
+    )
+    assert beam > sweep2, (beam, sweep2)
