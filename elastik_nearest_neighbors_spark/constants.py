@@ -291,6 +291,18 @@ GRAPH_SWEEP_HOPS = 2
 # DuckDB oracle unrolls the identical rounds.
 BEAM_WIDTH = 16
 BEAM_ROUNDS = 4
+# r6: dedup_semantic path choice on duplicated corpora. The r5 switch was
+# binary (any duplication → join-expansion), but the r6 final sweep
+# measured the join path 4× SLOWER than numpy emission at sf100 (2M rows,
+# 1000× dup: 211 s vs ~51 s) — the pandas path only breaks when a single
+# list's emitted frame outgrows memory. Route on the ESTIMATED per-list
+# answer size instead: est pairs ≈ n²/(2·distinct) spread over the build
+# quantizer's list count; below this bound a list's frame stays ≤ ~5 GB
+# (1.5e8 pairs × 32 B) and the numpy emission wins, above it the answer
+# must materialize through the JVM join expansion. sf100 → ~6e7/list
+# (pandas), 20M×1000dup → ~6e9/list (join). Forced in tests via
+# monkeypatch (-1 = always join) so both paths stay property-tested.
+SEMDEDUP_LIST_PAIRS_MAX = 150_000_000
 SQ8_LEVELS = 255  # int8 scalar quantization: 256 levels per dimension
 ZSCORE_TAU = 3.0  # events_anomaly |z| threshold
 

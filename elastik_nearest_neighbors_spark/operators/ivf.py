@@ -206,6 +206,45 @@ def groups_by_inv(ids: "np.ndarray", inv: "np.ndarray", u: int) -> list:
     return np.split(ids[order], bounds)
 
 
+_PAIR_TEMPLATE_CACHE: dict = {}
+_TEMPLATE_CACHE_BUDGET = 8_000_000  # total cached index elements (~64 MB)
+
+
+def _template_cache_put(key, val) -> None:
+    # admit while the summed element count stays under budget — the
+    # duplicated-corpus regime has ONE dominant group size, so the cache
+    # hits constantly there and stays tiny on diverse corpora (small,
+    # varied sizes). Past budget, rare sizes just recompute.
+    used = sum(len(a) for a, _ in _PAIR_TEMPLATE_CACHE.values())
+    if used + len(val[0]) <= _TEMPLATE_CACHE_BUDGET:
+        _PAIR_TEMPLATE_CACHE[key] = val
+
+
+def _pair_index_template(s: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """(i, j) index pairs with i < j over a group of size s — the reusable
+    emission template for within-value duplicate pairs. Cached so the
+    steady state touches warm pages only (see semantic_pairs_local)."""
+    got = _PAIR_TEMPLATE_CACHE.get(("self", s))
+    if got is None:
+        iu = np.triu_indices(s, 1)
+        got = (iu[0].astype(np.intp, copy=False), iu[1].astype(np.intp, copy=False))
+        _template_cache_put(("self", s), got)
+    return got
+
+
+def _cross_index_template(s1: int, s2: int) -> tuple["np.ndarray", "np.ndarray"]:
+    """Full cross-product (i, j) indices for group sizes (s1, s2) — the
+    reusable emission template for cross-value near-duplicate pairs."""
+    got = _PAIR_TEMPLATE_CACHE.get(("cross", s1, s2))
+    if got is None:
+        got = (
+            np.repeat(np.arange(s1, dtype=np.intp), s2),
+            np.tile(np.arange(s2, dtype=np.intp), s1),
+        )
+        _template_cache_put(("cross", s1, s2), got)
+    return got
+
+
 def _lloyd(x: "np.ndarray", k: int, iters: int) -> "np.ndarray":
     """Deterministic Lloyd k-means: init = first k rows, `iters` full steps,
     empty clusters keep their previous centroid. Shared by the fine fit and
@@ -1001,22 +1040,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Duplicated corpora (r5, rows > distinct — never the gated SFs): the
     answer is quadratic in the duplication factor, and emitting it from
     inside per-list applyInPandas groups serializes ~answer/nlist rows
-    through ONE pandas frame per list — at 2M rows in 8 lists that is
-    eight ~3 GB frames on eight cores while the cluster idles. The scale
-    path instead emits VALUE-level pairs from the pandas stage (u-scale,
-    tiny) and expands them to id pairs with two JVM-side joins against
-    the (list_id, rep, vec_id) membership — the expansion shuffles on
-    (list_id, rep), whose key count is the distinct-vector count, so the
-    answer materializes across the whole cluster in whole-stage codegen.
-    Both paths are bit-identical (property-tested); path choice is the
-    driver-side corpus_counts probe.
+    through ONE pandas frame per list. The scale path instead emits
+    VALUE-level pairs from the pandas stage (u-scale, tiny) and expands
+    them to id pairs with two JVM-side joins against the (list_id, rep,
+    vec_id) membership — the expansion shuffles on (list_id, rep), whose
+    key count is the distinct-vector count, so the answer materializes
+    across the whole cluster in whole-stage codegen.
+
+    Path choice (r6, refined from r5's binary has-duplicates switch): the
+    join expansion costs ~4× the numpy emission where both fit (sf100
+    measured 211 s vs ~51 s), so it engages only when the ESTIMATED
+    per-list answer — n²/(2·distinct) over the build quantizer's lists —
+    exceeds SEMDEDUP_LIST_PAIRS_MAX (the frame-size bound that actually
+    breaks the pandas path). Both paths are bit-identical
+    (property-tested, both directions forced).
 
     Output: (list_id, vec_a, vec_b, cosine) with cosine ≥ SEMDEDUP_TAU."""
-    from ..constants import SEMDEDUP_TAU
+    from ..constants import (
+        GRAPH_LIST_TARGET,
+        IVF_NLIST,
+        SEMDEDUP_LIST_PAIRS_MAX,
+        SEMDEDUP_TAU,
+    )
 
     mem = _single_list_members(spark, sf_dir)
     n_rows, n_distinct = corpus_counts(sf_dir)
-    if n_distinct == n_rows:
+    est_pairs = n_rows * n_rows // (2 * max(1, n_distinct))
+    nlist = max(IVF_NLIST, n_distinct // GRAPH_LIST_TARGET)
+    if n_distinct == n_rows or est_pairs // nlist <= SEMDEDUP_LIST_PAIRS_MAX:
 
         def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
             lid = int(pdf["list_id"].iloc[0])
@@ -1116,12 +1167,26 @@ def semantic_pairs_local(
     pipeline runs exact dedup first), but the matrix COMPUTE stops being
     m² — only the emission scales with the answer.
 
-    Emission is pure numpy end-to-end (arrays accumulated and
-    concatenated once, no per-element Python lists): the first sf100
-    measurement of the collapsed branch spent ~0.5 µs/pair in
+    Emission is pure numpy end-to-end (no per-element Python lists): the
+    first sf100 measurement of the collapsed branch spent ~0.5 µs/pair in
     list.extend(ndarray.tolist()) — 8+ minutes of the answer's 10⁹ pairs
     going through the interpreter while 8 id-expansion tasks starved 32
-    cores. Arrays keep the expansion at memory bandwidth."""
+    cores.
+
+    Single-allocation emission (r6): the r5 form still touched ~65 fresh
+    bytes/pair (repeat/tile intermediates + per-pair accumulator chunks +
+    a final concatenate copy), and on hosts where first-touch page faults
+    are the bottleneck — this microVM zero-fills cold pages at
+    ~165 MB/s, 14.5 s for one 2.4 GB touch, 0.4 s warm — the emission is
+    FAULT-bound, not compute-bound (measured: identical list, 53.7 s
+    cold vs 5.4 s warm). The collapsed branch therefore sizes the answer
+    up front from the group sizes, allocates the three output arrays
+    exactly once (24 B/pair, the contractual minimum), and fills slices
+    in place: within-value pairs stream through cached triu index
+    templates (``np.take(..., out=...)``), cross-value pairs through
+    cached repeat/tile templates into a reused scratch buffer. Warm
+    template/scratch reuse means steady-state emission touches no new
+    pages beyond the answer itself."""
     m = len(ids)
     empty = (
         np.empty(0, dtype=np.int64),
@@ -1150,6 +1215,9 @@ def semantic_pairs_local(
             groups = groups_by_inv(ids, inv, u)
             nrm = np.sqrt((uvals * uvals).sum(axis=1))
             rows = max(1, (64 << 20) // max(1, u * 8))
+            # pass 1: qualifying value pairs + exact answer size
+            qual: list = []
+            total = 0
             for i in range(0, u, rows):
                 blk = uvals[i : i + rows] @ uvals.T
                 cos = np.round(blk / (nrm[i : i + rows, None] * nrm[None, :]), DIST_ROUND)
@@ -1158,23 +1226,45 @@ def semantic_pairs_local(
                     j1 = bi + i
                     if j1 > j2:
                         continue  # each unordered value pair once (cos symmetric)
-                    g1 = groups[j1]
-                    val = cos[bi, j2]
-                    if j1 == j2:
-                        # within one duplicate set: ordered combinations a < b
-                        A = np.repeat(g1, len(g1))
-                        B = np.tile(g1, len(g1))
-                        sel = A < B
-                        A, B = A[sel], B[sel]
-                    else:
-                        g2 = groups[j2]
-                        A0 = np.repeat(g1, len(g2))
-                        B0 = np.tile(g2, len(g1))
-                        A = np.minimum(A0, B0)
-                        B = np.maximum(A0, B0)
-                    acc_a.append(A)
-                    acc_b.append(B)
-                    acc_c.append(np.full(len(A), float(val)))
+                    s1 = len(groups[j1])
+                    npair = s1 * (s1 - 1) // 2 if j1 == j2 else s1 * len(groups[j2])
+                    if npair:
+                        qual.append((j1, j2, float(cos[bi, j2])))
+                        total += npair
+            if not qual:
+                return empty
+            # pass 2: fill the single allocation in place
+            out_a = np.empty(total, dtype=np.int64)
+            out_b = np.empty(total, dtype=np.int64)
+            out_c = np.empty(total, dtype=np.float64)
+            scr_a = np.empty(0, dtype=np.int64)
+            scr_b = np.empty(0, dtype=np.int64)
+            lo = 0
+            for j1, j2, val in qual:
+                g1 = groups[j1]
+                if j1 == j2:
+                    # within one duplicate set: ordered combinations a < b
+                    # (g1 ascending, so index i<j gives id a<b directly)
+                    iu0, iu1 = _pair_index_template(len(g1))
+                    hi = lo + len(iu0)
+                    np.take(g1, iu0, out=out_a[lo:hi])
+                    np.take(g1, iu1, out=out_b[lo:hi])
+                else:
+                    g2 = groups[j2]
+                    ia, ib = _cross_index_template(len(g1), len(g2))
+                    n = len(ia)
+                    hi = lo + n
+                    if len(scr_a) < n:
+                        scr_a = np.empty(n, dtype=np.int64)
+                        scr_b = np.empty(n, dtype=np.int64)
+                    sa, sb = scr_a[:n], scr_b[:n]
+                    np.take(g1, ia, out=sa)
+                    np.take(g2, ib, out=sb)
+                    np.minimum(sa, sb, out=out_a[lo:hi])
+                    np.maximum(sa, sb, out=out_b[lo:hi])
+                out_c[lo:hi] = val
+                lo = hi
+            return out_a, out_b, out_c
     if not acc_a:
         return empty
     return (

@@ -416,16 +416,19 @@ def test_semantic_pairs_duplicate_collapse_equals_bruteforce():
     assert all(v >= 0.999999 for v in c)
 
 
-def test_dedup_semantic_join_expansion_equals_pandas_path(spark, tmp_path):
+def test_dedup_semantic_join_expansion_equals_pandas_path(spark, tmp_path, monkeypatch):
     """On a duplicated corpus, dedup_semantic's join-expansion path must
     emit exactly the rows of the legacy per-list pandas path (which the
-    collapse property test ties to brute force). The path switch keys off
-    corpus_counts, so both paths are forced by seeding its cache."""
+    collapse property test ties to brute force). The r6 switch keys off
+    the estimated per-list answer size vs SEMDEDUP_LIST_PAIRS_MAX, so the
+    join path is forced by driving that bound to -1 (and the pandas path
+    by the default bound, far above this corpus's estimate)."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from elastik_nearest_neighbors_spark import constants
     from elastik_nearest_neighbors_spark.operators import ivf
 
     rng = np.random.default_rng(57)
@@ -457,11 +460,12 @@ def test_dedup_semantic_join_expansion_equals_pandas_path(spark, tmp_path):
     n = len(rows)
     distinct = 9  # 7 base + 2 near values
     cols = ["list_id", "vec_a", "vec_b", "cosine"]
-    # forced legacy pandas path
-    ivf._CORPUS_COUNTS_CACHE[sf_dir] = (n, n)
-    legacy = dedup = ivf.dedup_semantic(spark, sf_dir).toPandas()
-    # forced join-expansion path
+    # pandas path: duplicated counts but a tiny per-list estimate — the
+    # default bound routes it through the legacy per-list emission
     ivf._CORPUS_COUNTS_CACHE[sf_dir] = (n, distinct)
+    legacy = ivf.dedup_semantic(spark, sf_dir).toPandas()
+    # forced join-expansion path: bound of -1 fails every estimate
+    monkeypatch.setattr(constants, "SEMDEDUP_LIST_PAIRS_MAX", -1)
     joined = ivf.dedup_semantic(spark, sf_dir).toPandas()
     ivf._CORPUS_COUNTS_CACHE.pop(sf_dir, None)
 
