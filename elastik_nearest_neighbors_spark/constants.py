@@ -210,6 +210,13 @@ CORPUS_QUALITY_TAU = 0.45  # corpus_clean keep threshold
 # (sf0.01: drops 9/500 — a real gate that keeps the corpus non-trivial)
 CURATE_REP_MAX = 0.1
 CORPUS_LANG = "en"
+# boilerplate_scrub (CCNet-style line dedup): the corpus has no newline
+# structure, so the "line" unit is a fixed SEG_TOKENS non-overlapping token
+# window; a segment occurring in ≥ BOILER_MIN_FREQ places corpus-wide is
+# boilerplate and is dropped from every document that contains it.
+# (sf0.01: 56 of 3609 segments cross the threshold — a real gate.)
+SEG_TOKENS = 8
+BOILER_MIN_FREQ = 3
 
 # ---- range search / kNN graph / scalar quantization -------------------------
 # euclidean radius for range_search: ~1st percentile of the pair-distance

@@ -697,3 +697,69 @@ def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal — the CCNet/RefinedWeb "line
+    dedup" curation step (drop lines shared across many pages: headers,
+    nav bars, license blurbs), re-expressed over this corpus's flat text
+    as fixed SEG_TOKENS non-overlapping token windows (the corpus has no
+    newline structure; the unit is a config choice, the plan is not).
+
+    Plan shape, chosen for the 100 TB case:
+    1. one narrow scan → posexplode segments (output ∝ corpus tokens);
+    2. groupBy(segment) count rides map-side partial aggregation, then
+       keeps ONLY segments with freq ≥ BOILER_MIN_FREQ — the boilerplate
+       VOCABULARY, which is tiny relative to the corpus by Zipf (the whole
+       point of the step is that few distinct segments repeat widely);
+    3. broadcast LEFT ANTI join segments against that vocabulary — the
+       corpus-sized side never shuffles on the segment key a second time;
+       if a pathological corpus ever grew the vocabulary past the
+       broadcast ceiling, dropping the hint degrades this to a plain
+       shuffled anti-join with identical semantics (AQE re-plans it);
+    4. reassemble per doc: collect kept (seg_id, seg) structs, array_sort
+       restores document order, array_join concatenates — grouping by the
+       original partition key doc_id, so one exchange.
+
+    Docs whose every segment is boilerplate survive with clean_text = ''
+    (count accounting beats silent row loss for a curation audit trail).
+
+    Output: (doc_id, clean_text, n_kept, n_removed)."""
+    from ..constants import BOILER_MIN_FREQ, SEG_TOKENS
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(SEG_TOKENS))
+    seg_arr = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, SEG_TOKENS))
+    )
+    segs = docs.select("doc_id", F.posexplode(seg_arr).alias("seg_id", "seg"))
+    boiler = (
+        segs.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= BOILER_MIN_FREQ)
+        .select("seg")
+    )
+    kept = segs.join(F.broadcast(boiler), "seg", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_id", "seg"))),
+                lambda x: x["seg"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # per-doc totals come from a second NARROW docs scan (size of the
+    # segment array — no explode, no exchange), not a groupBy over the
+    # exploded corpus
+    totals = docs.select("doc_id", F.size(seg_arr).alias("n_seg"))
+    return totals.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_seg") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

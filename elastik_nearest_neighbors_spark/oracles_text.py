@@ -868,3 +868,31 @@ FROM documents d JOIN probes p
   ON contains(' ' || d.text || ' ', ' ' || p.phrase || ' ')
 WHERE d.doc_id <> p.query_id
 """
+
+
+def boilerplate_scrub(sf_dir: str) -> str:
+    from .constants import BOILER_MIN_FREQ, SEG_TOKENS
+
+    return f"""
+WITH segs AS (
+  SELECT doc_id, CAST(s // {SEG_TOKENS} AS INT) AS seg_id,
+         array_to_string(t[s + 1 : s + {SEG_TOKENS}], ' ') AS seg
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(range(0, len(t), {SEG_TOKENS})) AS s) r
+), boiler AS (
+  SELECT seg FROM segs GROUP BY seg HAVING COUNT(*) >= {BOILER_MIN_FREQ}
+), kept AS (
+  SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)
+), agg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_id) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_seg FROM segs GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept, 0) AS n_kept,
+       t.n_seg - coalesce(a.n_kept, 0) AS n_removed
+FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""

@@ -49,6 +49,7 @@ EXPECTED_GATE_WINDOW = [
     "sq8_quantize",
     "ann_search_sq8",
     "ann_recall_sq8",
+    "boilerplate_scrub",
     "doc_logprob",
     "ann_search_lsh_filtered",
     "events_rolling_7d",
@@ -71,7 +72,6 @@ EXPECTED_GATE_WINDOW = [
     "q9_product_profit",
     "q16_supplier_count",
     "q17_small_quantity_revenue",
-    "q22_dormant_customers",
 ]
 
 
@@ -90,7 +90,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 130 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 131 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 130
-    assert len(set(ks)) == 130
+    assert len(ks) == 131
+    assert len(set(ks)) == 131

@@ -1097,3 +1097,31 @@ def test_beam_recall_dominates_depth2_at_lower_budget(spark):
         .collect()[0][0]
     )
     assert beam > sweep2, (beam, sweep2)
+
+
+def test_boilerplate_scrub_semantics(spark):
+    """Every removed segment really occurs ≥ BOILER_MIN_FREQ times corpus-
+    wide, kept text is the original minus removed segments in order, and
+    counts reconcile."""
+    from elastik_nearest_neighbors_spark.constants import BOILER_MIN_FREQ, SEG_TOKENS
+    from elastik_nearest_neighbors_spark.operators import textops
+
+    out = textops.boilerplate_scrub(spark, SF_SMALL).toPandas().set_index("doc_id")
+    docs = io.table(spark, SF_SMALL, "documents").select("doc_id", "text").toPandas()
+    # reconstruct segments + corpus frequencies in plain python
+    freq: dict[str, int] = {}
+    segmented = {}
+    for _, r in docs.iterrows():
+        t = r.text.split(" ")
+        segs = [" ".join(t[i : i + SEG_TOKENS]) for i in range(0, len(t), SEG_TOKENS)]
+        segmented[r.doc_id] = segs
+        for s in segs:
+            freq[s] = freq.get(s, 0) + 1
+    assert set(out.index) == set(segmented)
+    for doc_id, segs in segmented.items():
+        kept = [s for s in segs if freq[s] < BOILER_MIN_FREQ]
+        row = out.loc[doc_id]
+        assert row.clean_text == " ".join(kept)
+        assert row.n_kept == len(kept)
+        assert row.n_removed == len(segs) - len(kept)
+    assert (out.n_removed > 0).any()  # threshold actually fires on sf0.001
