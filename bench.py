@@ -53,6 +53,10 @@ HEADLINE = [
     "streaming_graph_search",
     "ann_search_graph_beam",
     "ann_recall_graph_beam",
+    "ann_search_matryoshka",
+    "ann_recall_matryoshka",
+    "ivf_upsert",
+    "index_stats",
     "aknn_search_api",
     "aknn_model_registry",
     "sq8_quantize",
@@ -64,6 +68,9 @@ HEADLINE = [
     "dup_clusters",
     "dedup_simhash",
     "ngram_jaccard_join",
+    "containment_join",
+    "dedup_incremental",
+    "boilerplate_scrub",
     "lang_id",
     "lang_confusion",
     "quality_score",

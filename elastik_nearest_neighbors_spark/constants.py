@@ -46,6 +46,24 @@ MAX_BUCKET = 100
 # ---- char n-gram jaccard join ----------------------------------------------
 NGRAM_N = 4
 NGRAM_JACCARD_TAU = 0.8
+# containment_join: directed near-subset threshold |A∩B|/|A|. The corpus's
+# containment distribution is bimodal (≈1.0 for near-dup/quoted docs, <0.5
+# noise); 0.9 keeps the real subset relationships including asymmetric ones
+# jaccard misses (small A quoted inside large B). sf0.001: ~50 directed pairs.
+CONTAIN_TAU = 0.9
+# dedup_incremental: docs with doc_id % INCR_MOD == 0 form the "new batch"
+# deduped against the remaining "old corpus" (mirrors UPSERT_MOD's synthetic
+# delta). 7 keeps real cross pairs at the gate SFs (7 new-vs-old true-jaccard
+# ≥ τ pairs at sf0.001, 9 at sf0.01 — measured, not assumed).
+INCR_MOD = 7
+# matryoshka (MRL) two-stage ANN: coarse rank on the first MRL_DIMS dims of
+# the 64-dim embedding (the prefix a trained-matryoshka model concentrates
+# variance into; on this synthetic corpus it's just the leading slice), then
+# exact full-dim re-rank of the top-MRL_K1 shortlist. K1=30 matches the
+# IVFPQ refine budget (REFINE_R=30) so recall rows compare at equal re-rank
+# cost.
+MRL_DIMS = 16
+MRL_K1 = 30
 
 # ---- LSH / ANN (reference parity: aknn_create defaults scaled down) ---------
 # Reference defaults used more tables/bits for millions of vectors; bits

@@ -22,6 +22,8 @@ from pyspark.sql.window import Window
 
 from .. import io
 from ..constants import (
+    CONTAIN_TAU,
+    INCR_MOD,
     MINHASH_BAND_ROWS,
     MINHASH_JACCARD_TAU,
     MINHASH_K,
@@ -278,6 +280,107 @@ def ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _jaccard_on(cand, grams, NGRAM_JACCARD_TAU)
+
+
+def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram CONTAINMENT join: pairs (a, b) with
+    |grams(a) ∩ grams(b)| / |grams(a)| ≥ CONTAIN_TAU, a ≠ b — the
+    asymmetric variant of ngram_jaccard_join. Jaccard misses the curation
+    case this exists for: a short doc quoted wholesale inside a much larger
+    one (containment 1.0, jaccard ≈ |A|/|B| → 0).
+
+    Prune logic (both lossless, so results equal the brute-force oracle):
+    - prefix filter, containment form: overlap ≥ t = ceil(τ·|A|) forces any
+      qualifying B to hit one of A's (|A| − t + 1) globally-rarest grams
+      (pigeonhole on A's suffix). Only the PROBE side prefixes; the indexed
+      side keeps every gram because containment puts no upper bound on |B|.
+      Prefix grams are by construction the rarest, so candidate volume is
+      Σ_prefix-gram df(g) — small — even though B is un-prefixed.
+    - length filter: overlap ≤ |B| forces |B| ≥ ceil(τ·|A|).
+    Verification computes exact containment on full distinct-gram sets.
+
+    Output: (doc_a, doc_b, containment) — doc_a is the contained side."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    grams = docs.where(F.size(toks) >= NGRAM_N).select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(toks, NGRAM_N))).alias("g"),
+    )
+    dfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    sized = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ordered = (
+        grams.join(dfreq, "g")
+        .withColumn("pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "g")))
+        .join(sized, "doc_id")
+    )
+    prefix = ordered.where(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(CONTAIN_TAU) * F.col("n")) + 1
+    ).select(F.col("doc_id").alias("doc_a"), "g", F.col("n").alias("na"))
+    idx = grams.join(sized, "doc_id").select(
+        F.col("doc_id").alias("doc_b"), "g", F.col("n").alias("nb")
+    )
+    cand = (
+        prefix.join(idx, "g")
+        .where(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("nb") >= F.ceil(F.lit(CONTAIN_TAU) * F.col("na")))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "g")
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    return (
+        inter.join(sa, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / F.col("na"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= CONTAIN_TAU)
+    )
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup — the curation step a growing corpus runs
+    daily: a small NEW batch (doc_id % INCR_MOD == 0, the synthetic delta,
+    same device as index_upsert's UPSERT_MOD) is checked against the OLD
+    corpus; output is every verified (new_id, old_id, jaccard ≥ τ) pair,
+    i.e. the new docs to drop before ingestion.
+
+    Scale shape — the whole point of the incremental form: the old corpus's
+    band table is the persisted index of a real deployment and NEVER
+    shuffles here; the new side (corpus/INCR_MOD docs × n_bands rows) is
+    broadcast to it, so the per-batch cost is one old-corpus scan with a
+    map-side hash probe, not a self-join. No MAX_BUCKET cap: the pair count
+    is bounded per NEW doc by its band values' document frequency, and the
+    batch is small by definition (the self-join family caps because there
+    the blowup is corpus × corpus).
+
+    Output: (new_id, old_id, jaccard)."""
+    docs = _docs(spark, sf_dir)
+    sh = _shingle_hashes(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(universal_hash(F.col("h"), j)).alias(f"mh_{j}") for j in range(MINHASH_K)]
+    )
+    bands = _minhash_bands(sig)
+    is_new = F.col("doc_id") % INCR_MOD == 0
+    new_b = bands.where(is_new).select(F.col("doc_id").alias("new_id"), "band", "bval")
+    old_b = bands.where(~is_new).select(F.col("doc_id").alias("old_id"), "band", "bval")
+    cand = (
+        old_b.join(F.broadcast(new_b), ["band", "bval"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    ds = sh.select("doc_id", F.col("h").alias("g")).distinct()
+    return _jaccard_on(cand, ds, MINHASH_JACCARD_TAU, a="new_id", b="old_id")
 
 
 def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:

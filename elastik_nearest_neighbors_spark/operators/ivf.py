@@ -902,27 +902,19 @@ def ann_search_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search_ivf(filtered, queries, model_for(sf_dir))
 
 
-def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search through the PERSISTED index layout: assignment written
-    partitioned by list_id (sources/index_store), probed lists read back
-    with partition pruning, then the same exact re-rank. Returns results
-    identical to ann_search_ivf — same oracle — proving the pruned path is
-    lossless. This is the shape a 100 TB deployment runs: the index is built
-    once, and each query batch touches only nprobe/nlist of it on disk."""
-    from ..sources.index_store import load_ivf_lists, save_ivf_index
-
-    model = model_for(sf_dir)
-    emb = _emb(spark, sf_dir)
-    # one persisted copy per (process, sf_dir): bench/gate repeats reuse it
-    # instead of leaking a fresh /tmp index per invocation
-    out = os.path.join(io.scratch_dir("ivf_store", sf_dir), "data")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        save_ivf_index(build_ivf_index(emb, model), out)
+def _search_ivf_store(
+    spark: SparkSession, store: str, model: IvfModel, emb: DataFrame
+) -> DataFrame:
+    """Shared store-search tail: probe lists for the canonical query batch,
+    partition-pruned read of only those list directories, exact re-rank.
+    `emb` supplies query and re-rank vectors (the updated table for the
+    upsert path)."""
+    from ..sources.index_store import load_ivf_lists
 
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     probes = probe_pairs(queries, model)
     probe_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
-    assigned = load_ivf_lists(spark, out, probe_lists).select(
+    assigned = load_ivf_lists(spark, store, probe_lists).select(
         F.col("vec_id").alias("neighbor_id"), "list_id"
     )
     cand = assigned.join(F.broadcast(probes), "list_id").where(
@@ -942,6 +934,25 @@ def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= ANN_K2).drop("rn")
+
+
+def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search through the PERSISTED index layout: assignment written
+    partitioned by list_id (sources/index_store), probed lists read back
+    with partition pruning, then the same exact re-rank. Returns results
+    identical to ann_search_ivf — same oracle — proving the pruned path is
+    lossless. This is the shape a 100 TB deployment runs: the index is built
+    once, and each query batch touches only nprobe/nlist of it on disk."""
+    from ..sources.index_store import save_ivf_index
+
+    model = model_for(sf_dir)
+    emb = _emb(spark, sf_dir)
+    # one persisted copy per (process, sf_dir): bench/gate repeats reuse it
+    # instead of leaking a fresh /tmp index per invocation
+    out = os.path.join(io.scratch_dir("ivf_store", sf_dir), "data")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        save_ivf_index(build_ivf_index(emb, model), out)
+    return _search_ivf_store(spark, out, model, emb)
 
 
 # IVF assignment (vec_id, list_id), materialized once per (SparkContext,
@@ -1297,3 +1308,118 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import local_knn_groups
 
     return local_knn_groups(_single_list_members(spark, sf_dir), KNN_GRAPH_K)
+
+
+def index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-HEALTH introspection — the monitoring surface a 100 TB index
+    operator reads before anything else: the bucket-occupancy histogram of
+    both physical index families. (family='lsh': bucket = (tbl, hash);
+    family='ivf': bucket = coarse list.) Exact size counts (not quantiles)
+    keep the output integer-exact cross-engine and still expose the two
+    failure modes that matter — mega-buckets (skew: one bucket holding a
+    constant-vector pile makes per-query work O(bucket)) and dust (most
+    buckets near-empty: the hash bits / centroid count are wrong for N).
+
+    Plan: each family is one groupBy over its assignment table (map-side
+    partial counts; the shuffle carries bucket ids, not vectors) followed
+    by a histogram groupBy over bucket COUNTS — whose cardinality is the
+    number of DISTINCT sizes, tiny by pigeonhole. Output is KB-scale at
+    any corpus size.
+
+    Output: (family, sz, n_buckets)."""
+    from .knn import lsh_index
+
+    def hist(buckets: DataFrame, fam: str) -> DataFrame:
+        return (
+            buckets.groupBy("sz")
+            .agg(F.count(F.lit(1)).alias("n_buckets"))
+            .select(
+                F.lit(fam).alias("family"),
+                F.col("sz").cast("long").alias("sz"),
+                F.col("n_buckets").cast("long").alias("n_buckets"),
+            )
+        )
+
+    lsh_b = lsh_index(spark, sf_dir).groupBy("tbl", "hash").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    ivf_b = ivf_index(spark, sf_dir).groupBy("list_id").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return hist(lsh_b, "lsh").unionAll(hist(ivf_b, "ivf"))
+
+
+def ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index UPDATE-in-place — index_upsert's twin for the list-
+    partitioned layout, completing the maintenance matrix (LSH: streaming
+    append / compact / upsert; IVF: store / upsert): the changed vectors
+    (vec_id % UPSERT_MOD == 0, components doubled) are re-ASSIGNED to the
+    EXISTING centroids — no refit, the production invariant that keeps an
+    IVF index patchable at all — and only the list directories that held or
+    now hold a changed vector are rewritten via dynamic partition
+    overwrite. A touched list left with zero rows is deleted explicitly
+    (dynamic overwrite skips empty partitions; stale files would otherwise
+    survive). Searching the patched store with the updated vectors returns
+    exactly what a full rebuild on the updated table would — the oracle
+    recomputes that rebuild in SQL. Idempotent across re-runs.
+
+    At 100 TB: a delta of D changed vectors touches ≤ 2·D of the nlist
+    directories; the doubled components also MOVE vectors between Voronoi
+    cells (measured at sf0.001: the delta does change some assignments), so
+    both the leave and the arrive side of the patch are exercised.
+
+    Output: (query_id, neighbor_id, list_id, distance)."""
+    import shutil
+
+    from ..constants import UPSERT_MOD
+    from ..sources.index_store import save_ivf_index
+    from .knn import _updated_emb
+
+    model = model_for(sf_dir)
+    emb = _emb(spark, sf_dir)
+    memb = _updated_emb(spark, sf_dir)
+    out = io.scratch_dir("ivf_upsert", sf_dir)
+    store = os.path.join(out, "data")
+    marker = os.path.join(out, "UPSERTED")
+    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+        save_ivf_index(build_ivf_index(emb, model), store)
+    if not os.path.exists(marker):
+        changed = F.col("vec_id") % UPSERT_MOD == 0
+        old_a = build_ivf_index(emb.where(changed), model)
+        new_a = build_ivf_index(memb.where(changed), model)
+        parts = [
+            int(r.list_id)
+            for r in old_a.select("list_id")
+            .union(new_a.select("list_id"))
+            .distinct()
+            .collect()
+        ]
+        existing = (
+            spark.read.parquet(store)
+            .where(F.col("list_id").isin(parts))
+            .select("vec_id", "list_id", "center_dist")
+        )
+        # localCheckpoint BEFORE the overwrite: `patched` reads the path it
+        # is about to rewrite (see knn.index_upsert)
+        patched = (
+            existing.where(F.col("vec_id") % UPSERT_MOD != 0)
+            .unionByName(new_a.select("vec_id", "list_id", "center_dist"))
+            .localCheckpoint()
+        )
+        live = {int(r.list_id) for r in patched.select("list_id").distinct().collect()}
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                patched.repartition("list_id")
+                .write.mode("overwrite")
+                .partitionBy("list_id")
+                .parquet(store)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for lid in parts:
+            if lid not in live:
+                shutil.rmtree(os.path.join(store, f"list_id={lid}"), ignore_errors=True)
+        open(marker, "w").close()
+    return _search_ivf_store(spark, store, model, memb)

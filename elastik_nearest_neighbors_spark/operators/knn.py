@@ -876,3 +876,70 @@ def range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("distance") <= RANGE_RADIUS)
     )
+
+
+def ann_search_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MRL-style (Matryoshka Representation Learning) two-stage ANN: coarse
+    rank on the first MRL_DIMS dims of the embedding → top-MRL_K1 shortlist
+    per query → exact full-dim re-rank → top-ANN_K2. The dimension-prefix
+    shortlist is the fourth coarse scorer next to LSH term-match, IVF lists
+    and PQ ADC, with the same k1/k2 two-stage contract as the reference's
+    `_aknn_search`.
+
+    Scale shape: stage 1 is the only corpus-wide scan and touches MRL_DIMS/D
+    of the vector payload (a real MRL deployment stores the prefix as its
+    own column, making this a column-pruned scan — here the slice happens
+    post-read, the plan shape is the same); _partial_topk folds N·Q coarse
+    rows to ≤ Q·K1 per partition before any shuffle; stage 2 gathers only
+    Q·K1 full vectors (hash-join point lookups) for the exact distances.
+
+    Output: (query_id, neighbor_id, coarse_distance, distance)."""
+    from ..constants import MRL_DIMS, MRL_K1
+
+    emb = _emb(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    pre = lambda c: as_double(F.slice(F.col(c), 1, MRL_DIMS))  # noqa: E731
+    qpre = q.select(F.col("vec_id").alias("query_id"), pre("embedding").alias("qv"))
+    npre = emb.select(F.col("vec_id").alias("neighbor_id"), pre("embedding").alias("nv"))
+    scored = npre.join(
+        F.broadcast(qpre), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("coarse_distance"),
+    )
+    local = _partial_topk(scored, "coarse_distance", MRL_K1, True)
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.asc("coarse_distance"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        local.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= MRL_K1)
+        .drop("rn")
+    )
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("nvf")
+    )
+    qvec = q.select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qvf")
+    )
+    full = shortlist.join(nvec, "neighbor_id").join(F.broadcast(qvec), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        "coarse_distance",
+        F.round(euclidean(F.col("qvf"), F.col("nvf")), DIST_ROUND).alias("distance"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    return (
+        full.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= ANN_K2)
+        .drop("rn")
+    )
+
+
+def ann_recall_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the dimension-prefix two-stage search vs exact kNN on the
+    shared metric — where the MRL coarse scorer sits on the quality axis
+    against LSH/IVF/PQ at the same re-rank budget."""
+    ann = ann_search_matryoshka(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_of(ann, exact_ground_truth(spark, sf_dir))

@@ -124,6 +124,42 @@ WHERE round(i.i / (sa.n + sb.n - i.i), 6) >= {MINHASH_JACCARD_TAU}
 """
 
 
+def dedup_incremental(sf_dir: str) -> str:
+    # bipartite band join (new batch × old corpus), uncapped — exact mirror
+    # of operators/dedup.dedup_incremental
+    from .constants import INCR_MOD
+
+    n_bands = MINHASH_K // MINHASH_BAND_ROWS
+    band_selects = []
+    for bi in range(n_bands):
+        cols = [f"mh_{bi * MINHASH_BAND_ROWS + r}" for r in range(MINHASH_BAND_ROWS)]
+        concat = " || '_' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(f"SELECT doc_id, {bi} AS band, {concat} AS bval FROM sig")
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH {SHINGLES_CTE}, sig AS (
+  SELECT doc_id, {_mh_cols()} FROM sh GROUP BY doc_id
+), bands AS (
+{bands}
+), cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+  FROM bands n JOIN bands o ON n.band = o.band AND n.bval = o.bval
+  WHERE n.doc_id % {INCR_MOD} = 0 AND o.doc_id % {INCR_MOD} <> 0
+), ds AS (
+  SELECT DISTINCT doc_id, h AS g FROM sh
+), sz AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ds GROUP BY 1
+), inter AS (
+  SELECT c.new_id, c.old_id, CAST(COUNT(*) AS BIGINT) AS i
+  FROM cand c JOIN ds a ON a.doc_id = c.new_id JOIN ds b ON b.doc_id = c.old_id AND a.g = b.g
+  GROUP BY 1, 2
+)
+SELECT i.new_id, i.old_id, round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i JOIN sz sa ON sa.doc_id = i.new_id JOIN sz sb ON sb.doc_id = i.old_id
+WHERE round(i.i / (sa.n + sb.n - i.i), 6) >= {MINHASH_JACCARD_TAU}
+"""
+
+
 def _simhash_cte() -> str:
     """64-bit simhash as 4×16-bit band values — exact mirror of
     operators/dedup._simhash_bands (token bits 0-59 from md5 hex chars 1-15,
@@ -196,6 +232,29 @@ WITH grams AS (
 SELECT i.doc_a, i.doc_b, round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
 FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a JOIN sz sb ON sb.doc_id = i.doc_b
 WHERE round(i.i / (sa.n + sb.n - i.i), 6) >= {NGRAM_JACCARD_TAU}
+"""
+
+
+def containment_join(sf_dir: str) -> str:
+    # brute force — the Spark side's probe-prefix/length filters are lossless
+    from .constants import CONTAIN_TAU
+
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t) - 2)) AS i) r
+  WHERE len(t) >= {NGRAM_N}
+), sz AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM grams GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, round(i.i / sa.n, 6) AS containment
+FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+WHERE round(i.i / sa.n, 6) >= {CONTAIN_TAU}
 """
 
 

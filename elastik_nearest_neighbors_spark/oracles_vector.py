@@ -1382,3 +1382,128 @@ hits AS (
 SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
 FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
 """
+
+
+def index_stats(sf_dir: str) -> str:
+    # occupancy histograms of both index families, composed from the same
+    # deterministic model fits the Spark side uses
+    return f"""
+WITH hashes AS (
+{_hashes_cte(lsh_model_for(sf_dir))}
+), lsh_b AS (
+  SELECT tbl, hash, COUNT(*) AS sz FROM hashes GROUP BY 1, 2
+), {_ivf_cent_cte(sf_dir)},
+d AS (
+  SELECT e.vec_id, c.list_id,
+         round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS center_dist
+  FROM embeddings e CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, list_id FROM d
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY center_dist, list_id) = 1
+), ivf_b AS (
+  SELECT list_id, COUNT(*) AS sz FROM assign GROUP BY 1
+)
+SELECT 'lsh' AS family, CAST(sz AS BIGINT) AS sz, CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM lsh_b GROUP BY 2
+UNION ALL
+SELECT 'ivf' AS family, CAST(sz AS BIGINT) AS sz, CAST(COUNT(*) AS BIGINT) AS n_buckets
+FROM ivf_b GROUP BY 2
+"""
+
+
+def _matryoshka_cte(nq: int) -> str:
+    from .constants import MRL_DIMS, MRL_K1
+
+    return f"""q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {nq}
+), i AS (
+  SELECT vec_id AS nid, embedding::DOUBLE[] AS nv FROM embeddings
+), coarse AS (
+  SELECT q.qid AS query_id, i.nid AS neighbor_id,
+         round(list_distance(q.qv[1:{MRL_DIMS}], i.nv[1:{MRL_DIMS}]), 6) AS coarse_distance,
+         q.qv AS qv, i.nv AS nv
+  FROM q JOIN i ON i.nid <> q.qid
+), short AS (
+  SELECT * FROM coarse
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY coarse_distance, neighbor_id) <= {MRL_K1}
+), reranked AS (
+  SELECT query_id, neighbor_id, coarse_distance,
+         round(list_distance(qv, nv), 6) AS distance
+  FROM short
+)"""
+
+
+def ann_search_matryoshka(sf_dir: str) -> str:
+    from .constants import ANN_K2
+
+    return f"""
+WITH {_matryoshka_cte(N_QUERIES)}
+SELECT query_id, neighbor_id, coarse_distance, distance FROM reranked
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+"""
+
+
+def ann_recall_matryoshka(sf_dir: str) -> str:
+    from .constants import ANN_K2
+
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    return f"""
+WITH {_matryoshka_cte(N_QUERIES)},
+ann AS (
+  SELECT query_id, neighbor_id FROM reranked
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+),
+exact AS ({exact}),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+)
+SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
+FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+"""
+
+
+def ivf_upsert(sf_dir: str) -> str:
+    """Full-rebuild-on-updated-table reference for the patched IVF store
+    (operators/ivf.ivf_upsert): assignment AND search recomputed over the
+    updated vectors with the ORIGINAL centroids (no refit — mirroring the
+    operator's production invariant)."""
+    from .constants import ANN_K2, IVF_NPROBE, N_QUERIES, UPSERT_MOD
+
+    memb = (
+        f"memb AS (SELECT vec_id, CASE WHEN vec_id % {UPSERT_MOD} = 0 "
+        "THEN list_transform(embedding::DOUBLE[], x -> x * 2.0) "
+        "ELSE embedding::DOUBLE[] END AS embedding FROM embeddings)"
+    )
+    return f"""
+WITH {memb}, {_ivf_cent_cte(sf_dir)},
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding, c.c), 6) AS cd
+    FROM memb e CROSS JOIN cent c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding, c.c), 6) AS cd
+    FROM memb e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERIES}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, CAST(a.list_id AS INT) AS list_id,
+         round(list_distance(eq.embedding, en.embedding), 6) AS distance
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+  JOIN memb eq ON eq.vec_id = p.query_id
+  JOIN memb en ON en.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, list_id, distance
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+"""

@@ -1125,3 +1125,134 @@ def test_boilerplate_scrub_semantics(spark):
         assert row.n_kept == len(kept)
         assert row.n_removed == len(segs) - len(kept)
     assert (out.n_removed > 0).any()  # threshold actually fires on sf0.001
+
+
+def test_containment_join_matches_bruteforce(spark):
+    """Operator output (prefix/length-filtered) equals the unfiltered
+    brute-force containment join — the filters are lossless — and the
+    directed form finds asymmetric near-subset pairs."""
+    from elastik_nearest_neighbors_spark.constants import CONTAIN_TAU, NGRAM_N
+    from elastik_nearest_neighbors_spark.operators import dedup
+
+    out = dedup.containment_join(spark, SF_SMALL).toPandas()
+    docs = io.table(spark, SF_SMALL, "documents").select("doc_id", "text").toPandas()
+    gsets = {}
+    for _, r in docs.iterrows():
+        t = r.text.split(" ")
+        if len(t) >= NGRAM_N:
+            gsets[r.doc_id] = {
+                " ".join(t[i : i + NGRAM_N]) for i in range(len(t) - NGRAM_N + 1)
+            }
+    expect = set()
+    for a, ga in gsets.items():
+        for b, gb in gsets.items():
+            if a != b and round(len(ga & gb) / len(ga), 6) >= CONTAIN_TAU:
+                expect.add((a, b, round(len(ga & gb) / len(ga), 6)))
+    got = {(r.doc_a, r.doc_b, round(r.containment, 6)) for _, r in out.iterrows()}
+    assert got == expect
+    assert len(got) > 0
+    # at least one genuinely one-directional pair (a⊂b but not b⊂a)
+    pairs = {(a, b) for a, b, _ in got}
+    assert any((b, a) not in pairs for a, b in pairs)
+
+
+def test_dedup_incremental_consistent_with_lsh_family(spark):
+    """Incremental new-vs-old pairs are exactly the cross-partition subset
+    of the (uncapped at this scale) banded-LSH near-dup pairs, oriented
+    new → old, with identical verified jaccard."""
+    from elastik_nearest_neighbors_spark.constants import INCR_MOD
+    from elastik_nearest_neighbors_spark.operators import dedup
+
+    inc = dedup.dedup_incremental(spark, SF_SMALL).toPandas()
+    assert len(inc) > 0
+    assert all(inc.new_id % INCR_MOD == 0) and all(inc.old_id % INCR_MOD != 0)
+    lsh = dedup.dedup_minhash_lsh(spark, SF_SMALL).toPandas()
+    expect = set()
+    for _, r in lsh.iterrows():
+        for new, old in [(r.doc_a, r.doc_b), (r.doc_b, r.doc_a)]:
+            if new % INCR_MOD == 0 and old % INCR_MOD != 0:
+                expect.add((new, old, round(r.jaccard, 6)))
+    got = {(r.new_id, r.old_id, round(r.jaccard, 6)) for _, r in inc.iterrows()}
+    assert got == expect
+
+
+def test_index_stats_histograms_reconcile(spark):
+    """Σ sz·n_buckets per family equals the index row count: N·LSH_TABLES
+    hash entries for lsh, N assignments for ivf — and no empty buckets are
+    reported (a bucket exists only by containing a vector)."""
+    from elastik_nearest_neighbors_spark.constants import LSH_TABLES
+    from elastik_nearest_neighbors_spark.operators import ivf
+
+    out = ivf.index_stats(spark, SF_SMALL).toPandas()
+    n = io.table(spark, SF_SMALL, "embeddings").count()
+    assert set(out.family) == {"lsh", "ivf"}
+    assert (out.sz > 0).all()
+    by = out.groupby("family").apply(
+        lambda g: int((g.sz * g.n_buckets).sum()), include_groups=False
+    )
+    assert by["lsh"] == n * LSH_TABLES
+    assert by["ivf"] == n
+
+
+def test_matryoshka_matches_numpy_two_stage(spark):
+    """Output equals a numpy replica of the exact two-stage semantics:
+    prefix-distance top-K1 shortlist (rounded, id tie-break) → full-dim
+    re-rank top-K2."""
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark.constants import (
+        ANN_K2,
+        MRL_DIMS,
+        MRL_K1,
+        N_QUERIES,
+    )
+    from elastik_nearest_neighbors_spark.operators import knn
+
+    out = knn.ann_search_matryoshka(spark, SF_SMALL).toPandas()
+    emb = io.table(spark, SF_SMALL, "embeddings").toPandas()
+    ids = emb.vec_id.to_numpy()
+    x = np.array(emb.embedding.tolist(), dtype=np.float64)
+    expect = set()
+    for qi in range(len(ids)):
+        if ids[qi] >= N_QUERIES:
+            continue
+        mask = ids != ids[qi]
+        cd = np.round(
+            np.sqrt(((x[mask, :MRL_DIMS] - x[qi, :MRL_DIMS]) ** 2).sum(axis=1)), 6
+        )
+        order = np.lexsort((ids[mask], cd))[:MRL_K1]
+        fid = ids[mask][order]
+        fd = np.round(np.sqrt(((x[mask][order] - x[qi]) ** 2).sum(axis=1)), 6)
+        fin = np.lexsort((fid, fd))[:ANN_K2]
+        for j in fin:
+            expect.add((ids[qi], fid[j], cd[order][j], fd[j]))
+    got = {
+        (r.query_id, r.neighbor_id, round(r.coarse_distance, 6), round(r.distance, 6))
+        for _, r in out.iterrows()
+    }
+    assert got == expect and len(got) == N_QUERIES * ANN_K2
+
+
+def test_ivf_upsert_equals_rebuild_and_moves_vectors(spark):
+    """The patched store's search equals the in-memory IVF search recomputed
+    over the updated table (different plumbing, same answer), and the update
+    really moves ≥1 vector between lists (both patch sides exercised)."""
+    from elastik_nearest_neighbors_spark.constants import N_QUERIES, UPSERT_MOD
+    from elastik_nearest_neighbors_spark.operators import ivf, knn
+
+    got = ivf.ivf_upsert(spark, SF_SMALL).toPandas()
+    memb = knn._updated_emb(spark, SF_SMALL)
+    model = ivf.model_for(SF_SMALL)
+    want = ivf.ann_search_ivf(
+        memb, memb.where(F.col("vec_id") < N_QUERIES), model
+    ).toPandas()
+    key = ["query_id", "neighbor_id", "list_id", "distance"]
+    got_s = got[key].sort_values(key).reset_index(drop=True)
+    want_s = want[key].sort_values(key).reset_index(drop=True)
+    assert got_s.equals(want_s)
+    emb = knn._emb(spark, SF_SMALL)
+    changed = F.col("vec_id") % UPSERT_MOD == 0
+    old_a = ivf.build_ivf_index(emb.where(changed), model).toPandas()
+    new_a = ivf.build_ivf_index(memb.where(changed), model).toPandas()
+    merged = old_a.merge(new_a, on="vec_id", suffixes=("_old", "_new"))
+    assert (merged.list_id_old != merged.list_id_new).any()
