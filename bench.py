@@ -62,6 +62,9 @@ HEADLINE = [
     "sq8_quantize",
     "ann_search_sq8",
     "ann_recall_sq8",
+    "bitsign_codes",
+    "ann_search_bitsign",
+    "ann_recall_bitsign",
     "dedup_exact",
     "minhash_signatures",
     "dedup_minhash_lsh",

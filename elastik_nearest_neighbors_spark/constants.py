@@ -64,6 +64,14 @@ INCR_MOD = 7
 # cost.
 MRL_DIMS = 16
 MRL_K1 = 30
+# binary sign quantization (1 bit/dim, the "binary quantization" modern
+# vector stores ship for 32x storage cuts): bit d = v_d > per-dim midpoint
+# (min+max)/2, packed into two 32-bit words per vector (two BIGINTs keeps
+# the code portable — DuckDB raises on 1::BIGINT << 63). Coarse rank =
+# Hamming distance (popcount of xor), exact re-rank of the top-BITSIGN_K1.
+# K1 = 30 = MRL_K1 = REFINE_R: all two-stage recalls compare at equal
+# re-rank budget.
+BITSIGN_K1 = 30
 
 # ---- LSH / ANN (reference parity: aknn_create defaults scaled down) ---------
 # Reference defaults used more tables/bits for millions of vectors; bits

@@ -475,3 +475,144 @@ def ann_recall_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ann = ann_search_sq8(spark, sf_dir).select("query_id", "neighbor_id")
     return _recall_of(ann, exact_ground_truth(spark, sf_dir))
+
+
+_BITSIGN_MIDS: dict[str, np.ndarray] = {}
+
+
+def _bitsign_mids(sf_dir: str) -> np.ndarray:
+    """Per-dim sign thresholds mid_d = (min_d + max_d) * 0.5, driver-side
+    from the parquet bytes — the same KB-model determinism contract as
+    `_sq8_params`: min/max are exact picks of stored doubles and the
+    midpoint is ONE IEEE add + mul, so numpy here and (MIN(v)+MAX(v))*0.5
+    in the DuckDB oracle produce bit-identical thresholds."""
+    got = _BITSIGN_MIDS.get(sf_dir)
+    if got is None:
+        import pyarrow.parquet as paq
+
+        t = paq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+        )
+        x = np.array(t.to_pandas()["embedding"].tolist(), dtype=np.float64)
+        got = _BITSIGN_MIDS[sf_dir] = (x.min(axis=0) + x.max(axis=0)) * 0.5
+    return got
+
+
+def _bitsign_code_cols(vec_col: str, mids: np.ndarray):
+    """embedding → (code_lo, code_hi) packed sign bits, as pure Catalyst
+    expressions: the vector zipped with per-dim (midpoint, bit-weight)
+    literal arrays, then a codegen `aggregate` fold per 32-dim word —
+    O(dim) per row, JVM-side, no Python. Two 32-bit words in BIGINTs keep
+    the oracle portable (DuckDB overflows on 1::BIGINT << 63)."""
+    from ..functions.vector import as_double
+
+    d = len(mids)
+    z = F.arrays_zip(
+        as_double(F.col(vec_col)),
+        F.array(*[F.lit(float(m)) for m in mids]),
+        F.array(*[F.lit(1 << (i % 32)).cast("long") for i in range(d)]),
+    )
+
+    def word(start: int, n: int):
+        if n <= 0:
+            return F.lit(0).cast("long")
+        return F.aggregate(
+            F.slice(z, start + 1, n),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.when(s["0"] > s["1"], s["2"]).otherwise(F.lit(0).cast("long")),
+        )
+
+    return word(0, min(32, d)), word(32, d - 32)
+
+
+def bitsign_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit/dim BINARY quantization — the fourth compression family next
+    to PQ (codebooks), SQ8 (uniform levels) and MRL (dimension prefix):
+    bit d = v_d > (min_d+max_d)/2, 64 dims packed to 8 bytes — a 64x cut
+    vs float64, the format vector stores call binary quantization and use
+    for in-RAM candidate generation (reference `_aknn_search`'s bit-hash
+    role, but content-derived rather than random-hyperplane).
+
+    Narrow single-pass scan: per-row codegen fold, no explode, no shuffle.
+    Output: (vec_id, code_lo bits 0..31, code_hi bits 32..63)."""
+    from .knn import _emb
+
+    emb = _emb(spark, sf_dir)
+    lo, hi = _bitsign_code_cols("embedding", _bitsign_mids(sf_dir))
+    return emb.select("vec_id", lo.alias("code_lo"), hi.alias("code_hi"))
+
+
+def ann_search_bitsign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN over the 1-bit codes: Hamming coarse rank (popcount of
+    xor, two BIGINT words) → top-BITSIGN_K1 shortlist per query → exact
+    full-dim euclidean re-rank → top-ANN_K2. Same k1/k2 contract and plan
+    shape as ann_search_matryoshka: the corpus-wide stage touches ONLY the
+    8-byte codes (at scale a stored column — the scan reads 1/64 of the
+    vector bytes), _partial_topk folds N·Q coarse rows to ≤ Q·K1 per
+    partition before the only shuffle, stage 2 gathers Q·K1 full vectors
+    by hash-join point lookups.
+
+    Output: (query_id, neighbor_id, hamming, distance)."""
+    from ..constants import BITSIGN_K1
+    from ..functions.vector import as_double, euclidean
+    from .knn import _emb, _partial_topk
+
+    configure(spark)
+    emb = _emb(spark, sf_dir)
+    mids = _bitsign_mids(sf_dir)
+    lo, hi = _bitsign_code_cols("embedding", mids)
+    codes = emb.select(
+        F.col("vec_id").alias("neighbor_id"), lo.alias("n_lo"), hi.alias("n_hi")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES)
+    qcodes = q.select(
+        F.col("vec_id").alias("query_id"), lo.alias("q_lo"), hi.alias("q_hi")
+    )
+    scored = codes.join(
+        F.broadcast(qcodes), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.bit_count(F.col("n_lo").bitwiseXOR(F.col("q_lo")))
+            + F.bit_count(F.col("n_hi").bitwiseXOR(F.col("q_hi")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    local = _partial_topk(scored, "hamming", BITSIGN_K1, True)
+    w1 = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    shortlist = (
+        local.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= BITSIGN_K1)
+        .drop("rn")
+    )
+    nvec = emb.select(
+        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("nv")
+    )
+    qvec = q.select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    full = shortlist.join(nvec, "neighbor_id").join(F.broadcast(qvec), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        "hamming",
+        F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    return (
+        full.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= ANN_K2)
+        .drop("rn")
+    )
+
+
+def ann_recall_bitsign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the binary-code search vs exact kNN — places the 1-bit
+    coarse scorer on the family quality axis at the shared re-rank budget
+    (BITSIGN_K1 = MRL_K1 = REFINE_R = 30)."""
+    from .knn import _recall_of, exact_ground_truth
+
+    ann = ann_search_bitsign(spark, sf_dir).select("query_id", "neighbor_id")
+    return _recall_of(ann, exact_ground_truth(spark, sf_dir))

@@ -1507,3 +1507,91 @@ SELECT query_id, neighbor_id, list_id, distance
 FROM scored
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
 """
+
+
+def _bitsign_codes_cte() -> str:
+    """embeddings → packed sign bits (exact mirror of
+    operators/pq._bitsign_code_cols): mid = (MIN+MAX)*0.5 per dim is the
+    same one-add-one-mul IEEE arithmetic the driver-side numpy fit runs,
+    bit weight (1::BIGINT << ((dim-1) % 32)) matches Spark's i % 32 word
+    layout. Two 32-bit words — DuckDB overflows on 1::BIGINT << 63."""
+    return """ex AS (
+  SELECT vec_id, CAST(u.idx AS INT) AS dim, u.v
+  FROM embeddings,
+       LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                       generate_subscripts(embedding, 1) AS idx) u
+), mids AS (
+  SELECT dim, (MIN(v) + MAX(v)) * 0.5 AS mid FROM ex GROUP BY 1
+), codes AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN e.dim <= 32 AND e.v > m.mid
+                  THEN (1::BIGINT << ((e.dim - 1) % 32)) ELSE 0 END)::BIGINT AS code_lo,
+         SUM(CASE WHEN e.dim > 32 AND e.v > m.mid
+                  THEN (1::BIGINT << ((e.dim - 1) % 32)) ELSE 0 END)::BIGINT AS code_hi
+  FROM ex e JOIN mids m ON m.dim = e.dim
+  GROUP BY 1
+)"""
+
+
+def bitsign_codes(sf_dir: str) -> str:
+    return f"""
+WITH {_bitsign_codes_cte()}
+SELECT vec_id, code_lo, code_hi FROM codes
+"""
+
+
+def _bitsign_rerank_cte(nq: int) -> str:
+    from .constants import BITSIGN_K1
+
+    return f"""{_bitsign_codes_cte()},
+qc AS (
+  SELECT vec_id AS query_id, code_lo AS q_lo, code_hi AS q_hi
+  FROM codes WHERE vec_id < {nq}
+), coarse AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(bit_count(xor(c.code_lo, q.q_lo))
+              + bit_count(xor(c.code_hi, q.q_hi)) AS BIGINT) AS hamming
+  FROM codes c JOIN qc q ON c.vec_id <> q.query_id
+), short AS (
+  SELECT * FROM coarse
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) <= {BITSIGN_K1}
+), reranked AS (
+  SELECT s.query_id, s.neighbor_id, s.hamming,
+         round(list_distance(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS distance
+  FROM short s
+  JOIN embeddings ne ON ne.vec_id = s.neighbor_id
+  JOIN embeddings qe ON qe.vec_id = s.query_id
+)"""
+
+
+def ann_search_bitsign(sf_dir: str) -> str:
+    from .constants import ANN_K2
+
+    return f"""
+WITH {_bitsign_rerank_cte(N_QUERIES)}
+SELECT query_id, neighbor_id, hamming, distance FROM reranked
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+"""
+
+
+def ann_recall_bitsign(sf_dir: str) -> str:
+    from .constants import ANN_K2
+
+    exact = _knn_sql("euclidean", KNN_K, N_QUERIES)
+    return f"""
+WITH {_bitsign_rerank_cte(N_QUERIES)},
+ann AS (
+  SELECT query_id, neighbor_id FROM reranked
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+),
+exact AS ({exact}),
+hits AS (
+  SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY 1
+), ne AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY 1
+)
+SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
+FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
+"""

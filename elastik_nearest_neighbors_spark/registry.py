@@ -78,6 +78,12 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_search_matryoshka": knn.ann_search_matryoshka,
     "ann_recall_matryoshka": knn.ann_recall_matryoshka,
     "ivf_upsert": ivf.ivf_upsert,
+    # (2) NEW in r6: 1-bit binary quantization family (sign codes packed
+    # into two 32-bit words, Hamming coarse rank, exact re-rank at the
+    # shared K1=30 budget)
+    "bitsign_codes": pq.bitsign_codes,
+    "ann_search_bitsign": pq.ann_search_bitsign,
+    "ann_recall_bitsign": pq.ann_recall_bitsign,
     # (3) the oldest never-re-gated greens (r3-era driver rows, 3 rounds
     # old at r6 start — the freshness-rotation tail):
     "doc_logprob": textops.doc_logprob,
@@ -93,9 +99,6 @@ _QUERIES: dict[str, QueryFn] = {
     "streaming_sessionize_append": ingest.streaming_sessionize_append,
     "q7_volume_shipping": analytics.q7_volume_shipping,
     "q10_returned_revenue": analytics.q10_returned_revenue,
-    "q18_large_orders": analytics.q18_large_orders,
-    "q13_customer_distribution": analytics.q13_customer_distribution,
-    "q15_top_supplier": analytics.q15_top_supplier,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
     # entries (measured r3/r4/r5: CORRECTNESS_r{03,04,05}.json each hold
     # 50 keys). Keep new/changed keys ABOVE this line and push an equal
@@ -105,6 +108,9 @@ _QUERIES: dict[str, QueryFn] = {
     # (b) the remaining r3-era greens directly below (events_* block)
     # (c) the r4-era greens (multimodal/LSH-serving/streaming/TPC-H head)
     # -- r3-era greens not fitting the r6 window (next in line) --
+    "q18_large_orders": analytics.q18_large_orders,
+    "q13_customer_distribution": analytics.q13_customer_distribution,
+    "q15_top_supplier": analytics.q15_top_supplier,
     "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
     "sales_rollup": analytics.sales_rollup,
     "q8_market_share": analytics.q8_market_share,
@@ -295,6 +301,9 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_search_matryoshka": oracles_vector.ann_search_matryoshka,
     "ann_recall_matryoshka": oracles_vector.ann_recall_matryoshka,
     "ivf_upsert": oracles_vector.ivf_upsert,
+    "bitsign_codes": oracles_vector.bitsign_codes,
+    "ann_search_bitsign": oracles_vector.ann_search_bitsign,
+    "ann_recall_bitsign": oracles_vector.ann_recall_bitsign,
     "lang_id": oracles_text.lang_id,
     "lang_confusion": oracles_text.lang_confusion,
     "boilerplate_scrub": oracles_text.boilerplate_scrub,

@@ -56,6 +56,9 @@ EXPECTED_GATE_WINDOW = [
     "ann_search_matryoshka",
     "ann_recall_matryoshka",
     "ivf_upsert",
+    "bitsign_codes",
+    "ann_search_bitsign",
+    "ann_recall_bitsign",
     "doc_logprob",
     "ann_search_lsh_filtered",
     "events_rolling_7d",
@@ -69,9 +72,6 @@ EXPECTED_GATE_WINDOW = [
     "streaming_sessionize_append",
     "q7_volume_shipping",
     "q10_returned_revenue",
-    "q18_large_orders",
-    "q13_customer_distribution",
-    "q15_top_supplier",
 ]
 
 
@@ -90,7 +90,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 137 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 140 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 137
-    assert len(set(ks)) == 137
+    assert len(ks) == 140
+    assert len(set(ks)) == 140
