@@ -74,6 +74,9 @@ HEADLINE = [
     "containment_join",
     "dedup_incremental",
     "boilerplate_scrub",
+    "dup_spans",
+    "dup_span_scrub",
+    "knn_classify",
     "lang_id",
     "lang_confusion",
     "quality_score",

@@ -56,6 +56,17 @@ CONTAIN_TAU = 0.9
 # delta). 7 keeps real cross pairs at the gate SFs (7 new-vs-old true-jaccard
 # ≥ τ pairs at sf0.001, 9 at sf0.01 — measured, not assumed).
 INCR_MOD = 7
+# dup_spans / dup_span_scrub: Lee et al. 2022 ("Deduplicating Training Data
+# Makes Language Models Better") exact-substring span dedup, re-expressed as
+# sliding DUPSPAN_W-token windows (stride 1 — unlike boilerplate_scrub's
+# disjoint segments, so maximal duplicated regions are recovered, not just
+# aligned ones). A window occurring >= DUPSPAN_MIN_FREQ times corpus-wide
+# (same doc or not) marks its positions duplicated; overlapping/touching
+# positions merge into maximal spans. W=12 at the gate SFs keeps a healthy
+# non-trivial population (~1.9k dup positions -> ~900 dup windows at sf0.01,
+# measured) while staying well under typical doc length (~32 tokens).
+DUPSPAN_W = 12
+DUPSPAN_MIN_FREQ = 2
 # matryoshka (MRL) two-stage ANN: coarse rank on the first MRL_DIMS dims of
 # the 64-dim embedding (the prefix a trained-matryoshka model concentrates
 # variance into; on this synthetic corpus it's just the leading slice), then

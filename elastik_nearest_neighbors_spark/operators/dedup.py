@@ -348,6 +348,143 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dup_positions(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos) for every stride-1 DUPSPAN_W-token window whose text
+    occurs ≥ DUPSPAN_MIN_FREQ times corpus-wide (Lee et al. 2022 exact
+    substring dedup, window-granular).
+
+    Plan shape: one narrow scan → posexplode sliding windows (output ∝
+    corpus tokens · 1, each window string W tokens — the unavoidable
+    suffix-array-substitute cost), then ONE exchange on the window string
+    with an analytic count — no second groupBy+join pass over the
+    corpus-sized side. The duplicated-position stream that survives the
+    filter is ∝ the corpus's duplicated mass, not its size."""
+    from ..constants import DUPSPAN_MIN_FREQ, DUPSPAN_W
+
+    toks = F.split(F.col("text"), " ")
+    starts = F.when(
+        F.size(toks) >= DUPSPAN_W,
+        F.sequence(F.lit(0), F.size(toks) - DUPSPAN_W),
+    ).otherwise(F.array().cast("array<int>"))
+    win_arr = F.transform(
+        starts, lambda s: F.concat_ws(" ", F.slice(toks, s + 1, DUPSPAN_W))
+    )
+    wins = docs.select("doc_id", F.posexplode(win_arr).alias("pos", "win"))
+    n_w = Window.partitionBy("win")
+    return (
+        wins.withColumn("n", F.count(F.lit(1)).over(n_w))
+        .where(F.col("n") >= DUPSPAN_MIN_FREQ)
+        .select("doc_id", "pos")
+    )
+
+
+def _dup_islands(positions: DataFrame) -> DataFrame:
+    """Merge duplicated window positions into maximal token spans.
+
+    Two windows [p, p+W) and [q, q+W), p ≤ q, cover a contiguous token
+    region iff q ≤ p+W, so a position starts a NEW span exactly when it
+    exceeds max(previous pos)+W. Classic gaps-and-islands over one
+    exchange on doc_id; the island id is a running sum of start flags.
+
+    Output: (doc_id, span_start, span_len) — token indices, end-exclusive
+    length covering every duplicated window in the island."""
+    from ..constants import DUPSPAN_W
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max = F.max("pos").over(w_prev)
+    flagged = positions.withColumn(
+        "new_span",
+        F.when(prev_max.isNull() | (F.col("pos") > prev_max + DUPSPAN_W), 1).otherwise(0),
+    ).withColumn("span_id", F.sum("new_span").over(w_run))
+    return flagged.groupBy("doc_id", "span_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(DUPSPAN_W) - F.min("pos")).alias("span_len"),
+    )
+
+
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-corpus duplicated substring spans per document —
+    the exact-substring dedup artifact of Lee et al. 2022 (SURVEY §2 #141),
+    the span-granular step doc-level minhash and disjoint-segment
+    boilerplate_scrub both miss (a 12-token quote inside an otherwise
+    unique doc is invisible to both).
+
+    Output: (doc_id, span_start, span_len, span_text) — one row per
+    maximal duplicated span; docs without duplicated windows emit nothing.
+    span_text is recovered by ONE join of the KB-per-doc span list back to
+    the narrow corpus scan on doc_id (not by carrying window strings
+    through the merge shuffles)."""
+    docs = _docs(spark, sf_dir)
+    spans = _dup_islands(_dup_positions(docs))
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    return spans.join(toks, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_len",
+        F.concat_ws(
+            " ", F.slice(F.col("toks"), F.col("span_start") + 1, F.col("span_len"))
+        ).alias("span_text"),
+    )
+
+
+def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut every maximal duplicated span (dup_spans) out of the corpus —
+    the scrub half of Lee et al. 2022 (SURVEY §2 #142): keep each doc's
+    tokens that no duplicated window covers, preserving original order.
+
+    The per-doc span list is KB-sized, so it aggregates to an array and
+    joins back to the narrow corpus scan on doc_id; the keep/drop decision
+    runs as a higher-order filter in whole-stage codegen (O(n_tok · n_spans)
+    per doc, both small), never in Python.
+
+    Output: (doc_id, clean_text, n_tokens_kept, n_tokens_removed) — one row
+    per document (clean_text = '' when spans cover everything: count
+    accounting beats silent row loss for a curation audit trail)."""
+    docs = _docs(spark, sf_dir)
+    spans = (
+        _dup_islands(_dup_positions(docs))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_len")).alias("spans"))
+    )
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    joined = toks.join(spans, "doc_id", "left").withColumn(
+        "kept",
+        F.filter(
+            F.arrays_zip(
+                F.sequence(F.lit(0), F.size(F.col("toks")) - 1).alias("i"),
+                F.col("toks").alias("t"),
+            ),
+            lambda z: ~F.exists(
+                F.coalesce(
+                    F.col("spans"),
+                    F.array().cast("array<struct<span_start:int,span_len:int>>"),
+                ),
+                lambda s: (z["i"] >= s["span_start"])
+                & (z["i"] < s["span_start"] + s["span_len"]),
+            ),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.transform(F.col("kept"), lambda z: z["t"])
+        ).alias("clean_text"),
+        F.size(F.col("kept")).cast("long").alias("n_tokens_kept"),
+        (F.size(F.col("toks")) - F.size(F.col("kept")))
+        .cast("long")
+        .alias("n_tokens_removed"),
+    )
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dedup — the curation step a growing corpus runs
     daily: a small NEW batch (doc_id % INCR_MOD == 0, the synthetic delta,

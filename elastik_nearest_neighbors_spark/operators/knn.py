@@ -846,6 +846,50 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #143: k-NN majority-vote label prediction for the query
+    batch — the classification consumer of the exact-kNN kernel (the
+    reference's labeled-corpus use case: given an image's neighbors,
+    predict its class; aknn_search returns neighbors, this closes the loop
+    to a decision).
+
+    Shape: exact cosine top-KNN_K per query (broadcast Q against the
+    corpus — no corpus shuffle), then a KB-sized vote: join the Q·k
+    neighbor list to the narrow (vec_id, label) projection, count votes
+    per (query, label), rank votes desc with label asc as the
+    deterministic tie-break. Everything after the kNN kernel is
+    Q·k-sized, so the plan's cost IS the kernel's.
+
+    Output: (query_id, true_label, pred_label, votes, correct)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    nn = knn_exact(emb, queries, metric="cosine")
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label"))
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
 def range_search_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Radius (range) search: ALL neighbors within euclidean RANGE_RADIUS of
     each canonical query — the fixed-radius twin of top-k retrieval (FAISS

@@ -955,3 +955,76 @@ SELECT t.doc_id,
        t.n_seg - coalesce(a.n_kept, 0) AS n_removed
 FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
 """
+
+
+def _dup_span_cte() -> str:
+    """Shared CTE chain for the Lee-et-al span dedup twins: stride-1
+    W-token windows → corpus-frequency filter → gaps-and-islands merge
+    into maximal (doc_id, span_start, span_len) spans."""
+    from .constants import DUPSPAN_MIN_FREQ, DUPSPAN_W
+
+    w = DUPSPAN_W
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+w AS (
+  SELECT doc_id, CAST(s AS INT) AS pos,
+         array_to_string(t[s + 1 : s + {w}], ' ') AS win
+  FROM t, LATERAL (SELECT unnest(range(0, greatest(len(t) - {w} + 1, 0))) AS s) r
+), d AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY win) AS n FROM w
+  ) WHERE n >= {DUPSPAN_MIN_FREQ}
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN max(pos) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + {w} >= pos
+              THEN 0 ELSE 1 END AS new_span
+  FROM d
+), g AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM isl
+), sp AS (
+  SELECT doc_id, MIN(pos) AS span_start,
+         MAX(pos) + {w} - MIN(pos) AS span_len
+  FROM g GROUP BY doc_id, span_id
+)"""
+
+
+def dup_spans(sf_dir: str) -> str:
+    return (
+        _dup_span_cte()
+        + """
+SELECT sp.doc_id, sp.span_start, sp.span_len,
+       array_to_string(t.t[sp.span_start + 1 : sp.span_start + sp.span_len], ' ')
+         AS span_text
+FROM sp JOIN t ON t.doc_id = sp.doc_id
+"""
+    )
+
+
+def dup_span_scrub(sf_dir: str) -> str:
+    return (
+        _dup_span_cte()
+        + """
+, kept AS (
+  SELECT t.doc_id, tok.i, t.t[tok.i + 1] AS tk
+  FROM t, LATERAL (SELECT unnest(range(0, len(t.t))) AS i) tok
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sp
+    WHERE sp.doc_id = t.doc_id
+      AND tok.i >= sp.span_start
+      AND tok.i < sp.span_start + sp.span_len)
+), agg AS (
+  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS clean_text,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_tokens_kept, 0) AS n_tokens_kept,
+       CAST(len(t.t) AS BIGINT) - coalesce(a.n_tokens_kept, 0) AS n_tokens_removed
+FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+"""
+    )

@@ -260,6 +260,27 @@ def knn_exact_mips(sf_dir: str) -> str:
     return _knn_sql("dot", KNN_K, N_QUERIES)
 
 
+def knn_classify(sf_dir: str) -> str:
+    return f"""
+WITH nn AS ({_knn_sql("cosine", KNN_K, N_QUERIES)}),
+votes AS (
+  SELECT nn.query_id, e.label, COUNT(*) AS votes
+  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+  GROUP BY nn.query_id, e.label
+), pred AS (
+  SELECT query_id, label AS pred_label, votes FROM (
+    SELECT query_id, label, votes,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY votes DESC, label ASC) AS rn
+    FROM votes)
+  WHERE rn = 1
+)
+SELECT p.query_id, q.label AS true_label, p.pred_label, p.votes,
+       p.pred_label = q.label AS correct
+FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+"""
+
+
 def ann_recall(sf_dir: str) -> str:
     model = lsh_model_for(sf_dir)
     exact = _knn_sql("euclidean", KNN_K, N_QUERIES)

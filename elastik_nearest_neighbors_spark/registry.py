@@ -84,6 +84,12 @@ _QUERIES: dict[str, QueryFn] = {
     "bitsign_codes": pq.bitsign_codes,
     "ann_search_bitsign": pq.ann_search_bitsign,
     "ann_recall_bitsign": pq.ann_recall_bitsign,
+    # (2) NEW in r6: Lee et al. 2022 exact-substring span dedup (sliding
+    # windows → maximal duplicated spans → scrubbed corpus) + k-NN
+    # majority-vote classification over the exact-kNN kernel
+    "dup_spans": dedup.dup_spans,
+    "dup_span_scrub": dedup.dup_span_scrub,
+    "knn_classify": knn.knn_classify,
     # (3) the oldest never-re-gated greens (r3-era driver rows, 3 rounds
     # old at r6 start — the freshness-rotation tail):
     "doc_logprob": textops.doc_logprob,
@@ -96,18 +102,20 @@ _QUERIES: dict[str, QueryFn] = {
     "streaming_sessionize": ingest.streaming_sessionize,
     "streaming_dedup_state": ingest.streaming_dedup_state,
     "streaming_events_hourly": ingest.streaming_events_hourly,
-    "streaming_sessionize_append": ingest.streaming_sessionize_append,
-    "q7_volume_shipping": analytics.q7_volume_shipping,
-    "q10_returned_revenue": analytics.q10_returned_revenue,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
     # entries (measured r3/r4/r5: CORRECTNESS_r{03,04,05}.json each hold
     # 50 keys). Keep new/changed keys ABOVE this line and push an equal
     # number below; tests/test_gate_window.py enforces the placement.
     # -- r7 rotation queue, in priority order --
     # (a) any key whose code changes in r6 after this rotation was written
-    # (b) the remaining r3-era greens directly below (events_* block)
-    # (c) the r4-era greens (multimodal/LSH-serving/streaming/TPC-H head)
+    # (b) the three r3-era greens demoted late-r6 to make room for the
+    #     dup-span/knn_classify keys (directly below)
+    # (c) the remaining r3-era greens (events_* block)
+    # (d) the r4-era greens (multimodal/LSH-serving/streaming/TPC-H head)
     # -- r3-era greens not fitting the r6 window (next in line) --
+    "streaming_sessionize_append": ingest.streaming_sessionize_append,
+    "q7_volume_shipping": analytics.q7_volume_shipping,
+    "q10_returned_revenue": analytics.q10_returned_revenue,
     "q18_large_orders": analytics.q18_large_orders,
     "q13_customer_distribution": analytics.q13_customer_distribution,
     "q15_top_supplier": analytics.q15_top_supplier,
@@ -307,6 +315,9 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "lang_id": oracles_text.lang_id,
     "lang_confusion": oracles_text.lang_confusion,
     "boilerplate_scrub": oracles_text.boilerplate_scrub,
+    "dup_spans": oracles_text.dup_spans,
+    "dup_span_scrub": oracles_text.dup_span_scrub,
+    "knn_classify": oracles_vector.knn_classify,
     "quality_score": oracles_text.quality_score,
     "token_count": oracles_text.token_count,
     "doc_fingerprint": oracles_text.doc_fingerprint,

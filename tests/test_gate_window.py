@@ -59,6 +59,9 @@ EXPECTED_GATE_WINDOW = [
     "bitsign_codes",
     "ann_search_bitsign",
     "ann_recall_bitsign",
+    "dup_spans",
+    "dup_span_scrub",
+    "knn_classify",
     "doc_logprob",
     "ann_search_lsh_filtered",
     "events_rolling_7d",
@@ -69,9 +72,6 @@ EXPECTED_GATE_WINDOW = [
     "streaming_sessionize",
     "streaming_dedup_state",
     "streaming_events_hourly",
-    "streaming_sessionize_append",
-    "q7_volume_shipping",
-    "q10_returned_revenue",
 ]
 
 
@@ -90,7 +90,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 140 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 143 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 140
-    assert len(set(ks)) == 140
+    assert len(ks) == 143
+    assert len(set(ks)) == 143

@@ -1256,3 +1256,103 @@ def test_ivf_upsert_equals_rebuild_and_moves_vectors(spark):
     new_a = ivf.build_ivf_index(memb.where(changed), model).toPandas()
     merged = old_a.merge(new_a, on="vec_id", suffixes=("_old", "_new"))
     assert (merged.list_id_old != merged.list_id_new).any()
+
+
+def test_dup_spans_semantics(spark):
+    """Spans recomputed in plain python (stride-1 windows, corpus freq ≥ 2,
+    maximal-merge) match the operator exactly, and span_text is the literal
+    token slice."""
+    from elastik_nearest_neighbors_spark.constants import DUPSPAN_MIN_FREQ, DUPSPAN_W
+    from elastik_nearest_neighbors_spark.operators import dedup
+
+    docs = io.table(spark, SF_SMALL, "documents").select("doc_id", "text").toPandas()
+    toks = {r.doc_id: r.text.split(" ") for _, r in docs.iterrows()}
+    freq: dict[str, int] = {}
+    wins: dict[int, list[int]] = {}
+    for doc_id, t in toks.items():
+        ps = list(range(0, max(len(t) - DUPSPAN_W + 1, 0)))
+        wins[doc_id] = ps
+        for p in ps:
+            w = " ".join(t[p : p + DUPSPAN_W])
+            freq[w] = freq.get(w, 0) + 1
+    expect = set()
+    for doc_id, t in toks.items():
+        dup = [
+            p
+            for p in wins[doc_id]
+            if freq[" ".join(t[p : p + DUPSPAN_W])] >= DUPSPAN_MIN_FREQ
+        ]
+        spans: list[list[int]] = []
+        for p in dup:
+            # merge iff the new window touches/overlaps the island's
+            # coverage: p <= max_prev_pos + W
+            if spans and p <= spans[-1][1] + DUPSPAN_W:
+                spans[-1][1] = max(spans[-1][1], p)
+            else:
+                spans.append([p, p])
+        for s, e in spans:
+            ln = e + DUPSPAN_W - s
+            expect.add((doc_id, s, ln, " ".join(t[s : s + ln])))
+    out = dedup.dup_spans(spark, SF_SMALL).toPandas()
+    got = {
+        (r.doc_id, r.span_start, r.span_len, r.span_text) for _, r in out.iterrows()
+    }
+    assert got == expect
+    assert len(got) > 0  # the threshold actually fires at sf0.001
+
+
+def test_dup_span_scrub_reconciles(spark):
+    """clean_text is exactly the tokens no span covers (original order),
+    counts reconcile to doc length, and every doc emits a row."""
+    from elastik_nearest_neighbors_spark.operators import dedup
+
+    docs = io.table(spark, SF_SMALL, "documents").select("doc_id", "text").toPandas()
+    spans = dedup.dup_spans(spark, SF_SMALL).toPandas()
+    out = dedup.dup_span_scrub(spark, SF_SMALL).toPandas().set_index("doc_id")
+    assert set(out.index) == set(docs.doc_id)
+    by_doc = spans.groupby("doc_id")
+    for _, r in docs.iterrows():
+        t = r.text.split(" ")
+        covered = set()
+        if r.doc_id in by_doc.groups:
+            for _, s in by_doc.get_group(r.doc_id).iterrows():
+                covered.update(range(s.span_start, s.span_start + s.span_len))
+        kept = [tk for i, tk in enumerate(t) if i not in covered]
+        row = out.loc[r.doc_id]
+        assert row.clean_text == " ".join(kept)
+        assert row.n_tokens_kept == len(kept)
+        assert row.n_tokens_removed == len(t) - len(kept)
+    assert (out.n_tokens_removed > 0).any()
+
+
+def test_knn_classify_matches_numpy_vote(spark):
+    """Prediction equals a numpy brute-force cosine top-k majority vote with
+    the same (votes desc, label asc) tie-break."""
+    from elastik_nearest_neighbors_spark.constants import KNN_K, N_QUERIES
+    from elastik_nearest_neighbors_spark.operators import knn as knn_ops
+
+    emb = io.table(spark, SF_SMALL, "embeddings").toPandas()
+    vecs = np.array(emb.embedding.tolist(), dtype=np.float64)
+    ids = emb.vec_id.to_numpy()
+    labels = dict(zip(emb.vec_id, emb.label))
+    norms = np.linalg.norm(vecs, axis=1)
+    out = (
+        knn_ops.knn_classify(spark, SF_SMALL).toPandas().set_index("query_id")
+    )
+    assert len(out) == N_QUERIES
+    for q in range(N_QUERIES):
+        qi = int(np.where(ids == q)[0][0])
+        cos = (vecs @ vecs[qi]) / (norms * norms[qi])
+        cos = np.round(cos, 6)
+        order = sorted(
+            [(i, c) for i, c in zip(ids, cos) if i != q],
+            key=lambda x: (-x[1], x[0]),
+        )[:KNN_K]
+        counts: dict[int, int] = {}
+        for i, _ in order:
+            counts[labels[i]] = counts.get(labels[i], 0) + 1
+        pred, votes = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        row = out.loc[q]
+        assert row.pred_label == pred and row.votes == votes
+        assert row.true_label == labels[q]
+        assert row.correct == (pred == labels[q])
