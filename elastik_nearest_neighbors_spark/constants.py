@@ -60,10 +60,10 @@ INCR_MOD = 7
 # Makes Language Models Better") exact-substring span dedup, re-expressed as
 # sliding DUPSPAN_W-token windows (stride 1 — unlike boilerplate_scrub's
 # disjoint segments, so maximal duplicated regions are recovered, not just
-# aligned ones). A window occurring >= DUPSPAN_MIN_FREQ times corpus-wide
+# aligned ones). A window occurring ≥ DUPSPAN_MIN_FREQ times corpus-wide
 # (same doc or not) marks its positions duplicated; overlapping/touching
 # positions merge into maximal spans. W=12 at the gate SFs keeps a healthy
-# non-trivial population (~1.9k dup positions -> ~900 dup windows at sf0.01,
+# non-trivial population (~1.9k dup positions → ~900 dup windows at sf0.01,
 # measured) while staying well under typical doc length (~32 tokens).
 DUPSPAN_W = 12
 DUPSPAN_MIN_FREQ = 2
@@ -336,17 +336,24 @@ GRAPH_SWEEP_HOPS = 2
 BEAM_WIDTH = 16
 BEAM_ROUNDS = 4
 # r6: dedup_semantic path choice on duplicated corpora. The r5 switch was
-# binary (any duplication → join-expansion), but the r6 final sweep
-# measured the join path 4× SLOWER than numpy emission at sf100 (2M rows,
-# 1000× dup: 211 s vs ~51 s) — the pandas path only breaks when a single
-# list's emitted frame outgrows memory. Route on the ESTIMATED per-list
-# answer size instead: est pairs ≈ n²/(2·distinct) spread over the build
-# quantizer's list count; below this bound a list's frame stays ≤ ~5 GB
-# (1.5e8 pairs × 32 B) and the numpy emission wins, above it the answer
-# must materialize through the JVM join expansion. sf100 → ~6e7/list
-# (pandas), 20M×1000dup → ~6e9/list (join). Forced in tests via
-# monkeypatch (-1 = always join) so both paths stay property-tested.
-SEMDEDUP_LIST_PAIRS_MAX = 150_000_000
+# binary (any duplication → join-expansion); mid-r6 flipped it to a
+# per-list frame-size bound after a warm-state measurement showed the
+# numpy emission at ~51 s vs join 211 s at sf100. The r6 FINAL sweep
+# (cold sessions, controlled A/B against the r5 tree on identical data)
+# REVERSED that: sf100's 1.1e9-pair answer took 445–768 s through the
+# pandas emission (the whole answer materializes in Python workers and
+# re-enters the JVM through Arrow — fault-bound on this microVM and
+# wildly variance-prone) vs a stable 213 s through the join expansion
+# (value-level pairs leave pandas at u-scale; the answer only ever
+# exists inside whole-stage codegen). The bound is therefore on the
+# TOTAL estimated answer (n²/2·distinct), not per-list: measured rates
+# (pandas ≈ 1.8M pairs/s worst-case-cold, join ≈ 5.2M pairs/s + ~45 s
+# fixed overhead for its two extra corpus joins) cross at ~1.2e8 pairs.
+# Below 1e8 the pandas path wins (and a 2×-duplicated corpus — est ≈ n —
+# stays pandas up to 100M rows); above it the join expansion engages.
+# Forced in tests via monkeypatch (-1 = always join) so both paths stay
+# property-tested bit-identical.
+SEMDEDUP_PANDAS_PAIRS_MAX = 100_000_000
 SQ8_LEVELS = 255  # int8 scalar quantization: 256 levels per dimension
 ZSCORE_TAU = 3.0  # events_anomaly |z| threshold
 

@@ -1058,27 +1058,24 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     key count is the distinct-vector count, so the answer materializes
     across the whole cluster in whole-stage codegen.
 
-    Path choice (r6, refined from r5's binary has-duplicates switch): the
-    join expansion costs ~4× the numpy emission where both fit (sf100
-    measured 211 s vs ~51 s), so it engages only when the ESTIMATED
-    per-list answer — n²/(2·distinct) over the build quantizer's lists —
-    exceeds SEMDEDUP_LIST_PAIRS_MAX (the frame-size bound that actually
-    breaks the pandas path). Both paths are bit-identical
-    (property-tested, both directions forced).
+    Path choice (r6 final sweep, reversing a mid-r6 warm-state reading):
+    the pandas emission materializes the WHOLE answer in Python workers
+    and ships it back through Arrow — at sf100's 1.1e9 pairs that is
+    445–768 s (cold, fault-bound, high-variance) vs a stable 213 s for
+    the join expansion, whose answer only ever exists in whole-stage
+    codegen. The join path's two extra corpus joins cost ~45 s fixed, so
+    it engages when the ESTIMATED TOTAL answer — n²/(2·distinct) —
+    exceeds SEMDEDUP_PANDAS_PAIRS_MAX (~the measured rate crossover).
+    Both paths are bit-identical (property-tested, both directions
+    forced).
 
     Output: (list_id, vec_a, vec_b, cosine) with cosine ≥ SEMDEDUP_TAU."""
-    from ..constants import (
-        GRAPH_LIST_TARGET,
-        IVF_NLIST,
-        SEMDEDUP_LIST_PAIRS_MAX,
-        SEMDEDUP_TAU,
-    )
+    from ..constants import SEMDEDUP_PANDAS_PAIRS_MAX, SEMDEDUP_TAU
 
     mem = _single_list_members(spark, sf_dir)
     n_rows, n_distinct = corpus_counts(sf_dir)
     est_pairs = n_rows * n_rows // (2 * max(1, n_distinct))
-    nlist = max(IVF_NLIST, n_distinct // GRAPH_LIST_TARGET)
-    if n_distinct == n_rows or est_pairs // nlist <= SEMDEDUP_LIST_PAIRS_MAX:
+    if n_distinct == n_rows or est_pairs <= SEMDEDUP_PANDAS_PAIRS_MAX:
 
         def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
             lid = int(pdf["list_id"].iloc[0])

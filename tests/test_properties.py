@@ -420,7 +420,7 @@ def test_dedup_semantic_join_expansion_equals_pandas_path(spark, tmp_path, monke
     """On a duplicated corpus, dedup_semantic's join-expansion path must
     emit exactly the rows of the legacy per-list pandas path (which the
     collapse property test ties to brute force). The r6 switch keys off
-    the estimated per-list answer size vs SEMDEDUP_LIST_PAIRS_MAX, so the
+    the estimated TOTAL answer size vs SEMDEDUP_PANDAS_PAIRS_MAX, so the
     join path is forced by driving that bound to -1 (and the pandas path
     by the default bound, far above this corpus's estimate)."""
     import numpy as np
@@ -465,7 +465,7 @@ def test_dedup_semantic_join_expansion_equals_pandas_path(spark, tmp_path, monke
     ivf._CORPUS_COUNTS_CACHE[sf_dir] = (n, distinct)
     legacy = ivf.dedup_semantic(spark, sf_dir).toPandas()
     # forced join-expansion path: bound of -1 fails every estimate
-    monkeypatch.setattr(constants, "SEMDEDUP_LIST_PAIRS_MAX", -1)
+    monkeypatch.setattr(constants, "SEMDEDUP_PANDAS_PAIRS_MAX", -1)
     joined = ivf.dedup_semantic(spark, sf_dir).toPandas()
     ivf._CORPUS_COUNTS_CACHE.pop(sf_dir, None)
 
