@@ -77,6 +77,8 @@ HEADLINE = [
     "dup_spans",
     "dup_span_scrub",
     "knn_classify",
+    "ann_recall_families",
+    "dedup_report",
     "lang_id",
     "lang_confusion",
     "quality_score",

@@ -485,6 +485,52 @@ def dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #145: the per-source corpus-duplication DASHBOARD — the
+    corpus-health twin of index_stats (index health). One row per source
+    with the numbers a curation operator reads before choosing thresholds:
+    how much of each source is exact-duplicate mass, how much near-dup
+    mass (minhash-canonical, same keep/drop rule the pipeline applies),
+    and the token volume at stake.
+
+    Plan: one narrow docs scan computes (source, md5, token count) per
+    doc; the near-dup side joins dedup_minhash_canonical on doc_id (its
+    cost IS the minhash pipeline, shared bucketing and all); one groupBy
+    on the KB-sized source key space with map-side combine. A doc counts
+    as near-dup when its canonical is another doc — attribution is to
+    the doc's OWN source even when the canonical lives elsewhere (the
+    drop happens in this source; cross-source pairs are why source_mix
+    exists).
+
+    Output: (source, n_docs, exact_dup_docs, near_dup_docs, tokens_total,
+    near_dup_ratio)."""
+    docs = _docs(spark, sf_dir)
+    canon = dedup_minhash_canonical(spark, sf_dir).select(
+        "doc_id", "canonical_id"
+    )
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    ).join(canon, "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("exact_dup_docs"),
+        F.sum(
+            F.when(F.col("canonical_id") != F.col("doc_id"), 1).otherwise(0)
+        ).alias("near_dup_docs"),
+        F.sum("n_tok").cast("long").alias("tokens_total"),
+        F.round(
+            F.sum(
+                F.when(F.col("canonical_id") != F.col("doc_id"), 1).otherwise(0)
+            )
+            / F.count(F.lit(1)),
+            4,
+        ).alias("near_dup_ratio"),
+    )
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL near-dedup — the curation step a growing corpus runs
     daily: a small NEW batch (doc_id % INCR_MOD == 0, the synthetic delta,

@@ -846,6 +846,54 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_recall_families(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #144: the cross-FAMILY quality dashboard — mean recall@k
+    of every ANN family at its gated configuration, one row per family,
+    in ONE result set. This is the table an index operator reads to pick
+    a family for a deployment (the per-family recall keys grade each
+    family alone; this one makes the comparison a query instead of a
+    spreadsheet).
+
+    Cost shape: all families share the ONE cached exact ground truth
+    (exact_ground_truth's localCheckpoint) and the cached quantizer/LSH
+    models, so the plan is the union of the family SEARCHES only; each
+    branch's output is Q rows and the union is KB-sized.
+
+    Mean = decimal-exact sum of the 4-decimal per-query recalls divided
+    by the query count in double — bit-stable across engines (same DEC
+    route as the money aggregates).
+
+    Output: (family, recall) — one row per family, recall rounded 4."""
+    from . import graph, ivf, pq
+
+    fams: list[tuple[str, DataFrame]] = [
+        ("lsh", ann_recall_q(spark, sf_dir)),
+        ("lsh_multiprobe", ann_recall_lsh_multiprobe(spark, sf_dir)),
+        ("ivf", ivf.ann_recall_ivf_q(spark, sf_dir)),
+        ("pq", pq.ann_recall_pq(spark, sf_dir)),
+        ("ivfpq", pq.ann_recall_ivfpq(spark, sf_dir)),
+        ("ivfpq_refined", pq.ann_recall_ivfpq_refined(spark, sf_dir)),
+        ("sq8", pq.ann_recall_sq8(spark, sf_dir)),
+        ("graph", graph.ann_recall_graph_q(spark, sf_dir)),
+        ("graph_beam", graph.ann_recall_graph_beam_q(spark, sf_dir)),
+        ("matryoshka", ann_recall_matryoshka(spark, sf_dir)),
+        ("bitsign", pq.ann_recall_bitsign(spark, sf_dir)),
+    ]
+    parts = [
+        df.select(F.lit(name).alias("family"), "recall") for name, df in fams
+    ]
+    un = parts[0]
+    for p in parts[1:]:
+        un = un.unionAll(p)
+    return un.groupBy("family").agg(
+        F.round(
+            F.sum(F.col("recall").cast("decimal(10,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("recall")
+    )
+
+
 def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #143: k-NN majority-vote label prediction for the query
     batch — the classification consumer of the exact-kNN kernel (the

@@ -957,6 +957,28 @@ FROM tot t LEFT JOIN agg a ON a.doc_id = t.doc_id
 """
 
 
+def dedup_report(sf_dir: str) -> str:
+    canon = dedup_minhash_canonical(sf_dir)
+    return f"""
+WITH canon AS ({canon}),
+d AS (
+  SELECT doc_id, source, md5(text) AS h,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT d.h) AS BIGINT) AS exact_dup_docs,
+       CAST(SUM(CASE WHEN c.canonical_id <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS near_dup_docs,
+       CAST(SUM(d.n_tok) AS BIGINT) AS tokens_total,
+       round(CAST(SUM(CASE WHEN c.canonical_id <> d.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 4) AS near_dup_ratio
+FROM d JOIN canon c ON c.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 def _dup_span_cte() -> str:
     """Shared CTE chain for the Lee-et-al span dedup twins: stride-1
     W-token windows → corpus-frequency filter → gaps-and-islands merge

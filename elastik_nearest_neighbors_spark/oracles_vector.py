@@ -260,6 +260,32 @@ def knn_exact_mips(sf_dir: str) -> str:
     return _knn_sql("dot", KNN_K, N_QUERIES)
 
 
+def ann_recall_families(sf_dir: str) -> str:
+    fams = [
+        ("lsh", ann_recall(sf_dir)),
+        ("lsh_multiprobe", ann_recall_lsh_multiprobe(sf_dir)),
+        ("ivf", ann_recall_ivf(sf_dir)),
+        ("pq", ann_recall_pq(sf_dir)),
+        ("ivfpq", ann_recall_ivfpq(sf_dir)),
+        ("ivfpq_refined", ann_recall_ivfpq_refined(sf_dir)),
+        ("sq8", ann_recall_sq8(sf_dir)),
+        ("graph", ann_recall_graph(sf_dir)),
+        ("graph_beam", ann_recall_graph_beam(sf_dir)),
+        ("matryoshka", ann_recall_matryoshka(sf_dir)),
+        ("bitsign", ann_recall_bitsign(sf_dir)),
+    ]
+    union = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS family, recall FROM ({sql})" for name, sql in fams
+    )
+    return f"""
+SELECT family,
+       round(CAST(SUM(CAST(recall AS DECIMAL(10,4))) AS DOUBLE) / COUNT(*), 4)
+         AS recall
+FROM ({union})
+GROUP BY family
+"""
+
+
 def knn_classify(sf_dir: str) -> str:
     return f"""
 WITH nn AS ({_knn_sql("cosine", KNN_K, N_QUERIES)}),

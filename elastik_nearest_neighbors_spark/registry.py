@@ -90,6 +90,10 @@ _QUERIES: dict[str, QueryFn] = {
     "dup_spans": dedup.dup_spans,
     "dup_span_scrub": dedup.dup_span_scrub,
     "knn_classify": knn.knn_classify,
+    # (2) NEW in r6: the two operator dashboards — cross-family recall at
+    # the gated budgets, and per-source corpus-duplication health
+    "ann_recall_families": knn.ann_recall_families,
+    "dedup_report": dedup.dedup_report,
     # (3) the oldest never-re-gated greens (r3-era driver rows, 3 rounds
     # old at r6 start — the freshness-rotation tail):
     "doc_logprob": textops.doc_logprob,
@@ -100,19 +104,19 @@ _QUERIES: dict[str, QueryFn] = {
     "semantic_doc_search": knn.semantic_doc_search,
     "streaming_sliding_window": ingest.streaming_sliding_window,
     "streaming_sessionize": ingest.streaming_sessionize,
-    "streaming_dedup_state": ingest.streaming_dedup_state,
-    "streaming_events_hourly": ingest.streaming_events_hourly,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
     # entries (measured r3/r4/r5: CORRECTNESS_r{03,04,05}.json each hold
     # 50 keys). Keep new/changed keys ABOVE this line and push an equal
     # number below; tests/test_gate_window.py enforces the placement.
     # -- r7 rotation queue, in priority order --
     # (a) any key whose code changes in r6 after this rotation was written
-    # (b) the three r3-era greens demoted late-r6 to make room for the
-    #     dup-span/knn_classify keys (directly below)
+    # (b) the five r3-era greens demoted late-r6 to make room for the
+    #     dup-span/knn_classify/dashboard keys (directly below)
     # (c) the remaining r3-era greens (events_* block)
     # (d) the r4-era greens (multimodal/LSH-serving/streaming/TPC-H head)
     # -- r3-era greens not fitting the r6 window (next in line) --
+    "streaming_dedup_state": ingest.streaming_dedup_state,
+    "streaming_events_hourly": ingest.streaming_events_hourly,
     "streaming_sessionize_append": ingest.streaming_sessionize_append,
     "q7_volume_shipping": analytics.q7_volume_shipping,
     "q10_returned_revenue": analytics.q10_returned_revenue,
@@ -318,6 +322,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "dup_spans": oracles_text.dup_spans,
     "dup_span_scrub": oracles_text.dup_span_scrub,
     "knn_classify": oracles_vector.knn_classify,
+    "ann_recall_families": oracles_vector.ann_recall_families,
+    "dedup_report": oracles_text.dedup_report,
     "quality_score": oracles_text.quality_score,
     "token_count": oracles_text.token_count,
     "doc_fingerprint": oracles_text.doc_fingerprint,

@@ -62,6 +62,8 @@ EXPECTED_GATE_WINDOW = [
     "dup_spans",
     "dup_span_scrub",
     "knn_classify",
+    "ann_recall_families",
+    "dedup_report",
     "doc_logprob",
     "ann_search_lsh_filtered",
     "events_rolling_7d",
@@ -70,8 +72,6 @@ EXPECTED_GATE_WINDOW = [
     "semantic_doc_search",
     "streaming_sliding_window",
     "streaming_sessionize",
-    "streaming_dedup_state",
-    "streaming_events_hourly",
 ]
 
 
@@ -90,7 +90,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 143 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 145 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 143
-    assert len(set(ks)) == 143
+    assert len(ks) == 145
+    assert len(set(ks)) == 145
