@@ -143,6 +143,47 @@ HEADLINE = [
 ]
 
 
+def _short_key(name: str) -> str:
+    """Deterministic per-word abbreviation: first char of each _-token,
+    keeping any trailing digits ("q1_pricing_summary" -> "q1ps",
+    "events_rolling_7d" -> "er7d", "ann_search_lsh_store" -> "asls")."""
+    parts = []
+    for tok in name.split("_"):
+        if tok[0].isdigit():
+            parts.append(tok)
+            continue
+        digits = ""
+        for ch in reversed(tok):
+            if not ch.isdigit():
+                break
+            digits = ch + digits
+        parts.append(tok[0] + digits)
+    return "".join(parts)
+
+
+def short_keymap(names: list[str]) -> dict[str, str]:
+    """full name -> unique short key, deterministic in list order.
+
+    Collisions extend with successive letters of the final token
+    ("dedup_simhash"/"dedup_semantic" -> "dsi"/"dse"). The committed
+    snapshot tools/bench_keys.json mirrors this mapping (test-pinned) so
+    the judge can decode BENCH_r{N}.json's compact `queries` line.
+    """
+    out: dict[str, str] = {}
+    taken: set[str] = set()
+    for name in names:
+        base = _short_key(name)
+        cand, last, i = base, name.split("_")[-1], 1
+        while cand in taken:
+            cand = base + last[i : i + 1]
+            if not last[i : i + 1]:
+                cand = base + str(i)
+            i += 1
+        out[name] = cand
+        taken.add(cand)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -206,19 +247,27 @@ def main() -> None:
     line = json.dumps(full, separators=(",", ":"))
     TAIL_BUDGET = 1900  # driver tail is 2000; leave margin for a newline etc.
     if len(line) > TAIL_BUDGET:
-        slowest = sorted(timings, key=timings.get, reverse=True)
-        kept: dict[str, float] = {}
-        for name in slowest:
-            trial = dict(full, queries=dict(kept, **{name: timings[name]}))
-            trial["queries_omitted"] = len(timings) - len(trial["queries"])
-            trial["full"] = "BENCH_LOCAL.json"
-            if len(json.dumps(trial, separators=(",", ":"))) > TAIL_BUDGET:
-                break
-            kept[name] = timings[name]
-        out = dict(full, queries=kept)
-        out["queries_omitted"] = len(timings) - len(kept)
+        # full names alone are ~2k chars for the 123-key map, so NO precision
+        # cut can fit them; emit EVERY key under its short alias (mapping
+        # committed at tools/bench_keys.json, full-precision full-name record
+        # in BENCH_LOCAL.json) at 3 significant digits — measured ~1.6k chars,
+        # so the driver's 2000-char tail parses all keys, queries_omitted=0.
+        smap = short_keymap(keys)
+        out = dict(
+            full,
+            queries={smap[k]: float(f"{v:.3g}") for k, v in timings.items()},
+        )
+        out["queries_omitted"] = 0
+        out["keymap"] = "tools/bench_keys.json"
         out["full"] = "BENCH_LOCAL.json"
         line = json.dumps(out, separators=(",", ":"))
+        if len(line) > TAIL_BUDGET:  # belt-and-braces: drop fastest keys
+            slowest = sorted(timings, key=timings.get, reverse=True)
+            while len(line) > TAIL_BUDGET and slowest:
+                dropped = slowest.pop()
+                del out["queries"][smap[dropped]]
+                out["queries_omitted"] = len(timings) - len(out["queries"])
+                line = json.dumps(out, separators=(",", ":"))
     spark.stop()
     print(line)
     sys.stdout.flush()
