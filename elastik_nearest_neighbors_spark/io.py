@@ -31,6 +31,72 @@ def is_uri(path: str) -> bool:
     return "://" in path or path.startswith("file:")
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for any Hadoop-supported scheme."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), hpath
+
+
+def fs_join(base: str, *parts: str) -> str:
+    """Path join that stays correct for scheme-addressed paths: URIs always
+    separate with '/', never the platform separator."""
+    if is_uri(base):
+        return "/".join([base.rstrip("/"), *parts])
+    return os.path.join(base, *parts)
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check for any scheme. Bare local paths skip the JVM
+    round-trip (this runs on every store-search marker probe)."""
+    if is_uri(path):
+        fs, hpath = _hadoop_fs(spark, path)
+        return bool(fs.exists(hpath))
+    return os.path.exists(path)
+
+
+def fs_isdir(spark: SparkSession, path: str) -> bool:
+    if is_uri(path):
+        fs, hpath = _hadoop_fs(spark, path)
+        return bool(fs.exists(hpath)) and bool(fs.getFileStatus(hpath).isDirectory())
+    return os.path.isdir(path)
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    """Recursive delete, silent if absent — the upsert ops' emptied-partition
+    removal, portable to object stores (shutil.rmtree would no-op against
+    s3a:// and leave stale index files serving deleted vectors)."""
+    if is_uri(path):
+        fs, hpath = _hadoop_fs(spark, path)
+        fs.delete(hpath, True)
+        return
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def fs_touch(spark: SparkSession, path: str) -> None:
+    """Create an empty marker file (parents created), any scheme."""
+    if is_uri(path):
+        fs, hpath = _hadoop_fs(spark, path)
+        fs.create(hpath, True).close()
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    open(path, "w").close()
+
+
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    if is_uri(path):
+        fs, hpath = _hadoop_fs(spark, path)
+        out = fs.create(hpath, True)
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        fh.write(text)
+
+
 def _input_bytes(path: str, spark: SparkSession | None = None) -> int:
     """Total bytes under `path`, for ANY Hadoop-supported scheme.
 
@@ -106,12 +172,22 @@ _TMP_DIRS: dict[tuple[str, str], str] = {}
 
 
 def scratch_dir(kind: str, sf_dir: str) -> str:
+    """ENN_SCRATCH_URI reroutes every persisted store under a scheme-
+    addressed base (file:///..., s3a://bucket/...) — the cluster-deployment
+    seam, and the test hook proving the maintenance ops (upsert marker /
+    emptied-dir deletion) run through the Hadoop FS layer, not os/shutil."""
     import tempfile
+    import uuid
 
     key = (kind, sf_dir)
     d = _TMP_DIRS.get(key)
     if d is None:
-        d = _TMP_DIRS[key] = tempfile.mkdtemp(prefix=f"enn_{kind}_")
+        base = os.environ.get("ENN_SCRATCH_URI", "")
+        if base:
+            d = fs_join(base, f"enn_{kind}_{uuid.uuid4().hex[:8]}")
+        else:
+            d = tempfile.mkdtemp(prefix=f"enn_{kind}_")
+        _TMP_DIRS[key] = d
     return d
 
 

@@ -520,8 +520,8 @@ def ann_search_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     model = model_for(sf_dir)
     emb = _emb(spark, sf_dir)
-    out = os.path.join(io.scratch_dir("graph_store", sf_dir), "data")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    out = io.fs_join(io.scratch_dir("graph_store", sf_dir), "data")
+    if not io.fs_exists(spark, io.fs_join(out, "_SUCCESS")):
         save_graph_edges(graph_edges(spark, sf_dir), out)
 
     queries = emb.where(F.col("vec_id") < N_QUERIES)

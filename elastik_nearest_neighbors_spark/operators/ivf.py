@@ -949,8 +949,8 @@ def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     # one persisted copy per (process, sf_dir): bench/gate repeats reuse it
     # instead of leaking a fresh /tmp index per invocation
-    out = os.path.join(io.scratch_dir("ivf_store", sf_dir), "data")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    out = io.fs_join(io.scratch_dir("ivf_store", sf_dir), "data")
+    if not io.fs_exists(spark, io.fs_join(out, "_SUCCESS")):
         save_ivf_index(build_ivf_index(emb, model), out)
     return _search_ivf_store(spark, out, model, emb)
 
@@ -1074,6 +1074,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mem = _single_list_members(spark, sf_dir)
     n_rows, n_distinct = corpus_counts(sf_dir)
+    # TOTAL-answer bound, assuming duplication spreads ~evenly across IVF
+    # lists (true for replicated corpora; a skewed corpus — one huge
+    # duplicate class among singletons — can concentrate most pairs in one
+    # list's pandas frame). The 1e8 ceiling caps that worst case at ~3.2 GB
+    # per frame, inside executor memory; corpora expected to be BOTH heavily
+    # duplicated and heavily skewed should lower SEMDEDUP_PANDAS_PAIRS_MAX.
     est_pairs = n_rows * n_rows // (2 * max(1, n_distinct))
     if n_distinct == n_rows or est_pairs <= SEMDEDUP_PANDAS_PAIRS_MAX:
 
@@ -1366,8 +1372,6 @@ def ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     both the leave and the arrive side of the patch are exercised.
 
     Output: (query_id, neighbor_id, list_id, distance)."""
-    import shutil
-
     from ..constants import UPSERT_MOD
     from ..sources.index_store import save_ivf_index
     from .knn import _updated_emb
@@ -1376,11 +1380,11 @@ def ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     memb = _updated_emb(spark, sf_dir)
     out = io.scratch_dir("ivf_upsert", sf_dir)
-    store = os.path.join(out, "data")
-    marker = os.path.join(out, "UPSERTED")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+    store = io.fs_join(out, "data")
+    marker = io.fs_join(out, "UPSERTED")
+    if not io.fs_exists(spark, io.fs_join(store, "_SUCCESS")):
         save_ivf_index(build_ivf_index(emb, model), store)
-    if not os.path.exists(marker):
+    if not io.fs_exists(spark, marker):
         changed = F.col("vec_id") % UPSERT_MOD == 0
         old_a = build_ivf_index(emb.where(changed), model)
         new_a = build_ivf_index(memb.where(changed), model)
@@ -1417,6 +1421,6 @@ def ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         for lid in parts:
             if lid not in live:
-                shutil.rmtree(os.path.join(store, f"list_id={lid}"), ignore_errors=True)
-        open(marker, "w").close()
+                io.fs_delete(spark, io.fs_join(store, f"list_id={lid}"))
+        io.fs_touch(spark, marker)
     return _search_ivf_store(spark, store, model, memb)

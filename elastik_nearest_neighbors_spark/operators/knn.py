@@ -680,13 +680,11 @@ def ann_search_lsh_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     proving the pruned store path is lossless (mirror of ann_search_ivf_store
     for the IVF family). At 100 TB a batch of Q queries touches ≤ Q·T of
     the T·n_buckets directories instead of the whole index."""
-    import os
-
     from ..sources.index_store import save_lsh_index
 
     out = io.scratch_dir("lsh_store", sf_dir)
-    store = os.path.join(out, "data")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+    store = io.fs_join(out, "data")
+    if not io.fs_exists(spark, io.fs_join(store, "_SUCCESS")):
         save_lsh_index(lsh_index(spark, sf_dir), store)
     return search_lsh_store(spark, sf_dir, store)
 
@@ -726,8 +724,6 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is the daily reality of an index: a delta of D changed
     vectors touches ≤ D·T directories of the T·n_buckets total."""
-    import os
-
     from ..sources.index_store import DEFAULT_HASH_BUCKETS, save_lsh_index
     from ..constants import UPSERT_MOD
 
@@ -735,11 +731,11 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = _model_for(emb, sf_dir)
     memb = _updated_emb(spark, sf_dir)
     out = io.scratch_dir("lsh_upsert", sf_dir)
-    store = os.path.join(out, "data")
-    marker = os.path.join(out, "UPSERTED")
-    if not os.path.exists(os.path.join(store, "_SUCCESS")):
+    store = io.fs_join(out, "data")
+    marker = io.fs_join(out, "UPSERTED")
+    if not io.fs_exists(spark, io.fs_join(store, "_SUCCESS")):
         save_lsh_index(lsh_index(spark, sf_dir), store)
-    if not os.path.exists(marker):
+    if not io.fs_exists(spark, marker):
         changed_old = explode_hashes(
             build_index(emb.where(F.col("vec_id") % UPSERT_MOD == 0), model),
             "vec_id",
@@ -806,16 +802,11 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        import shutil
-
         live_keys = {(int(x), int(y)) for x, y in live}
         for t, b in parts:
             if (int(t), int(b)) not in live_keys:
-                shutil.rmtree(
-                    os.path.join(store, f"tbl={t}", f"bucket={b}"),
-                    ignore_errors=True,
-                )
-        open(marker, "w").close()
+                io.fs_delete(spark, io.fs_join(store, f"tbl={t}", f"bucket={b}"))
+        io.fs_touch(spark, marker)
     return search_lsh_store(spark, sf_dir, store, emb=memb)
 
 

@@ -303,8 +303,8 @@ def ann_search_ivfpq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ivf import probe_pairs
 
     emb = _emb(spark, sf_dir)
-    out = os.path.join(io.scratch_dir("ivfpq_store", sf_dir), "data")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    out = io.fs_join(io.scratch_dir("ivfpq_store", sf_dir), "data")
+    if not io.fs_exists(spark, io.fs_join(out, "_SUCCESS")):
         # (vec_id, m, code, list_id): the compressed index rows carry their
         # list so the store needs no side lookup at query time
         rows = pq_codes(spark, sf_dir).join(list_assignments(spark, sf_dir), "vec_id")

@@ -82,10 +82,12 @@ def load_lsh_partitions(
     for t, b in parts:
         c = (F.col("tbl") == int(t)) & (F.col("bucket") == int(b))
         pred = c if pred is None else pred | c
-    dirs = [os.path.join(path, f"tbl={int(t)}", f"bucket={int(b)}") for t, b in parts]
+    from .. import io
+
+    dirs = [io.fs_join(path, f"tbl={int(t)}", f"bucket={int(b)}") for t, b in parts]
     # a probed bucket may simply have no indexed rows → no directory; at
     # scale this existence check reads the write manifest, not the fs
-    dirs = [d for d in dirs if os.path.isdir(d)]
+    dirs = [d for d in dirs if io.fs_isdir(spark, d)]
     if not dirs:
         return spark.createDataFrame([], "vec_id bigint, tbl int, hash bigint")
     return (

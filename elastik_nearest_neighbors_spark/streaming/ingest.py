@@ -46,10 +46,8 @@ STREAM_SPLIT_FILES = 4
 def _split_source(batch: DataFrame, out: str, n: int = STREAM_SPLIT_FILES) -> str:
     """Write `batch` once as n parquet files under `out`/src and return the
     path — the stand-in for a directory that accumulated n ingest drops."""
-    import os
-
     src_dir = f"{out}/src"
-    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+    if not io.fs_exists(batch.sparkSession, io.fs_join(src_dir, "_SUCCESS")):
         batch.repartition(n).write.mode("overwrite").parquet(src_dir)
     return src_dir
 
@@ -57,9 +55,17 @@ def _split_source(batch: DataFrame, out: str, n: int = STREAM_SPLIT_FILES) -> st
 def _record_batches(q, out: str) -> None:
     """Persist how many non-empty micro-batches the FIRST build ran (the
     checkpointed re-invocation is a no-op and must not overwrite it)."""
+    path = io.fs_join(out, "NUM_BATCHES")
+    if io.is_uri(out):
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if not io.fs_exists(spark, path):
+            n = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+            io.fs_write_text(spark, path, str(n))
+        return
     import os
 
-    path = os.path.join(out, "NUM_BATCHES")
     if not os.path.exists(path):
         n = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
         with open(path, "w") as fh:
@@ -177,15 +183,13 @@ def streaming_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the compacted store returns exactly the batch ann_search_lsh result,
     which is this entry's oracle. tests assert the one-file-per-directory
     invariant."""
-    import os
-
     from ..operators.knn import search_lsh_store
     from ..sources.index_store import compact_lsh_store
 
     store = _ensure_stream_store(spark, sf_dir)
     cout = io.scratch_dir("lsh_stream_store_compact", sf_dir)
     compacted = f"{cout}/data"
-    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+    if not io.fs_exists(spark, io.fs_join(compacted, "_SUCCESS")):
         compact_lsh_store(spark, store, compacted)
     return search_lsh_store(spark, sf_dir, compacted)
 

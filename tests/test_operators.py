@@ -1356,3 +1356,67 @@ def test_knn_classify_matches_numpy_vote(spark):
         assert row.pred_label == pred and row.votes == votes
         assert row.true_label == labels[q]
         assert row.correct == (pred == labels[q])
+
+
+def test_upsert_maintenance_through_uri_store(spark):
+    """r7 cluster-portability: the index MAINTENANCE ops (not just the fit)
+    must run against a scheme-addressed store — marker probes, the
+    dynamic-overwrite patch, emptied-directory deletion and the marker
+    write all route through the Hadoop-FS layer (io.fs_*), so an
+    s3a://-addressed deployment patches indexes the same way this file:-URI
+    twin does. Answers must equal the in-memory recompute, and re-runs must
+    be idempotent (the URI marker is found again)."""
+    import os
+    import uuid
+
+    from elastik_nearest_neighbors_spark import io as enn_io
+    from elastik_nearest_neighbors_spark.constants import N_QUERIES
+    from elastik_nearest_neighbors_spark.operators import ivf, knn
+
+    base_local = f"/tmp/enn_uri_mnt_{uuid.uuid4().hex[:8]}"
+    os.makedirs(base_local)
+    saved_env = os.environ.get("ENN_SCRATCH_URI")
+    saved_dirs = {
+        k: enn_io._TMP_DIRS.pop(k)
+        for k in [("ivf_upsert", SF_SMALL), ("lsh_upsert", SF_SMALL)]
+        if k in enn_io._TMP_DIRS
+    }
+    os.environ["ENN_SCRATCH_URI"] = f"file://{base_local}"
+    try:
+        out = enn_io.scratch_dir("ivf_upsert", SF_SMALL)
+        assert out.startswith("file://"), out
+        got = ivf.ivf_upsert(spark, SF_SMALL).toPandas()
+        memb = knn._updated_emb(spark, SF_SMALL)
+        want = ivf.ann_search_ivf(
+            memb, memb.where(F.col("vec_id") < N_QUERIES), ivf.model_for(SF_SMALL)
+        ).toPandas()
+        key = ["query_id", "neighbor_id", "list_id", "distance"]
+        assert (
+            got[key].sort_values(key).reset_index(drop=True)
+            .equals(want[key].sort_values(key).reset_index(drop=True))
+        )
+        # marker was written through the FS layer and gates the re-run
+        assert enn_io.fs_exists(spark, enn_io.fs_join(out, "UPSERTED"))
+        again = ivf.ivf_upsert(spark, SF_SMALL).toPandas()
+        assert (
+            again[key].sort_values(key).reset_index(drop=True)
+            .equals(got[key].sort_values(key).reset_index(drop=True))
+        )
+        # LSH twin: URI-store run equals the local-store run's answer
+        uri_lsh = knn.index_upsert(spark, SF_SMALL).toPandas()
+        cols = sorted(uri_lsh.columns)
+        srt = lambda df: df[cols].sort_values(cols).reset_index(drop=True)
+        assert enn_io.scratch_dir("lsh_upsert", SF_SMALL).startswith("file://")
+    finally:
+        if saved_env is None:
+            os.environ.pop("ENN_SCRATCH_URI", None)
+        else:
+            os.environ["ENN_SCRATCH_URI"] = saved_env
+        for k in [("ivf_upsert", SF_SMALL), ("lsh_upsert", SF_SMALL)]:
+            enn_io._TMP_DIRS.pop(k, None)
+        enn_io._TMP_DIRS.update(saved_dirs)
+    local_lsh = knn.index_upsert(spark, SF_SMALL).toPandas()
+    assert srt(uri_lsh).equals(srt(local_lsh))
+    import shutil
+
+    shutil.rmtree(base_local, ignore_errors=True)
