@@ -10,6 +10,9 @@ The hashing contract (mirrored exactly in oracles.py, DuckDB side):
 
 from __future__ import annotations
 
+import os
+from collections.abc import Callable
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -20,9 +23,46 @@ from ..constants import (
     MINHASH_B,
 )
 
+# Tokenizer seam (r7). Real multilingual crawl data can't assume
+# space-delimited words (CJK has none), so the tokenization entry point the
+# minhash / n-gram / token-count paths share is a registry lookup instead of
+# a hard-coded split. Selection is process-wide via ENN_TOKENIZER (an
+# analysis choice like the hash family, not a per-query knob — every
+# operator in a pipeline must shingle the same way or dedup keys stop
+# matching). The default emits the exact `F.split(text, " ")` expression
+# tree the operators inlined before the seam existed, so Catalyst sees an
+# unchanged plan and every oracle stays bit-identical
+# (tests/test_properties.py pins this).
+_TOKENIZERS: dict[str, Callable[[Column], Column]] = {
+    # the corpus contract since r1: single-space-delimited words
+    "whitespace": lambda text: F.split(text, " "),
+    # CJK-style: every non-space character is a token. A codegen
+    # higher-order filter over the char split — no UDF.
+    "char": lambda text: F.filter(F.split(text, ""), lambda c: c != F.lit(" ")),
+}
+
+
+def register_tokenizer(name: str, fn: Callable[[Column], Column]) -> None:
+    """Plug in a tokenizer (e.g. a dictionary-segmenting pandas UDF) without
+    touching any operator: everything downstream — shingles, minhash bands,
+    n-gram Jaccard, token counts — consumes `tokens()`."""
+    _TOKENIZERS[name] = fn
+
+
+def active_tokenizer() -> str:
+    return os.environ.get("ENN_TOKENIZER", "whitespace")
+
 
 def tokens(text: Column) -> Column:
-    return F.split(text, " ")
+    name = active_tokenizer()
+    try:
+        fn = _TOKENIZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown tokenizer {name!r} (ENN_TOKENIZER); "
+            f"registered: {sorted(_TOKENIZERS)}"
+        ) from None
+    return fn(text)
 
 
 def md5_hash60(s: Column) -> Column:

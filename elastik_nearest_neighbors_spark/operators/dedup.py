@@ -33,7 +33,7 @@ from ..constants import (
     SIMHASH_BITS,
     SIMHASH_MAX_HAMMING,
 )
-from ..functions.text import md5_hash60, universal_hash, word_shingles
+from ..functions.text import md5_hash60, tokens, universal_hash, word_shingles
 from ..session import configure
 
 
@@ -62,8 +62,12 @@ def _shingle_hashes(docs: DataFrame) -> DataFrame:
     Minhash is a set signature (min over duplicates is the min), and the
     Jaccard verify sets are distinct-ified anyway, so deduping shingles
     *inside the array* before explode is semantics-free and cuts the
-    explode + md5 volume by the per-doc repeat factor."""
-    toks = F.split(F.col("text"), " ")
+    explode + md5 volume by the per-doc repeat factor.
+
+    Tokenization goes through the functions.text seam (r7): the default
+    emits the identical F.split expression; ENN_TOKENIZER=char switches the
+    whole minhash family to CJK-style character shingles coherently."""
+    toks = tokens(F.col("text"))
     with_sh = docs.where(F.size(toks) >= 3).select(
         "doc_id", F.explode(F.array_distinct(word_shingles(toks))).alias("s")
     )
@@ -252,7 +256,7 @@ def ngram_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_a, doc_b, jaccard)."""
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
+    toks = tokens(F.col("text"))  # r7 tokenizer seam (default bit-identical)
     grams = docs.where(F.size(toks) >= NGRAM_N).select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(toks, NGRAM_N))).alias("g"),
@@ -301,7 +305,7 @@ def containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_a, doc_b, containment) — doc_a is the contained side."""
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
+    toks = tokens(F.col("text"))  # r7 tokenizer seam (default bit-identical)
     grams = docs.where(F.size(toks) >= NGRAM_N).select(
         "doc_id",
         F.explode(F.array_distinct(word_shingles(toks, NGRAM_N))).alias("g"),
@@ -501,6 +505,13 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doc's OWN source even when the canonical lives elsewhere (the
     drop happens in this source; cross-source pairs are why source_mix
     exists).
+
+    The two dup columns OVERLAP — do not sum them: an exact duplicate is
+    also a minhash near-duplicate (identical text ⇒ identical shingle set
+    ⇒ canonical_id != doc_id), so exact_dup_docs is a subset-view of the
+    same mass near_dup_docs counts. Read exact_dup_docs as "how much is
+    byte-identical" and near_dup_docs as "how much the minhash keep/drop
+    rule would remove" (which includes the exact mass).
 
     Output: (source, n_docs, exact_dup_docs, near_dup_docs, tokens_total,
     near_dup_ratio)."""

@@ -102,8 +102,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace, regex (BPE-ish word/symbol) and distinct token counts.
 
     Output: (doc_id, ws_tokens, re_tokens, uniq_tokens)."""
+    from ..functions.text import tokens
+
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
+    toks = tokens(F.col("text"))  # r7 tokenizer seam (default bit-identical)
     return docs.select(
         "doc_id",
         F.size(toks).cast("int").alias("ws_tokens"),

@@ -562,3 +562,71 @@ def test_local_knn_collapse_half_duplicated_corpus(spark):
     assert (got.vec_a.values == want.vec_a.values).all()
     assert (got.vec_b.values == want.vec_b.values).all()
     assert (got.distance.values == want.distance.values).all()
+
+
+# ---- r7 tokenizer seam ------------------------------------------------------
+
+
+def test_default_tokenizer_is_bit_identical_to_inline_split(spark):
+    """The seam's default must emit the EXACT expression tree the operators
+    inlined before r7 — same Catalyst plan, so every oracle is untouched."""
+    import pyspark.sql.functions as F
+
+    from elastik_nearest_neighbors_spark.functions.text import active_tokenizer, tokens
+
+    assert active_tokenizer() == "whitespace"
+    seam = tokens(F.col("text"))
+    inline = F.split(F.col("text"), " ")
+    # expression-level identity (stringified Catalyst expression), not just
+    # value equality: a same-valued different plan would still churn bench
+    assert str(seam) == str(inline)
+
+
+def test_char_tokenizer_end_to_end(spark, monkeypatch):
+    """ENN_TOKENIZER=char flips the whole seam coherently: token_count
+    becomes per-character counts (matching a plain-Python reference) and the
+    minhash family still computes signatures over char shingles."""
+    import os
+
+    from elastik_nearest_neighbors_spark.operators import dedup, textops
+
+    SF_SMALL = "/root/testdata/sf0.001"
+    base = textops.token_count(spark, SF_SMALL).toPandas()
+    monkeypatch.setenv("ENN_TOKENIZER", "char")
+    got = textops.token_count(spark, SF_SMALL).toPandas()
+    docs = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+    for _, row in got.head(50).iterrows():
+        chars = [c for c in texts[row.doc_id] if c != " "]
+        assert row.ws_tokens == len(chars)
+        assert row.uniq_tokens == len(set(chars))
+    # default run differs (unless every doc is single-char words)
+    assert not got.ws_tokens.equals(base.ws_tokens)
+    # minhash over char-3-shingles: full pipeline still runs and produces a
+    # signature per doc long enough to shingle
+    sig = dedup.minhash_signatures(spark, SF_SMALL).toPandas()
+    assert len(sig) > 0 and sig.doc_id.is_unique
+
+
+def test_unknown_tokenizer_raises(monkeypatch):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from elastik_nearest_neighbors_spark.functions import text as T
+
+    monkeypatch.setenv("ENN_TOKENIZER", "nope")
+    with pytest.raises(ValueError, match="unknown tokenizer"):
+        T.tokens(F.col("text"))
+
+
+def test_register_tokenizer_plugs_in(monkeypatch):
+    import pyspark.sql.functions as F
+
+    from elastik_nearest_neighbors_spark.functions import text as T
+
+    T.register_tokenizer("upper_ws", lambda c: F.split(F.upper(c), " "))
+    try:
+        monkeypatch.setenv("ENN_TOKENIZER", "upper_ws")
+        assert str(T.tokens(F.col("text"))) == str(F.split(F.upper(F.col("text")), " "))
+    finally:
+        T._TOKENIZERS.pop("upper_ws", None)
