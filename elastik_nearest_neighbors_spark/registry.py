@@ -29,92 +29,10 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # and rotates back into the window in later rounds. Goal invariant: every
 # entry's LATEST driver row is ≤1 round old.
 _QUERIES: dict[str, QueryFn] = {
-    # ---- r6 GATE WINDOW: exactly 50 entries above the boundary comment.
-    # The window's exact contents are pinned by tests/test_gate_window.py
-    # (EXPECTED_GATE_WINDOW): appending a key above the boundary without a
-    # matching demotion fails the suite, so the r4-style comment drift
-    # cannot silently recur.
-    # (1) the 12 graph/IVFPQ serving keys whose code changed in r5
-    # (fit_path pruned read, unique_rows, collapse emission) but whose
-    # latest DRIVER row is r4 — the r5 verdict's #1 ask:
-    "knn_graph_multiprobe": graph.knn_graph_multiprobe,
-    "ann_search_graph": graph.ann_search_graph_q,
-    "ann_search_graph_store": graph.ann_search_graph_store,
-    "ann_recall_graph": graph.ann_recall_graph_q,
-    "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
-    "embedding_clusters": graph.embedding_clusters,
-    "streaming_graph_search": ingest.streaming_graph_search,
-    # (2) NEW in r6: HNSW-style best-first beam refinement (#129/#130)
-    "ann_search_graph_beam": graph.ann_search_graph_beam_q,
-    "ann_recall_graph_beam": graph.ann_recall_graph_beam_q,
-    "ann_search_ivfpq": pq.ann_search_ivfpq,
-    "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
-    "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
-    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
-    "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
-    # (2) r6-changed code — the quantizer stack: linearithmic group-by-inv
-    # in the collapsed branches (graph.py/ivf.py), sharded-assignment
-    # auto-engage past the broadcast ceiling, URI-portable fit reads.
-    # Every IVF/PQ/SQ8 consumer re-gates with the code it runs on:
-    "ivf_index": ivf.ivf_index,
-    "ann_search_ivf": ivf.ann_search_ivf_q,
-    "ann_recall_ivf": ivf.ann_recall_ivf_q,
-    "ann_search_ivf_store": ivf.ann_search_ivf_store,
-    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
-    "dedup_semantic": ivf.dedup_semantic,
-    "knn_graph": ivf.knn_graph,
-    "pq_codes": pq.pq_codes,
-    "ann_search_pq": pq.ann_search_pq,
-    "ann_recall_pq": pq.ann_recall_pq,
-    "sq8_quantize": pq.sq8_quantize,
-    "ann_search_sq8": pq.ann_search_sq8,
-    "ann_recall_sq8": pq.ann_recall_sq8,
-    # (2) NEW in r6: CCNet-style corpus-frequency boilerplate removal +
-    # directed n-gram containment join (near-subset detection)
-    "boilerplate_scrub": textops.boilerplate_scrub,
-    "containment_join": dedup.containment_join,
-    "dedup_incremental": dedup.dedup_incremental,
-    "index_stats": ivf.index_stats,
-    "ann_search_matryoshka": knn.ann_search_matryoshka,
-    "ann_recall_matryoshka": knn.ann_recall_matryoshka,
-    "ivf_upsert": ivf.ivf_upsert,
-    # (2) NEW in r6: 1-bit binary quantization family (sign codes packed
-    # into two 32-bit words, Hamming coarse rank, exact re-rank at the
-    # shared K1=30 budget)
-    "bitsign_codes": pq.bitsign_codes,
-    "ann_search_bitsign": pq.ann_search_bitsign,
-    "ann_recall_bitsign": pq.ann_recall_bitsign,
-    # (2) NEW in r6: Lee et al. 2022 exact-substring span dedup (sliding
-    # windows → maximal duplicated spans → scrubbed corpus) + k-NN
-    # majority-vote classification over the exact-kNN kernel
-    "dup_spans": dedup.dup_spans,
-    "dup_span_scrub": dedup.dup_span_scrub,
-    "knn_classify": knn.knn_classify,
-    # (2) NEW in r6: the two operator dashboards — cross-family recall at
-    # the gated budgets, and per-source corpus-duplication health
-    "ann_recall_families": knn.ann_recall_families,
-    "dedup_report": dedup.dedup_report,
-    # (3) the oldest never-re-gated greens (r3-era driver rows, 3 rounds
-    # old at r6 start — the freshness-rotation tail):
-    "doc_logprob": textops.doc_logprob,
-    "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
-    "events_rolling_7d": analytics.events_rolling_7d,
-    "knn_join": knn.knn_join,
-    "source_mix": textops.source_mix,
-    "semantic_doc_search": knn.semantic_doc_search,
-    "streaming_sliding_window": ingest.streaming_sliding_window,
-    "streaming_sessionize": ingest.streaming_sessionize,
-    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
-    # entries (measured r3/r4/r5: CORRECTNESS_r{03,04,05}.json each hold
-    # 50 keys). Keep new/changed keys ABOVE this line and push an equal
-    # number below; tests/test_gate_window.py enforces the placement.
-    # -- r7 rotation queue, in priority order --
-    # (a) any key whose code changes in r6 after this rotation was written
-    # (b) the five r3-era greens demoted late-r6 to make room for the
-    #     dup-span/knn_classify/dashboard keys (directly below)
-    # (c) the remaining r3-era greens (events_* block)
-    # (d) the r4-era greens (multimodal/LSH-serving/streaming/TPC-H head)
-    # -- r3-era greens not fitting the r6 window (next in line) --
+    # ---- r7 GATE WINDOW: exactly 50 entries above the boundary comment,
+    # pinned by tests/test_gate_window.py (EXPECTED_GATE_WINDOW).
+    # (1) the 27 r3-era greens, 4 rounds stale at r7 start — the oldest
+    # never-re-gated rows in the registry (the r6 verdict's #2 ask):
     "streaming_dedup_state": ingest.streaming_dedup_state,
     "streaming_events_hourly": ingest.streaming_events_hourly,
     "streaming_sessionize_append": ingest.streaming_sessionize_append,
@@ -142,22 +60,55 @@ _QUERIES: dict[str, QueryFn] = {
     "events_anomaly": analytics.events_anomaly,
     "events_user_ltv": analytics.events_user_ltv,
     "ann_recall_sweep": knn.ann_recall_sweep,
-    # -- r4-era greens (2 rounds old at r6 end) --
-    "events_dau_wau": analytics.events_dau_wau,
+    # (2) r7-changed code — URI-portable index MAINTENANCE: every marker
+    # probe, dynamic-overwrite patch, emptied-directory delete and store
+    # existence check now routes through the io.py Hadoop-FS layer
+    # (io.fs_*), so an s3a://-addressed store patches identically to the
+    # local twin. Each store/upsert/streaming consumer re-gates:
+    "ivf_upsert": ivf.ivf_upsert,
     "index_upsert": knn.index_upsert,
     "ann_search_lsh_store": knn.ann_search_lsh_store,
+    "ann_search_ivf_store": ivf.ann_search_ivf_store,
+    "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
+    "ann_search_graph_store": graph.ann_search_graph_store,
+    "streaming_index": ingest.streaming_index,
+    "streaming_index_store": ingest.streaming_index_store,
+    "streaming_index_compact": ingest.streaming_index_compact,
+    # (2) r7-changed code — the tokenizer seam (functions/text.tokens
+    # registry, ENN_TOKENIZER): minhash/n-gram/token-count paths now
+    # tokenize through it (default bit-identical to the old inline split):
+    "token_count": textops.token_count,
+    "minhash_signatures": dedup.minhash_signatures,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "minhash_est_jaccard": dedup.minhash_est_jaccard,
+    "dedup_incremental": dedup.dedup_incremental,
+    "ngram_jaccard_join": dedup.ngram_jaccard_join,
+    "containment_join": dedup.containment_join,
+    # (3) oldest r4-era greens that fit — the LSH/exact serving core:
+    "lsh_index": knn.lsh_index,
+    "ann_search_lsh": knn.ann_search_lsh_q,
+    "knn_exact_euclidean": knn.knn_exact_euclidean_q,
+    "knn_exact_cosine": knn.knn_exact_cosine_q,
+    "knn_exact_mips": knn.knn_exact_mips_q,
     "dup_clusters": dedup.dup_clusters,
+    "aknn_search_api": api.aknn_search_api,
+    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
+    # entries (measured r3-r6: each CORRECTNESS json holds 50 keys). Keep
+    # new/changed keys ABOVE this line and push an equal number below;
+    # tests/test_gate_window.py enforces the placement.
+    # -- r8 rotation queue, in priority order --
+    # (a) any key whose code changes in r7 after this rotation was written
+    # (b) the r4-era greens below (3 rounds stale at r8 start)
+    # (c) then r5-era, then r6/r7-era (freshest last)
+    # -- r4-era greens (next in line) --
+    "events_dau_wau": analytics.events_dau_wau,
     "multimodal_audio_stats": multimodal.multimodal_audio_stats,
     "multimodal_featurize": multimodal.multimodal_featurize,
     "multimodal_framesample": multimodal.multimodal_framesample,
     "events_approx_distinct": analytics.events_approx_distinct,
     "events_approx_distinct_check": analytics.events_approx_distinct_check,
-    "aknn_search_api": api.aknn_search_api,
     "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
     "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
-    "streaming_index_store": ingest.streaming_index_store,
-    "streaming_index_compact": ingest.streaming_index_compact,
-    "streaming_index": ingest.streaming_index,
     "streaming_ann_search": ingest.streaming_ann_search,
     "events_asof_join": analytics.events_asof_join,
     "events_topk_users": analytics.events_topk_users,
@@ -169,12 +120,7 @@ _QUERIES: dict[str, QueryFn] = {
     "q14_promo_revenue": analytics.q14_promo_revenue,
     "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
     "q6_revenue_delta": analytics.q6_revenue_delta,
-    "lsh_index": knn.lsh_index,
-    "ann_search_lsh": knn.ann_search_lsh_q,
-    "knn_exact_euclidean": knn.knn_exact_euclidean_q,
-    "knn_exact_cosine": knn.knn_exact_cosine_q,
-    "knn_exact_mips": knn.knn_exact_mips_q,
-    # -- r5-era greens (1 round old at r6 end; freshest, rotate last) --
+    # -- r5-era greens --
     "bm25_doc_search": search.bm25_doc_search,
     "hybrid_search_rrf": search.hybrid_search_rrf,
     "phrase_match": search.phrase_match,
@@ -193,13 +139,8 @@ _QUERIES: dict[str, QueryFn] = {
     "vector_stats": knn.vector_stats_q,
     "range_search": knn.range_search_q,
     "dedup_exact": dedup.dedup_exact,
-    "minhash_signatures": dedup.minhash_signatures,
-    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "dedup_minhash_canonical": dedup.dedup_minhash_canonical,
-    "minhash_est_jaccard": dedup.minhash_est_jaccard,
     "dedup_simhash": dedup.dedup_simhash,
-    "ngram_jaccard_join": dedup.ngram_jaccard_join,
-    "token_count": textops.token_count,
     "doc_fingerprint": textops.doc_fingerprint,
     "doc_chunk": textops.doc_chunk,
     "idf_scores": textops.idf_scores,
@@ -212,7 +153,53 @@ _QUERIES: dict[str, QueryFn] = {
     "source_cap": textops.source_cap,
     "stratified_sample": textops.stratified_sample,
     "source_stats": analytics.source_stats,
+    # -- r6-era greens (freshest, rotate last) --
+    "knn_graph_multiprobe": graph.knn_graph_multiprobe,
+    "ann_search_graph": graph.ann_search_graph_q,
+    "ann_recall_graph": graph.ann_recall_graph_q,
+    "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
+    "embedding_clusters": graph.embedding_clusters,
+    "streaming_graph_search": ingest.streaming_graph_search,
+    "ann_search_graph_beam": graph.ann_search_graph_beam_q,
+    "ann_recall_graph_beam": graph.ann_recall_graph_beam_q,
+    "ann_search_ivfpq": pq.ann_search_ivfpq,
+    "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
+    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
+    "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
+    "ivf_index": ivf.ivf_index,
+    "ann_search_ivf": ivf.ann_search_ivf_q,
+    "ann_recall_ivf": ivf.ann_recall_ivf_q,
+    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
+    "dedup_semantic": ivf.dedup_semantic,
+    "knn_graph": ivf.knn_graph,
+    "pq_codes": pq.pq_codes,
+    "ann_search_pq": pq.ann_search_pq,
+    "ann_recall_pq": pq.ann_recall_pq,
+    "sq8_quantize": pq.sq8_quantize,
+    "ann_search_sq8": pq.ann_search_sq8,
+    "ann_recall_sq8": pq.ann_recall_sq8,
+    "boilerplate_scrub": textops.boilerplate_scrub,
+    "index_stats": ivf.index_stats,
+    "ann_search_matryoshka": knn.ann_search_matryoshka,
+    "ann_recall_matryoshka": knn.ann_recall_matryoshka,
+    "bitsign_codes": pq.bitsign_codes,
+    "ann_search_bitsign": pq.ann_search_bitsign,
+    "ann_recall_bitsign": pq.ann_recall_bitsign,
+    "dup_spans": dedup.dup_spans,
+    "dup_span_scrub": dedup.dup_span_scrub,
+    "knn_classify": knn.knn_classify,
+    "ann_recall_families": knn.ann_recall_families,
+    "dedup_report": dedup.dedup_report,
+    "doc_logprob": textops.doc_logprob,
+    "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
+    "events_rolling_7d": analytics.events_rolling_7d,
+    "knn_join": knn.knn_join,
+    "source_mix": textops.source_mix,
+    "semantic_doc_search": knn.semantic_doc_search,
+    "streaming_sliding_window": ingest.streaming_sliding_window,
+    "streaming_sessionize": ingest.streaming_sessionize,
 }
+
 
 # oracle builders: sf_dir -> SQL
 _ORACLES: dict[str, Callable[[str], str]] = {

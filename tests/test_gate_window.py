@@ -17,61 +17,61 @@ from elastik_nearest_neighbors_spark import registry
 
 GATE_WINDOW_SIZE = 50
 
-# The r6 window, in driver gate order: (1) the 12 graph/IVFPQ serving keys
-# whose r5 code changes never saw a driver gate, (2) the quantizer-stack
-# consumers changed in r6 (linearithmic collapse grouping, sharded-assign
-# auto-engage, URI-portable fit reads), (3) the oldest r3-era greens.
+# The r7 window, in driver gate order: (1) the 27 r3-era greens (oldest
+# driver rows in the registry), (2) the 9 URI-portable-maintenance keys and
+# (3) the 7 tokenizer-seam keys whose code changed in r7, (4) the oldest
+# r4-era serving-core greens that fit.
 EXPECTED_GATE_WINDOW = [
-    "knn_graph_multiprobe",
-    "ann_search_graph",
-    "ann_search_graph_store",
-    "ann_recall_graph",
-    "ann_recall_graph_sweep",
-    "embedding_clusters",
-    "streaming_graph_search",
-    "ann_search_graph_beam",
-    "ann_recall_graph_beam",
-    "ann_search_ivfpq",
-    "ann_search_ivfpq_refined",
-    "ann_search_ivfpq_store",
-    "ann_recall_ivfpq",
-    "ann_recall_ivfpq_refined",
-    "ivf_index",
-    "ann_search_ivf",
-    "ann_recall_ivf",
-    "ann_search_ivf_store",
-    "ann_search_ivf_filtered",
-    "dedup_semantic",
-    "knn_graph",
-    "pq_codes",
-    "ann_search_pq",
-    "ann_recall_pq",
-    "sq8_quantize",
-    "ann_search_sq8",
-    "ann_recall_sq8",
-    "boilerplate_scrub",
-    "containment_join",
-    "dedup_incremental",
-    "index_stats",
-    "ann_search_matryoshka",
-    "ann_recall_matryoshka",
+    "streaming_dedup_state",
+    "streaming_events_hourly",
+    "streaming_sessionize_append",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q19_disjunctive_revenue",
+    "sales_rollup",
+    "q8_market_share",
+    "q9_product_profit",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    "q12_priority_lateness",
+    "q21_waiting_supplier",
+    "bucketed_join_revenue",
+    "events_daily_pivot",
+    "events_funnel",
+    "events_retention",
+    "events_percentiles",
+    "events_sliding_window",
+    "events_props_extract",
+    "events_anomaly",
+    "events_user_ltv",
+    "ann_recall_sweep",
     "ivf_upsert",
-    "bitsign_codes",
-    "ann_search_bitsign",
-    "ann_recall_bitsign",
-    "dup_spans",
-    "dup_span_scrub",
-    "knn_classify",
-    "ann_recall_families",
-    "dedup_report",
-    "doc_logprob",
-    "ann_search_lsh_filtered",
-    "events_rolling_7d",
-    "knn_join",
-    "source_mix",
-    "semantic_doc_search",
-    "streaming_sliding_window",
-    "streaming_sessionize",
+    "index_upsert",
+    "ann_search_lsh_store",
+    "ann_search_ivf_store",
+    "ann_search_ivfpq_store",
+    "ann_search_graph_store",
+    "streaming_index",
+    "streaming_index_store",
+    "streaming_index_compact",
+    "token_count",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "minhash_est_jaccard",
+    "dedup_incremental",
+    "ngram_jaccard_join",
+    "containment_join",
+    "lsh_index",
+    "ann_search_lsh",
+    "knn_exact_euclidean",
+    "knn_exact_cosine",
+    "knn_exact_mips",
+    "dup_clusters",
+    "aknn_search_api",
 ]
 
 
