@@ -362,7 +362,15 @@ def _dup_positions(docs: DataFrame) -> DataFrame:
     suffix-array-substitute cost), then ONE exchange on the window string
     with an analytic count — no second groupBy+join pass over the
     corpus-sized side. The duplicated-position stream that survives the
-    filter is ∝ the corpus's duplicated mass, not its size."""
+    filter is ∝ the corpus's duplicated mass, not its size.
+
+    Measured (r7, 500k docs / 21.6M windows, interleaved both orders,
+    identical output): this analytic-window form 119.7/151.1 s vs a
+    groupBy(win)+left-semi-join alternative 230.5/397.4 s — the window's
+    per-partition sort is cheaper than the alternative's second
+    window-stream materialization (wins is consumed twice there) plus its
+    extra exchange, and the frequent-window set of a duplicated corpus is
+    too large to assume broadcastable anyway."""
     from ..constants import DUPSPAN_MIN_FREQ, DUPSPAN_W
 
     toks = F.split(F.col("text"), " ")
