@@ -67,6 +67,7 @@ HEADLINE = [
     "ann_recall_bitsign",
     "dedup_exact",
     "minhash_signatures",
+    "minhash_signatures_char",
     "dedup_minhash_lsh",
     "dup_clusters",
     "dedup_simhash",

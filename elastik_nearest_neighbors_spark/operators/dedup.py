@@ -83,6 +83,32 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #146: minhash signatures over CHARACTER 3-shingles — the
+    tokenizer seam's non-default path as a first-class gated query (how the
+    minhash family runs on a CJK-style corpus with no word delimiters).
+
+    Implementation IS minhash_signatures with the seam switched to the
+    built-in char tokenizer for the duration of plan construction: every
+    non-space character is a token, shingling/hashing/min-agg identical, so
+    the whole plan stays codegen (the char tokenizer is a higher-order
+    filter, not a UDF). The DuckDB oracle mirrors the char split
+    independently (oracles_text.minhash_signatures_char).
+
+    Output: (doc_id, mh_0..mh_15) — same shape as the word-shingle twin."""
+    import os
+
+    prev = os.environ.get("ENN_TOKENIZER")
+    os.environ["ENN_TOKENIZER"] = "char"
+    try:
+        return minhash_signatures(spark, sf_dir)
+    finally:
+        if prev is None:
+            os.environ.pop("ENN_TOKENIZER", None)
+        else:
+            os.environ["ENN_TOKENIZER"] = prev
+
+
 def _jaccard_on(cand: DataFrame, ds: DataFrame, tau: float, a="doc_a", b="doc_b") -> DataFrame:
     """Exact Jaccard verification of candidate pairs against distinct-element
     sets ds(doc_id, g). Returns (doc_a, doc_b, jaccard) filtered to >= tau."""

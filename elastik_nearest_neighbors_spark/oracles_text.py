@@ -98,6 +98,32 @@ FROM sh GROUP BY doc_id
 """
 
 
+# char-tokenizer twin of SHINGLES_CTE: every non-space character is a token
+# (functions/text._TOKENIZERS['char']), 3-shingles joined by one space —
+# mirrors word_shingles over the char token array. DuckDB string_split with
+# an empty delimiter yields per-character lists exactly like Spark's
+# F.split(text, '') (verified r7).
+SHINGLES_CHAR_CTE = """
+shingles AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM (SELECT doc_id, list_filter(string_split(text, ''), x -> x != ' ') AS t
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r
+  WHERE len(t) >= 3
+), sh AS (
+  SELECT doc_id, {h} AS h FROM shingles
+)""".format(h=_h60("s"))
+
+
+def minhash_signatures_char(sf_dir: str) -> str:
+    return f"""
+WITH {SHINGLES_CHAR_CTE}
+SELECT doc_id,
+  {_mh_cols()}
+FROM sh GROUP BY doc_id
+"""
+
+
 def dedup_minhash_lsh(sf_dir: str) -> str:
     n_bands = MINHASH_K // MINHASH_BAND_ROWS
     band_selects = []

@@ -79,6 +79,9 @@ _QUERIES: dict[str, QueryFn] = {
     # tokenize through it (default bit-identical to the old inline split):
     "token_count": textops.token_count,
     "minhash_signatures": dedup.minhash_signatures,
+    # NEW in r7 (#146): the seam's non-default path as a gated query —
+    # minhash over CJK-style char 3-shingles, oracle mirrored in DuckDB
+    "minhash_signatures_char": dedup.minhash_signatures_char,
     "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
     "minhash_est_jaccard": dedup.minhash_est_jaccard,
     "dedup_incremental": dedup.dedup_incremental,
@@ -89,7 +92,6 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_search_lsh": knn.ann_search_lsh_q,
     "knn_exact_euclidean": knn.knn_exact_euclidean_q,
     "knn_exact_cosine": knn.knn_exact_cosine_q,
-    "knn_exact_mips": knn.knn_exact_mips_q,
     "dup_clusters": dedup.dup_clusters,
     "aknn_search_api": api.aknn_search_api,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
@@ -101,6 +103,7 @@ _QUERIES: dict[str, QueryFn] = {
     # (b) the r4-era greens below (3 rounds stale at r8 start)
     # (c) then r5-era, then r6/r7-era (freshest last)
     # -- r4-era greens (next in line) --
+    "knn_exact_mips": knn.knn_exact_mips_q,
     "events_dau_wau": analytics.events_dau_wau,
     "multimodal_audio_stats": multimodal.multimodal_audio_stats,
     "multimodal_featurize": multimodal.multimodal_featurize,
@@ -288,6 +291,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "multimodal_audio_stats": oracles_text.multimodal_audio_stats,
     "dedup_exact": oracles_text.dedup_exact,
     "minhash_signatures": oracles_text.minhash_signatures,
+    "minhash_signatures_char": oracles_text.minhash_signatures_char,
     "dedup_minhash_lsh": oracles_text.dedup_minhash_lsh,
     "dedup_minhash_canonical": oracles_text.dedup_minhash_canonical,
     "dup_clusters": oracles_text.dup_clusters,

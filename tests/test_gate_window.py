@@ -60,6 +60,7 @@ EXPECTED_GATE_WINDOW = [
     "streaming_index_compact",
     "token_count",
     "minhash_signatures",
+    "minhash_signatures_char",
     "dedup_minhash_lsh",
     "minhash_est_jaccard",
     "dedup_incremental",
@@ -69,7 +70,6 @@ EXPECTED_GATE_WINDOW = [
     "ann_search_lsh",
     "knn_exact_euclidean",
     "knn_exact_cosine",
-    "knn_exact_mips",
     "dup_clusters",
     "aknn_search_api",
 ]
@@ -90,7 +90,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 145 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 146 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 145
-    assert len(set(ks)) == 145
+    assert len(ks) == 146
+    assert len(set(ks)) == 146

@@ -1420,3 +1420,45 @@ def test_upsert_maintenance_through_uri_store(spark):
     import shutil
 
     shutil.rmtree(base_local, ignore_errors=True)
+
+
+def test_streaming_index_through_uri_store(spark):
+    """r7: the streaming ingest path must also run against a scheme-
+    addressed scratch base — _split_source's store probe, the NUM_BATCHES
+    record (io.fs_write_text) and the availableNow drain all route through
+    the Hadoop-FS layer under a file:-URI, and the drained index equals the
+    local-store run's row set (same model, same hash expressions)."""
+    import os
+    import uuid
+
+    from elastik_nearest_neighbors_spark import io as enn_io
+    from elastik_nearest_neighbors_spark.streaming import ingest
+
+    base_local = f"/tmp/enn_uri_stream_{uuid.uuid4().hex[:8]}"
+    os.makedirs(base_local)
+    saved_env = os.environ.get("ENN_SCRATCH_URI")
+    saved = enn_io._TMP_DIRS.pop(("stream_idx", SF_SMALL), None)
+    os.environ["ENN_SCRATCH_URI"] = f"file://{base_local}"
+    try:
+        out = enn_io.scratch_dir("stream_idx", SF_SMALL)
+        assert out.startswith("file://"), out
+        got = ingest.streaming_index(spark, SF_SMALL).toPandas()
+        # NUM_BATCHES was written through the FS layer under the URI base
+        nb_path = enn_io.fs_join(out, "NUM_BATCHES")
+        assert enn_io.fs_exists(spark, nb_path)
+        assert int(open(nb_path[len("file://"):]).read()) > 1
+    finally:
+        if saved_env is None:
+            os.environ.pop("ENN_SCRATCH_URI", None)
+        else:
+            os.environ["ENN_SCRATCH_URI"] = saved_env
+        enn_io._TMP_DIRS.pop(("stream_idx", SF_SMALL), None)
+        if saved is not None:
+            enn_io._TMP_DIRS[("stream_idx", SF_SMALL)] = saved
+    local = ingest.streaming_index(spark, SF_SMALL).toPandas()
+    cols = ["vec_id", "tbl", "hash"]
+    srt = lambda df: df[cols].sort_values(cols).reset_index(drop=True)
+    assert srt(got).equals(srt(local))
+    import shutil
+
+    shutil.rmtree(base_local, ignore_errors=True)
