@@ -99,7 +99,9 @@ _QUERIES: dict[str, QueryFn] = {
     # new/changed keys ABOVE this line and push an equal number below;
     # tests/test_gate_window.py enforces the placement.
     # -- r8 rotation queue, in priority order --
-    # (a) any key whose code changes in r7 after this rotation was written
+    # (a) keys whose code changed in r7 after this rotation was written:
+    #     ann_recall_families (per-process recall-frame memo, output
+    #     oracle-identical — verified r7 vanilla-session drive)
     # (b) the r4-era greens below (3 rounds stale at r8 start)
     # (c) then r5-era, then r6/r7-era (freshest last)
     # -- r4-era greens (next in line) --
