@@ -53,8 +53,14 @@ def active_tokenizer() -> str:
     return os.environ.get("ENN_TOKENIZER", "whitespace")
 
 
-def tokens(text: Column) -> Column:
-    name = active_tokenizer()
+def tokens(text: Column, name: str | None = None) -> Column:
+    """Tokenize `text` with the named tokenizer, defaulting to the
+    process-wide ENN_TOKENIZER selection. r8: an explicit `name` overrides
+    the env var so a single query (e.g. minhash_signatures_char) can pick a
+    non-default tokenizer without mutating process-global state — the env
+    var stays the pipeline-wide default only."""
+    if name is None:
+        name = active_tokenizer()
     try:
         fn = _TOKENIZERS[name]
     except KeyError:

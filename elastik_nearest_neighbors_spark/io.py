@@ -81,7 +81,9 @@ def fs_touch(spark: SparkSession, path: str) -> None:
         fs, hpath = _hadoop_fs(spark, path)
         fs.create(hpath, True).close()
         return
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     open(path, "w").close()
 
 
@@ -92,7 +94,9 @@ def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
         out.close()
         return
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     with open(path, "w") as fh:
         fh.write(text)
 

@@ -56,7 +56,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- minhash ----------------------------------------------------------------
 
 
-def _shingle_hashes(docs: DataFrame) -> DataFrame:
+def _shingle_hashes(docs: DataFrame, tokenizer: str | None = None) -> DataFrame:
     """(doc_id, h) — one row per distinct word-3-shingle, h = 60-bit hash.
 
     Minhash is a set signature (min over duplicates is the min), and the
@@ -66,17 +66,20 @@ def _shingle_hashes(docs: DataFrame) -> DataFrame:
 
     Tokenization goes through the functions.text seam (r7): the default
     emits the identical F.split expression; ENN_TOKENIZER=char switches the
-    whole minhash family to CJK-style character shingles coherently."""
-    toks = tokens(F.col("text"))
+    whole minhash family to CJK-style character shingles coherently. An
+    explicit `tokenizer` overrides the env var for this plan only (r8)."""
+    toks = tokens(F.col("text"), tokenizer)
     with_sh = docs.where(F.size(toks) >= 3).select(
         "doc_id", F.explode(F.array_distinct(word_shingles(toks))).alias("s")
     )
     return with_sh.select("doc_id", md5_hash60(F.col("s")).alias("h"))
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, tokenizer: str | None = None
+) -> DataFrame:
     """K=16 minhash signature per doc, one column per hash function."""
-    sh = _shingle_hashes(_docs(spark, sf_dir))
+    sh = _shingle_hashes(_docs(spark, sf_dir), tokenizer)
     aggs = [
         F.min(universal_hash(F.col("h"), j)).alias(f"mh_{j}") for j in range(MINHASH_K)
     ]
@@ -88,25 +91,17 @@ def minhash_signatures_char(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer seam's non-default path as a first-class gated query (how the
     minhash family runs on a CJK-style corpus with no word delimiters).
 
-    Implementation IS minhash_signatures with the seam switched to the
-    built-in char tokenizer for the duration of plan construction: every
+    Implementation IS minhash_signatures with the seam's built-in char
+    tokenizer selected explicitly (r8: a `tokenizer=` parameter threaded
+    through functions.text.tokens — no process-global env mutation during
+    plan construction, so concurrent plan builds can't observe it): every
     non-space character is a token, shingling/hashing/min-agg identical, so
     the whole plan stays codegen (the char tokenizer is a higher-order
     filter, not a UDF). The DuckDB oracle mirrors the char split
     independently (oracles_text.minhash_signatures_char).
 
     Output: (doc_id, mh_0..mh_15) — same shape as the word-shingle twin."""
-    import os
-
-    prev = os.environ.get("ENN_TOKENIZER")
-    os.environ["ENN_TOKENIZER"] = "char"
-    try:
-        return minhash_signatures(spark, sf_dir)
-    finally:
-        if prev is None:
-            os.environ.pop("ENN_TOKENIZER", None)
-        else:
-            os.environ["ENN_TOKENIZER"] = prev
+    return minhash_signatures(spark, sf_dir, tokenizer="char")
 
 
 def _jaccard_on(cand: DataFrame, ds: DataFrame, tau: float, a="doc_a", b="doc_b") -> DataFrame:

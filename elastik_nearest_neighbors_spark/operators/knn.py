@@ -837,7 +837,7 @@ def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FAMILY_RECALL_MEMO: dict[tuple[str, str], DataFrame] = {}
+_FAMILY_RECALL_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def ann_recall_families(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,7 +881,10 @@ def ann_recall_families(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     parts = []
     for name, build in fams:
-        memo_key = (sf_dir, name)
+        # r8: applicationId in the key, matching every sibling cache
+        # (graph.py/ivf.py model caches) — a localCheckpoint dies with its
+        # SparkContext, so a restarted session must rebuild, not reuse.
+        memo_key = (spark.sparkContext.applicationId, sf_dir, name)
         df = _FAMILY_RECALL_MEMO.get(memo_key)
         if df is None:
             # eager KB-sized checkpoint: the frame is Q rows; the search it

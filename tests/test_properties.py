@@ -619,6 +619,86 @@ def test_unknown_tokenizer_raises(monkeypatch):
         T.tokens(F.col("text"))
 
 
+def test_dictionary_tokenizer_pandas_udf_plugs_in(spark, monkeypatch):
+    """r8 (r7 verdict Missing #4): a DICTIONARY-SEGMENTING tokenizer —
+    greedy longest-match over a lexicon, the jieba-class shape — registered
+    through register_tokenizer as an Arrow-batched pandas UDF. Proves the
+    seam's plug-in contract with a real UDF tokenizer (the built-ins are
+    pure expressions): token_count and the whole minhash family run through
+    it unchanged, both via the env selection and via the explicit r8
+    `tokenizer=` parameter."""
+    import os
+
+    from pyspark.sql.functions import pandas_udf
+
+    from elastik_nearest_neighbors_spark.functions import text as T
+    from elastik_nearest_neighbors_spark.operators import dedup, textops
+
+    SF_SMALL = "/root/testdata/sf0.001"
+    # longest-first so the greedy match is deterministic regardless of
+    # lexicon insertion order
+    LEX = sorted(("data", "index", "vector", "the", "and", "in", "a"), key=len, reverse=True)
+
+    def seg_one(s: str) -> list[str]:
+        s = s.replace(" ", "")
+        out, i = [], 0
+        while i < len(s):
+            for w in LEX:
+                if s.startswith(w, i):
+                    out.append(w)
+                    i += len(w)
+                    break
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    dict_tokens = pandas_udf(lambda col: col.map(seg_one), "array<string>")
+
+    T.register_tokenizer("dict_demo", dict_tokens)
+    try:
+        monkeypatch.setenv("ENN_TOKENIZER", "dict_demo")
+        got = textops.token_count(spark, SF_SMALL).toPandas()
+        docs = spark.read.parquet(os.path.join(SF_SMALL, "documents.parquet"))
+        texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+        for _, row in got.head(30).iterrows():
+            ref = seg_one(texts[row.doc_id])
+            assert row.ws_tokens == len(ref)
+            assert row.uniq_tokens == len(set(ref))
+        # the minhash family shingles the dict tokens end-to-end
+        monkeypatch.delenv("ENN_TOKENIZER")
+        sig = dedup.minhash_signatures(spark, SF_SMALL, tokenizer="dict_demo").toPandas()
+        assert len(sig) > 0 and sig.doc_id.is_unique
+        # and the explicit param never touched process state
+        assert "ENN_TOKENIZER" not in os.environ
+    finally:
+        T._TOKENIZERS.pop("dict_demo", None)
+
+
+def test_explicit_tokenizer_param_overrides_env(monkeypatch):
+    """r8: tokens(col, name=...) overrides ENN_TOKENIZER without touching
+    process state — minhash_signatures_char selects 'char' this way, so a
+    concurrent plan build in the same process can never observe it."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from elastik_nearest_neighbors_spark.functions import text as T
+
+    monkeypatch.delenv("ENN_TOKENIZER", raising=False)
+    # explicit name wins over the (default) env selection: the char
+    # tokenizer is a higher-order filter (lambda ids are unique per build,
+    # so structural markers, not exact string equality)
+    char_expr = str(T.tokens(F.col("text"), "char"))
+    assert "filter" in char_expr and char_expr != str(F.split(F.col("text"), " "))
+    # ...and env is untouched after building the char expression
+    assert "ENN_TOKENIZER" not in os.environ
+    # explicit name also wins over a conflicting env var
+    monkeypatch.setenv("ENN_TOKENIZER", "char")
+    ws_expr = T.tokens(F.col("text"), "whitespace")
+    assert str(ws_expr) == str(F.split(F.col("text"), " "))
+
+
 def test_register_tokenizer_plugs_in(monkeypatch):
     import pyspark.sql.functions as F
 
