@@ -535,38 +535,47 @@ def dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop happens in this source; cross-source pairs are why source_mix
     exists).
 
-    The two dup columns OVERLAP — do not sum them: an exact duplicate is
-    also a minhash near-duplicate (identical text ⇒ identical shingle set
-    ⇒ canonical_id != doc_id), so exact_dup_docs is a subset-view of the
-    same mass near_dup_docs counts. Read exact_dup_docs as "how much is
-    byte-identical" and near_dup_docs as "how much the minhash keep/drop
-    rule would remove" (which includes the exact mass).
+    exact_dup_docs and near_dup_docs OVERLAP — an exact duplicate of a
+    ≥3-token doc is also a minhash near-duplicate (identical text ⇒
+    identical shingle set ⇒ canonical_id != doc_id). r8 adds the DISJOINT
+    column the overlap note used to warn about: near_only_dup_docs counts
+    docs flagged by the near-dup rule that are NOT exact duplicates, so
+    exact_dup_docs + near_only_dup_docs is the union dup mass and the
+    dashboard is summable. A doc is "exact dup" when it is not its
+    (source, text-hash) group's min doc_id — per group of size g that is
+    g-1 docs, so the flag sums to exactly the old count-minus-distinct
+    exact_dup_docs.
 
-    Output: (source, n_docs, exact_dup_docs, near_dup_docs, tokens_total,
-    near_dup_ratio)."""
+    Output: (source, n_docs, exact_dup_docs, near_dup_docs,
+    near_only_dup_docs, tokens_total, near_dup_ratio)."""
     docs = _docs(spark, sf_dir)
     canon = dedup_minhash_canonical(spark, sf_dir).select(
         "doc_id", "canonical_id"
     )
-    per_doc = docs.select(
-        "doc_id",
-        "source",
-        F.md5(F.col("text")).alias("h"),
-        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
-    ).join(canon, "doc_id")
+    per_doc = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("text")).alias("h"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        )
+        .withColumn(
+            "is_exact_dup",
+            F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("source", "h")),
+        )
+        .join(canon, "doc_id")
+    )
+    near = F.col("canonical_id") != F.col("doc_id")
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.count(F.lit(1)) - F.countDistinct("h")).alias("exact_dup_docs"),
-        F.sum(
-            F.when(F.col("canonical_id") != F.col("doc_id"), 1).otherwise(0)
-        ).alias("near_dup_docs"),
+        F.sum(F.when(near, 1).otherwise(0)).alias("near_dup_docs"),
+        F.sum(F.when(near & ~F.col("is_exact_dup"), 1).otherwise(0)).alias(
+            "near_only_dup_docs"
+        ),
         F.sum("n_tok").cast("long").alias("tokens_total"),
         F.round(
-            F.sum(
-                F.when(F.col("canonical_id") != F.col("doc_id"), 1).otherwise(0)
-            )
-            / F.count(F.lit(1)),
-            4,
+            F.sum(F.when(near, 1).otherwise(0)) / F.count(F.lit(1)), 4
         ).alias("near_dup_ratio"),
     )
 

@@ -987,16 +987,22 @@ def dedup_report(sf_dir: str) -> str:
     canon = dedup_minhash_canonical(sf_dir)
     return f"""
 WITH canon AS ({canon}),
-d AS (
+d0 AS (
   SELECT doc_id, source, md5(text) AS h,
          len(string_split(text, ' ')) AS n_tok
   FROM documents
+),
+d AS (
+  SELECT *, (doc_id <> MIN(doc_id) OVER (PARTITION BY source, h)) AS is_exact_dup
+  FROM d0
 )
 SELECT d.source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(*) - COUNT(DISTINCT d.h) AS BIGINT) AS exact_dup_docs,
        CAST(SUM(CASE WHEN c.canonical_id <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
          AS near_dup_docs,
+       CAST(SUM(CASE WHEN c.canonical_id <> d.doc_id AND NOT d.is_exact_dup
+                THEN 1 ELSE 0 END) AS BIGINT) AS near_only_dup_docs,
        CAST(SUM(d.n_tok) AS BIGINT) AS tokens_total,
        round(CAST(SUM(CASE WHEN c.canonical_id <> d.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
              / COUNT(*), 4) AS near_dup_ratio
