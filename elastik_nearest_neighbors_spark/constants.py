@@ -369,3 +369,18 @@ Q17_BRAND = "Brand#3"
 Q17_QTY_FRAC = 0.5  # quantity < frac * per-part avg quantity
 Q22_DATE_LO = "1997-07-01"  # dormancy window
 Q22_DATE_HI = "1998-01-01"
+
+# ---- TPC-H-style batch 4 (r8 — completes the 22-query suite). No partsupp
+# in the schema: supply cost = MIN observed lot price per (part, supplier)
+# lineitem pair, availability = quantity shipped after the target year
+# (documented substitutions, mirrored verbatim in the DuckDB oracles) -----------
+Q2_TYPE = "SMALL"  # p_type equality filter
+Q2_MAX_SIZE = 10  # p_size <= this
+Q2_REGION = "EUROPE"
+Q2_TOPN = 100  # output rows (total order, so the cut is deterministic)
+Q11_NATION = "NATION_3"
+Q11_FRACTION = 0.001  # part value > fraction × national total value
+Q20_PART_WORD = "gear"  # p_name LIKE %word%
+Q20_YEAR = 1997  # shipped-quantity year
+Q20_NATION = "NATION_5"
+Q20_AVAIL_FRAC = 0.5  # post-year qty > frac × in-year qty

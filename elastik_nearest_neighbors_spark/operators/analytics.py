@@ -1284,3 +1284,152 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
         )
     )
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier (r8 — completes the 22-query
+    suite): for each part matching a type/size filter, the region's
+    supplier(s) offering it at the lowest supply cost. No partsupp in the
+    schema, so supply cost = MIN lot price observed in lineitem per
+    (part, supplier) pair (documented substitution; exact double MIN, no
+    division, so the engine comparison is bit-stable).
+
+    Scale shape: the correlated MIN-subquery is decorrelated into one
+    aggregation of the fact table on (partkey, suppkey) — the only real
+    shuffle; the part filter and region-supplier dim both broadcast into
+    it, and the per-part MIN re-join is a broadcast of a dim-sized
+    aggregate. ORDER BY is a total order (acctbal desc, nation, supplier,
+    partkey), so the TOPN cut is deterministic on any partitioning.
+
+    Output: (s_acctbal, s_name, nation, p_partkey, p_name, supply_cost)."""
+    from ..constants import Q2_MAX_SIZE, Q2_REGION, Q2_TOPN, Q2_TYPE
+
+    configure(spark)
+    cost = (
+        io.table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    part = io.table(spark, sf_dir, "part").where(
+        (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
+    ).select("p_partkey", "p_name")
+    region = io.table(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
+    nation = io.table(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    rsupp = io.table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    sc = cost.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).join(
+        F.broadcast(rsupp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = sc.groupBy("p_partkey").agg(F.min("supply_cost").alias("min_cost"))
+    return (
+        sc.join(
+            F.broadcast(min_cost.withColumnRenamed("p_partkey", "mc_partkey")),
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("supply_cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "nation", "p_partkey", "p_name", "supply_cost")
+        .orderBy(F.desc("s_acctbal"), "nation", "s_name", "p_partkey")
+        .limit(Q2_TOPN)
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important stock: parts whose value supplied by one
+    nation's suppliers exceeds a fraction of that nation's total supplied
+    value. Value = exact-decimal SUM of lot prices per part (partsupp
+    substitution via lineitem, matching q16/q9).
+
+    Scale shape: the nation's supplier key set broadcasts into the fact
+    scan (prunes before the shuffle); per-part value is one map-side-
+    combined aggregation on partkey; the national total is a 1-row
+    aggregate cross-broadcast back — the scalar subquery never re-executes
+    per row. Threshold compare happens in double on both engines from the
+    same exact decimals.
+
+    Output: (partkey, value), value > Q11_FRACTION × total."""
+    from ..constants import Q11_FRACTION, Q11_NATION
+
+    configure(spark)
+    nation = io.table(spark, sf_dir, "nation").where(F.col("n_name") == Q11_NATION)
+    nsupp = io.table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (
+        io.table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(nsupp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.join(F.broadcast(tot))
+        .where(
+            F.col("v").cast("double")
+            > F.lit(Q11_FRACTION) * F.col("t").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("v").cast("double").alias("value"),
+        )
+    )
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style potential part promotion: suppliers in one nation
+    holding excess availability of a name-filtered part — available
+    quantity > frac × the quantity they shipped of it in the target year.
+    No partsupp, so availability = quantity shipped AFTER the target year
+    (future stock proxy; documented substitution, mirrored in the oracle —
+    without it `total > frac × in-year` would be vacuously true).
+
+    Scale shape: the name-filtered part set broadcasts into both fact
+    scans; in-year and post-year quantities are two partkey+suppkey
+    aggregations of disjoint date slices of the SAME pruned scan; the
+    candidate supplier set is KB-sized and semi-joins the nation's
+    suppliers broadcast-side.
+
+    Output: (s_name, s_acctbal)."""
+    from ..constants import Q20_AVAIL_FRAC, Q20_NATION, Q20_PART_WORD, Q20_YEAR
+
+    configure(spark)
+    gparts = io.table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(Q20_PART_WORD)
+    ).select("p_partkey")
+    li = (
+        io.table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+        .join(F.broadcast(gparts), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    y_lo = F.lit(f"{Q20_YEAR}-01-01").cast("timestamp")
+    y_hi = F.lit(f"{Q20_YEAR + 1}-01-01").cast("timestamp")
+    shipped = (
+        li.where((F.col("l_shipdate") >= y_lo) & (F.col("l_shipdate") < y_hi))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_y"))
+    )
+    avail = (
+        li.where(F.col("l_shipdate") >= y_hi)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("avail_qty"))
+    )
+    cand = (
+        avail.join(shipped, ["l_partkey", "l_suppkey"])
+        .where(
+            F.col("avail_qty").cast("double")
+            > F.lit(Q20_AVAIL_FRAC) * F.col("qty_y").cast("double")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = io.table(spark, sf_dir, "nation").where(F.col("n_name") == Q20_NATION)
+    return (
+        io.table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(cand), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )

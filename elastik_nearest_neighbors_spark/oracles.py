@@ -679,6 +679,81 @@ WHERE li.l_quantity < {Q17_QTY_FRAC} * avg_q.aq
 """
 
 
+def q2_min_cost_supplier() -> str:
+    from .constants import Q2_MAX_SIZE, Q2_REGION, Q2_TOPN, Q2_TYPE
+
+    return f"""
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+), rsupp AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name AS nation
+  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = '{Q2_REGION}'
+), sc AS (
+  SELECT p.p_partkey, p.p_name, rs.s_name, rs.s_acctbal, rs.nation, c.supply_cost
+  FROM cost c
+  JOIN part p ON p.p_partkey = c.l_partkey
+   AND p.p_type = '{Q2_TYPE}' AND p.p_size <= {Q2_MAX_SIZE}
+  JOIN rsupp rs ON rs.s_suppkey = c.l_suppkey
+), mc AS (SELECT p_partkey, MIN(supply_cost) AS min_cost FROM sc GROUP BY 1)
+SELECT sc.s_acctbal, sc.s_name, sc.nation,
+       CAST(sc.p_partkey AS BIGINT) AS p_partkey, sc.p_name, sc.supply_cost
+FROM sc JOIN mc ON mc.p_partkey = sc.p_partkey AND sc.supply_cost = mc.min_cost
+ORDER BY sc.s_acctbal DESC, sc.nation, sc.s_name, sc.p_partkey
+LIMIT {Q2_TOPN}
+"""
+
+
+def q11_important_stock() -> str:
+    from .constants import Q11_FRACTION, Q11_NATION
+
+    return f"""
+WITH nsupp AS (
+  SELECT s_suppkey FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = '{Q11_NATION}'
+), val AS (
+  SELECT l.l_partkey, SUM(CAST(l.l_extendedprice AS {DEC})) AS v
+  FROM lineitem l JOIN nsupp ns ON ns.s_suppkey = l.l_suppkey
+  GROUP BY 1
+), tot AS (SELECT SUM(v) AS t FROM val)
+SELECT CAST(l_partkey AS BIGINT) AS partkey,
+       CAST(CAST(v AS VARCHAR) AS DOUBLE) AS value
+FROM val, tot
+WHERE CAST(CAST(v AS VARCHAR) AS DOUBLE) > {Q11_FRACTION} * CAST(CAST(t AS VARCHAR) AS DOUBLE)
+"""
+
+
+def q20_potential_promotion() -> str:
+    from .constants import Q20_AVAIL_FRAC, Q20_NATION, Q20_PART_WORD, Q20_YEAR
+
+    return f"""
+WITH gparts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%{Q20_PART_WORD}%'
+), shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS {DEC})) AS qty_y
+  FROM lineitem JOIN gparts ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR}-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q20_YEAR + 1}-01-01 00:00:00'
+  GROUP BY 1, 2
+), avail AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS {DEC})) AS avail_qty
+  FROM lineitem JOIN gparts ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '{Q20_YEAR + 1}-01-01 00:00:00'
+  GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.l_suppkey FROM avail a
+  JOIN shipped sh ON sh.l_partkey = a.l_partkey AND sh.l_suppkey = a.l_suppkey
+  WHERE CAST(CAST(a.avail_qty AS VARCHAR) AS DOUBLE)
+        > {Q20_AVAIL_FRAC} * CAST(CAST(sh.qty_y AS VARCHAR) AS DOUBLE)
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = '{Q20_NATION}'
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM cand)
+"""
+
+
 def q22_dormant_customers() -> str:
     from .constants import Q22_DATE_HI, Q22_DATE_LO
 
