@@ -697,10 +697,24 @@ def _sharded_scores(
     assign_sharded (rank 1) and probe_sharded (rank ≤ nprobe)."""
     if not model.levels:
         raise ValueError("sharded assignment needs a hierarchical model")
-    spark = df.sparkSession
     if fine is None:
-        fine = fine_level_table(spark, model)
-    upper = model.levels  # closure: hierarchy only, no fine table
+        fine = fine_level_table(df.sparkSession, model)
+    return _sharded_scores_levels(df, model.levels, fine, vec_col, id_col)
+
+
+def _sharded_scores_levels(
+    df: DataFrame,
+    upper: list[tuple["np.ndarray", list["np.ndarray"]]],
+    fine: DataFrame,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """_sharded_scores against explicit (upper levels, fine DataFrame) —
+    the form the r8 sharded FIT uses mid-iteration, when no IvfModel object
+    exists yet (the fine level never materializes driver-side). Only
+    upper[0][0] (the level-0 group centroids) and upper[1:] are read for
+    group selection; level-0 members live in `fine` (group_id, list_id,
+    centroid)."""
 
     @pandas_udf("array<int>")
     def _groups(vecs: pd.Series) -> pd.Series:
@@ -754,6 +768,275 @@ def use_sharded(model: IvfModel) -> bool:
     return bool(model.levels) and model.model_bytes > sharded_model_bytes_threshold()
 
 
+# ---- r8: DataFrame-sharded FINE-LEVEL FIT -----------------------------------
+# The last "later rounds" scale seam (IvfModel size-envelope docstring):
+# past L ≈ 10^6-10^7 lists the L×D fine centroid table no longer fits the
+# driver, so the FIT itself — not just serving — must keep the fine level in
+# a DataFrame. Mirrors the r6 assign_sharded seam: the upper hierarchy
+# (~L/HIER_BRANCH and smaller) is the only closure; every L-sized object
+# (sample, fine centroids, assignments) lives in DataFrames. Float ops
+# replicate the driver fit bit-for-bit (asserted in tests):
+# - flat sub-fits: RAW squared-distance argmin (un-rounded, like _lloyd) in
+#   a pandas_udf; update = members.mean(axis=0) over idx-sorted members
+#   (numpy pairwise summation on the identical ordered array).
+# - hier assignment: the same _descend_rows / _select_level0_groups code
+#   through _sharded_scores_levels (rank (dist, list_id) == lexsort rule);
+#   update = sequential left fold in sample order (np.cumsum along axis 0 ==
+#   np.add.at's per-index accumulation) divided by the member count.
+# Inactive at every oracle-gated SF (routing mirrors use_sharded), so all
+# gates stay bit-exact; ENN_SHARDED_MODEL_BYTES forces it for tests.
+
+
+def _sample_df(spark: SparkSession, sf_dir: str, sample_n: int) -> tuple[DataFrame, int]:
+    """The fit sample as a DataFrame (idx, v) + its deduped row count —
+    the distributed twin of _fit_sample + unique_rows first-occurrence
+    dedup: first `sample_n` rows by vec_id, duplicates collapsed keeping
+    each value's first occurrence, idx = position in that kept order (so
+    `idx < k` IS the driver path's `x[:k]` init slice).
+
+    The row_number windows are single-partition exchanges over sample-
+    sized data (∝ L rows, the quantity that outgrew the driver's RAM, not
+    its disk/shuffle) — acceptable once per fit; the iteration loop never
+    re-sorts."""
+    emb = io.table(spark, sf_dir, "embeddings", widen=True)
+    base = (
+        emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
+        .where(F.col("rn") <= sample_n)
+    )
+    firsts = base.groupBy("v").agg(F.min("rn").alias("frn"))
+    xdf = (
+        firsts.withColumn(
+            "idx", (F.row_number().over(Window.orderBy("frn")) - 1).cast("long")
+        )
+        .select("idx", "v")
+        .localCheckpoint()
+    )
+    return xdf, xdf.count()
+
+
+def _flat_assign_udf(cent: "np.ndarray"):
+    """_lloyd's assignment (RAW sq-dist argmin, first-min tie) as a
+    pandas_udf — per-row, so batching cannot change any assignment."""
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        v = np.array(vecs.tolist(), dtype=np.float64)
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        return pd.Series(_chunked_sq_dists(v, cent).argmin(axis=1).astype(np.int32))
+
+    return _assign
+
+
+def _hier_assign_udf(cent: "np.ndarray", levels):
+    """_lloyd_hier's assignment (rounded hierarchical descent, first-of-
+    lexsorted-run) as a pandas_udf over the SAME _descend_rows code."""
+    from ..constants import IVF_COARSE_PROBES
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        v = np.array(vecs.tolist(), dtype=np.float64)
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        rows, lids, _d = _descend_rows(v, cent, levels, IVF_COARSE_PROBES)
+        first = np.unique(rows, return_index=True)[1]
+        return pd.Series(lids[first].astype(np.int32))
+
+    return _assign
+
+
+def _centroid_updates(assigned: DataFrame, mode: str) -> DataFrame:
+    """Per-cluster centroid update from (idx, v, list_id) rows — one
+    applyInPandas group per NON-EMPTY cluster (empty clusters keep their
+    previous centroid via the caller's left join, like both driver paths).
+
+    mode='flat' replays _lloyd: members.mean(axis=0) over the idx-sorted
+    member block (the same ordered array x[assign == j] sees, so numpy's
+    pairwise summation produces the identical double).
+    mode='hier' replays _lloyd_hier: np.add.at accumulates row-by-row in
+    sample order — a sequential left fold, which np.cumsum along axis 0
+    reproduces op-for-op (0.0 + x ≡ x in IEEE) — then one division by the
+    member count."""
+
+    def _upd(key, pdf):
+        arr = np.array(pdf.sort_values("idx")["v"].tolist(), dtype=np.float64)
+        if mode == "flat":
+            c = arr.mean(axis=0)
+        else:
+            c = np.cumsum(arr, axis=0)[-1] / len(arr)
+        return pd.DataFrame({"list_id": [int(key[0])], "centroid": [c.tolist()]})
+
+    return assigned.groupBy("list_id").applyInPandas(
+        _upd, "list_id int, centroid array<double>"
+    )
+
+
+def _fit_centroids_df(xdf: DataFrame, n: int, k: int, iters: int) -> "np.ndarray":
+    """_fit_centroids with the input POINTS in a DataFrame and the k
+    output centroids driver-held (every caller passes k ≤ L/HIER_BRANCH,
+    which fits the driver by the same 1/branch argument as assign_sharded's
+    upper-hierarchy closure). Routing (flat vs hier) replicates
+    _fit_centroids' predicate on (n, k) exactly."""
+    from ..constants import FLAT_FIT_MAX, TWO_LEVEL_MIN_NLIST
+
+    init = xdf.where(F.col("idx") < k).orderBy("idx").collect()
+    cent = np.array([r.v for r in init], dtype=np.float64)
+    flat = k < TWO_LEVEL_MIN_NLIST or n * k <= FLAT_FIT_MAX
+    for _ in range(iters):
+        if flat:
+            assign = _flat_assign_udf(cent)
+        else:
+            assign = _hier_assign_udf(cent, _build_levels(cent))
+        assigned = xdf.select("idx", "v", assign(F.col("v")).alias("list_id"))
+        for row in _centroid_updates(assigned, "flat" if flat else "hier").collect():
+            cent[row.list_id] = row.centroid
+    return cent
+
+
+def _coarse_members_df(
+    cdf: DataFrame, sub: "np.ndarray"
+) -> tuple["np.ndarray", DataFrame]:
+    """_coarse_members with the fine level in a DataFrame: per fine row the
+    rounded-argmin group (same round/tie rule), empty groups dropped in
+    ascending group order (matching the driver's `keep` list), membership
+    returned as the fine_level_table shape (group_id, list_id, centroid)
+    instead of driver-side index lists."""
+    spark = cdf.sparkSession
+
+    @pandas_udf("int")
+    def _g(vecs: pd.Series) -> pd.Series:
+        v = np.array(vecs.tolist(), dtype=np.float64)
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        d = np.round(np.sqrt(_chunked_sq_dists(v, sub)), DIST_ROUND)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    f2c = cdf.select("list_id", "centroid", _g(F.col("centroid")).alias("g")).localCheckpoint()
+    present = sorted(r.g for r in f2c.select("g").distinct().collect())
+    remap = spark.createDataFrame(
+        [(int(g), i) for i, g in enumerate(present)], "g int, group_id int"
+    )
+    fine = f2c.join(F.broadcast(remap), "g").select("group_id", "list_id", "centroid")
+    return sub[present], fine
+
+
+def _upper_levels_from(sub_kept: "np.ndarray"):
+    """_build_levels' continuation above level 0 — the remaining while-loop
+    iterations run driver-side verbatim on the ≤ L/HIER_BRANCH kept group
+    centroids (driver-sized by construction)."""
+    from ..constants import HIER_BRANCH, HIER_TOP
+
+    levels: list[tuple[np.ndarray, list[np.ndarray]]] = []
+    cur = sub_kept
+    while len(cur) > HIER_TOP:
+        k_next = max(2, -(-len(cur) // HIER_BRANCH))
+        s2 = _fit_centroids(cur, k_next, 2)
+        s2, mem2 = _coarse_members(cur, s2)
+        levels.append((s2, mem2))
+        cur = s2
+    return levels
+
+
+def _lloyd_hier_df(
+    spark: SparkSession, xdf: DataFrame, n: int, k: int, iters: int
+) -> DataFrame:
+    """_lloyd_hier with every L-sized object in DataFrames: the fine
+    centroid table (list_id, centroid) never materializes driver-side.
+    Per iteration: (1) level-0 hierarchy sub-fit over the fine DataFrame
+    (its k/HIER_BRANCH output IS driver-sized), membership as a sharded
+    fine table, upper levels driver-side as in _build_levels; (2) sample
+    assignment through _sharded_scores_levels + the (center_dist, list_id)
+    rank-1 window — the bit-equal shuffle-join form of _descend_rows'
+    lexsort-first rule; (3) per-cluster sequential-fold update, empty
+    clusters keeping their previous centroid through the left join.
+
+    Returns the final fine table as a DataFrame. localCheckpoint truncates
+    the per-iteration lineage (an iters-deep plan otherwise re-runs every
+    earlier iteration per action); a multi-executor deployment would use
+    reliable checkpoint() or a per-iteration parquet write instead."""
+    from ..constants import HIER_BRANCH, HIER_TOP
+
+    cdf = (
+        xdf.where(F.col("idx") < k)
+        .select(F.col("idx").cast("int").alias("list_id"), F.col("v").alias("centroid"))
+        .localCheckpoint()
+    )
+    if k <= HIER_TOP:
+        # a ≤ HIER_TOP-list model is KB-sized by construction — nothing to
+        # shard; callers route those through the closure fit
+        raise ValueError("sharded fit requires k > HIER_TOP (hierarchical models only)")
+    for _ in range(iters):
+        k_next = max(2, -(-k // HIER_BRANCH))
+        pts = cdf.select(F.col("list_id").cast("long").alias("idx"), F.col("centroid").alias("v"))
+        sub = _fit_centroids_df(pts, k, k_next, 2)
+        sub_kept, fine = _coarse_members_df(cdf, sub)
+        levels = [(sub_kept, [])] + _upper_levels_from(sub_kept)
+        scored = _sharded_scores_levels(xdf, levels, fine, "v", "idx")
+        w = Window.partitionBy("vec_id").orderBy(F.asc("center_dist"), F.asc("list_id"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("vec_id").alias("idx"), "list_id")
+        )
+        upd = _centroid_updates(xdf.join(assign, "idx"), "hier")
+        cdf = (
+            cdf.join(upd.withColumnRenamed("centroid", "new_c"), "list_id", "left")
+            .select("list_id", F.coalesce("new_c", "centroid").alias("centroid"))
+            .localCheckpoint()
+        )
+    return cdf
+
+
+def fit_fine_df(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = IVF_NLIST,
+    sample_n: int = IVF_SAMPLE,
+    iters: int = IVF_ITERS,
+) -> DataFrame:
+    """The sharded-fit primitive: fine centroids fit WITHOUT ever holding
+    an L-sized array on the driver. Returns (list_id, centroid) — at true
+    scale the caller persists this (partitioned fine_level_table shape),
+    derives the upper hierarchy from its level-0 sub-fit, and serves
+    through assign_sharded/probe_sharded; the model never exists as a
+    single in-memory object."""
+    xdf, n = _sample_df(spark, sf_dir, sample_n)
+    return _lloyd_hier_df(spark, xdf, n, min(nlist, n), iters)
+
+
+def fit_path_sharded(
+    spark: SparkSession,
+    sf_dir: str,
+    nlist: int = IVF_NLIST,
+    sample_n: int = IVF_SAMPLE,
+    iters: int = IVF_ITERS,
+) -> IvfModel:
+    """Collecting wrapper over fit_fine_df — for models that fit the
+    driver once FIT (the forced tests, and the auto-engage band where the
+    closure ceiling bites before driver RAM does). Bit-identical to
+    fit_path(two_level=True) at the same parameters (asserted in tests):
+    the collected centroids feed the same _build_levels the closure fit
+    runs, so serving — closure or sharded — sees the identical model."""
+    cdf = fit_fine_df(spark, sf_dir, nlist, sample_n, iters)
+    rows = cdf.orderBy("list_id").collect()
+    cent = np.array([r.centroid for r in rows], dtype=np.float64)
+    return IvfModel(cent, levels=_build_levels(cent))
+
+
+def _embedding_dim(sf_dir: str) -> int | None:
+    """Dimension of the embeddings table from one arrow batch — enough to
+    project the fine-table bytes (nlist·D·8) before any fit work."""
+    try:
+        import pyarrow.parquet as papq
+
+        pf = papq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+        batch = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+        return len(batch.column(0)[0].as_py())
+    except Exception:
+        return None
+
+
 def probe_pairs(
     qdf: DataFrame,
     model: IvfModel,
@@ -792,9 +1075,27 @@ _MODEL_CACHE: dict[str, IvfModel] = {}
 
 
 def model_for(sf_dir: str) -> IvfModel:
+    """The per-SF quantizer, fit once per process. r8: the FIT routes like
+    serving (use_sharded) — when the projected fine-table bytes exceed the
+    broadcast ceiling, a hierarchy is warranted, and a session is active,
+    the fine level stays in a DataFrame throughout the fit
+    (fit_path_sharded); below the ceiling — every oracle-gated SF — the
+    closure fit is bit-for-bit the r1 path."""
     m = _MODEL_CACHE.get(sf_dir)
     if m is None:
-        m = _MODEL_CACHE[sf_dir] = IvfModel.fit_path(sf_dir)
+        from ..constants import TWO_LEVEL_MIN_NLIST
+
+        if IVF_NLIST >= TWO_LEVEL_MIN_NLIST and not io.is_uri(sf_dir):
+            dim = _embedding_dim(sf_dir)
+            if dim and IVF_NLIST * dim * 8 > sharded_model_bytes_threshold():
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                if spark is not None:
+                    m = fit_path_sharded(spark, sf_dir)
+        if m is None:
+            m = IvfModel.fit_path(sf_dir)
+        _MODEL_CACHE[sf_dir] = m
     return m
 
 

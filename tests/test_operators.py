@@ -351,6 +351,81 @@ def test_sharded_auto_engage_end_to_end(spark, monkeypatch):
         assert (closure_srch[c].values == sharded_srch[c].values).all(), c
 
 
+def test_sharded_fine_level_fit_bit_equals_closure_fit(spark, monkeypatch):
+    """r8: the DataFrame-sharded FIT (fine centroid level in a DataFrame
+    for every Lloyd iteration, upper hierarchy the only closure) must
+    reproduce fit_path(two_level=True) bit-for-bit — same centroid doubles
+    — in both sub-fit regimes: flat sub-fits (raw-argmin + np.mean update,
+    the default at this k) and forced-hier sub-fits (rounded descent +
+    sequential-fold update, the 10^6-list regime's recursion)."""
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark import constants
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_mod
+
+    driver = ivf_mod.IvfModel.fit_path(SF_SMALL, nlist=64, sample_n=320, two_level=True)
+    sharded = ivf_mod.fit_path_sharded(spark, SF_SMALL, nlist=64, sample_n=320)
+    assert sharded.centroids.shape == driver.centroids.shape
+    assert np.array_equal(sharded.centroids, driver.centroids)
+    assert len(sharded.levels) == len(driver.levels)
+
+    # deep hierarchy + hier-routed sub-fits: branch 4, top 4, and the flat
+    # predicate forced off (k_next=16 >= TWO_LEVEL_MIN_NLIST=8, product >
+    # FLAT_FIT_MAX=1) — both paths read the same patched constants
+    monkeypatch.setattr(constants, "HIER_BRANCH", 4)
+    monkeypatch.setattr(constants, "HIER_TOP", 4)
+    monkeypatch.setattr(constants, "TWO_LEVEL_MIN_NLIST", 8)
+    monkeypatch.setattr(constants, "FLAT_FIT_MAX", 1)
+    deep_driver = ivf_mod.IvfModel.fit_path(SF_SMALL, nlist=64, sample_n=320, two_level=True)
+    deep_sharded = ivf_mod.fit_path_sharded(spark, SF_SMALL, nlist=64, sample_n=320)
+    assert len(deep_driver.levels) >= 2
+    assert np.array_equal(deep_sharded.centroids, deep_driver.centroids)
+
+
+def test_sharded_fit_end_to_end_search_identical(spark, monkeypatch):
+    """r8 (the r7 verdict's Missing #3 'done' criterion): with
+    ENN_SHARDED_MODEL_BYTES forced, FIT sharded and SERVE sharded through
+    the public gated entries — rows bit-identical to the closure fit +
+    closure serve at the default threshold, i.e. oracle-identical at a
+    gated SF by transitivity with the driver gate."""
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_mod
+
+    closure_model = ivf_mod.IvfModel.fit_path(
+        SF_SMALL, nlist=64, sample_n=320, two_level=True
+    )
+    monkeypatch.setitem(ivf_mod._MODEL_CACHE, SF_SMALL, closure_model)
+
+    def run():
+        idx = (
+            ivf_mod.ivf_index(spark, SF_SMALL)
+            .toPandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        srch = (
+            ivf_mod.ann_search_ivf_q(spark, SF_SMALL)
+            .toPandas()
+            .sort_values(["query_id", "distance", "neighbor_id"])
+            .reset_index(drop=True)
+        )
+        return idx, srch
+
+    closure_idx, closure_srch = run()
+
+    monkeypatch.setenv("ENN_SHARDED_MODEL_BYTES", "0")  # force past the ceiling
+    sharded_model = ivf_mod.fit_path_sharded(spark, SF_SMALL, nlist=64, sample_n=320)
+    assert ivf_mod.use_sharded(sharded_model)  # serving is sharded too
+    monkeypatch.setitem(ivf_mod._MODEL_CACHE, SF_SMALL, sharded_model)
+    sharded_idx, sharded_srch = run()
+
+    assert len(closure_idx) == len(sharded_idx)
+    for c in ("vec_id", "list_id", "center_dist"):
+        assert (closure_idx[c].values == sharded_idx[c].values).all(), c
+    assert len(closure_srch) == len(sharded_srch)
+    for c in ("query_id", "neighbor_id", "list_id", "distance"):
+        assert (closure_srch[c].values == sharded_srch[c].values).all(), c
+
+
 def test_bm25_join_path_equals_literal_path(spark):
     """The large-Q broadcast-join BM25 path must return row-identical
     results to the literal-map path (same per-term float ops, commutative
