@@ -128,6 +128,9 @@ HEADLINE = [
     "q16_supplier_count",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
     "events_funnel",
     "events_hourly",
     "events_sessionize",
@@ -142,6 +145,20 @@ HEADLINE = [
     "events_rolling_7d",
     "events_dau_wau",
 ]
+
+# Keys whose operator memoizes per process (localCheckpoint recall frames):
+# best-of-N would time the memo hit, not the plan. bench reports the cold
+# first call under the key's name and the memo hit as `<key>_memo`.
+SPLIT_COLD_MEMO = {"ann_recall_families"}
+
+
+def bench_key_universe(keys: list[str] | None = None) -> list[str]:
+    """Every metric name a bench run can emit: the query keys plus the
+    derived `<key>_memo` timings, appended LAST so the base aliases in
+    tools/bench_keys.json are unchanged by the split."""
+    ks = list(keys if keys is not None else HEADLINE)
+    ks += [k + "_memo" for k in ks if k in SPLIT_COLD_MEMO]
+    return ks
 
 
 def _short_key(name: str) -> str:
@@ -219,13 +236,23 @@ def main() -> None:
     keys = [k for k in keys_env.split(",") if k] or HEADLINE
     timings: dict[str, float] = {}
     for name in keys:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        if name in SPLIT_COLD_MEMO and len(runs) > 1:
+            # r8 (r7 verdict What's-wrong #3): this key memoizes per
+            # process, so best-of-N would report the memo hit and make
+            # round-over-round headline geomeans mix semantics. Report the
+            # COLD first call under the key's own name (comparable with
+            # pre-memo rounds) and the repeat-call hit as a separate
+            # `<key>_memo` metric.
+            timings[name] = round(runs[0], 3)
+            timings[name + "_memo"] = round(min(runs[1:]), 3)
+        else:
+            timings[name] = round(min(runs), 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     full = {
@@ -253,7 +280,7 @@ def main() -> None:
         # committed at tools/bench_keys.json, full-precision full-name record
         # in BENCH_LOCAL.json) at 3 significant digits — measured ~1.6k chars,
         # so the driver's 2000-char tail parses all keys, queries_omitted=0.
-        smap = short_keymap(keys)
+        smap = short_keymap(bench_key_universe(keys))
         out = dict(
             full,
             queries={smap[k]: float(f"{v:.3g}") for k, v in timings.items()},

@@ -29,10 +29,142 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # and rotates back into the window in later rounds. Goal invariant: every
 # entry's LATEST driver row is ≤1 round old.
 _QUERIES: dict[str, QueryFn] = {
-    # ---- r7 GATE WINDOW: exactly 50 entries above the boundary comment,
+    # ---- r8 GATE WINDOW: exactly 50 entries above the boundary comment,
     # pinned by tests/test_gate_window.py (EXPECTED_GATE_WINDOW).
-    # (1) the 27 r3-era greens, 4 rounds stale at r7 start — the oldest
-    # never-re-gated rows in the registry (the r6 verdict's #2 ask):
+    # (1) r8-changed code — ann_recall_families (memo now keyed on
+    # applicationId; queued from r7 where the memo landed post-rotation),
+    # dedup_report (new disjoint near_only_dup_docs column, oracle updated
+    # in the same commit), and every tokenizer-seam consumer (tokens() grew
+    # an explicit `name` parameter; default remains expression-identical,
+    # minhash_signatures_char now selects 'char' without env mutation):
+    "ann_recall_families": knn.ann_recall_families,
+    "dedup_report": dedup.dedup_report,
+    "token_count": textops.token_count,
+    "minhash_signatures": dedup.minhash_signatures,
+    "minhash_signatures_char": dedup.minhash_signatures_char,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "minhash_est_jaccard": dedup.minhash_est_jaccard,
+    "dedup_incremental": dedup.dedup_incremental,
+    "ngram_jaccard_join": dedup.ngram_jaccard_join,
+    "containment_join": dedup.containment_join,
+    # (2) NEW in r8 (#147-#149): TPC-H Q2/Q11/Q20-style — completes the
+    # 22-query TPC-H suite (partsupp substitutions documented in
+    # constants.py batch 4):
+    "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
+    "q11_important_stock": analytics.q11_important_stock,
+    "q20_potential_promotion": analytics.q20_potential_promotion,
+    # (3) r8-changed code — the IVF hierarchy fit gains the DataFrame-
+    # sharded fine-level path (ENN_SHARDED_MODEL_BYTES; inactive at gated
+    # SFs, bit-exactness pinned by a forced test) — the fit entry points
+    # re-gate:
+    "ivf_index": ivf.ivf_index,
+    "ann_search_ivf": ivf.ann_search_ivf_q,
+    "ann_recall_ivf": ivf.ann_recall_ivf_q,
+    # (4) the 20 r4-era greens — the stalest driver rows at r8 start (the
+    # r7 verdict's #1 ask):
+    "knn_exact_mips": knn.knn_exact_mips_q,
+    "events_dau_wau": analytics.events_dau_wau,
+    "multimodal_audio_stats": multimodal.multimodal_audio_stats,
+    "multimodal_featurize": multimodal.multimodal_featurize,
+    "multimodal_framesample": multimodal.multimodal_framesample,
+    "events_approx_distinct": analytics.events_approx_distinct,
+    "events_approx_distinct_check": analytics.events_approx_distinct_check,
+    "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
+    "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
+    "streaming_ann_search": ingest.streaming_ann_search,
+    "events_asof_join": analytics.events_asof_join,
+    "events_topk_users": analytics.events_topk_users,
+    "events_hourly": analytics.events_hourly,
+    "events_sessionize": analytics.events_sessionize,
+    "q1_pricing_summary": analytics.q1_pricing_summary,
+    "q3_shipping_priority": analytics.q3_shipping_priority,
+    "q4_order_priority": analytics.q4_order_priority,
+    "q14_promo_revenue": analytics.q14_promo_revenue,
+    "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
+    "q6_revenue_delta": analytics.q6_revenue_delta,
+    # (5) oldest r5-era greens that fit:
+    "bm25_doc_search": search.bm25_doc_search,
+    "hybrid_search_rrf": search.hybrid_search_rrf,
+    "phrase_match": search.phrase_match,
+    "quality_score": textops.quality_score,
+    "corpus_clean": textops.corpus_clean,
+    "corpus_curate_full": textops.corpus_curate_full,
+    "quality_quantile": textops.quality_quantile,
+    "corpus_to_sequences": textops.corpus_to_sequences,
+    "lang_id": textops.lang_id,
+    "lang_confusion": textops.lang_confusion,
+    "aknn_model_registry": api.aknn_model_registry,
+    "label_centroids": knn.label_centroids_q,
+    "ann_recall": knn.ann_recall_q,
+    "similarity_join_lsh": knn.similarity_join_lsh_q,
+    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
+    # entries (measured r3-r7: each CORRECTNESS json holds 50 keys). Keep
+    # new/changed keys ABOVE this line and push an equal number below;
+    # tests/test_gate_window.py enforces the placement.
+    # -- r9 rotation queue, in priority order --
+    # (a) keys whose code changes in r8 after this rotation was written
+    # (b) the r5-era greens below (next stalest at r9 start)
+    # (c) then r6-era, then r7/r8-era (freshest last)
+    # -- r5-era greens (next in line) --
+    "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
+    "vector_stats": knn.vector_stats_q,
+    "range_search": knn.range_search_q,
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_minhash_canonical": dedup.dedup_minhash_canonical,
+    "dedup_simhash": dedup.dedup_simhash,
+    "doc_fingerprint": textops.doc_fingerprint,
+    "doc_chunk": textops.doc_chunk,
+    "idf_scores": textops.idf_scores,
+    "pii_scrub": textops.pii_scrub,
+    "corpus_sample": textops.corpus_sample,
+    "token_histogram": textops.token_histogram,
+    "doc_repetition": textops.doc_repetition,
+    "decontaminate": textops.decontaminate,
+    "seq_pack": textops.seq_pack,
+    "source_cap": textops.source_cap,
+    "stratified_sample": textops.stratified_sample,
+    "source_stats": analytics.source_stats,
+    # -- r6-era greens --
+    "knn_graph_multiprobe": graph.knn_graph_multiprobe,
+    "ann_search_graph": graph.ann_search_graph_q,
+    "ann_recall_graph": graph.ann_recall_graph_q,
+    "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
+    "embedding_clusters": graph.embedding_clusters,
+    "streaming_graph_search": ingest.streaming_graph_search,
+    "ann_search_graph_beam": graph.ann_search_graph_beam_q,
+    "ann_recall_graph_beam": graph.ann_recall_graph_beam_q,
+    "ann_search_ivfpq": pq.ann_search_ivfpq,
+    "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
+    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
+    "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
+    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
+    "dedup_semantic": ivf.dedup_semantic,
+    "knn_graph": ivf.knn_graph,
+    "pq_codes": pq.pq_codes,
+    "ann_search_pq": pq.ann_search_pq,
+    "ann_recall_pq": pq.ann_recall_pq,
+    "sq8_quantize": pq.sq8_quantize,
+    "ann_search_sq8": pq.ann_search_sq8,
+    "ann_recall_sq8": pq.ann_recall_sq8,
+    "boilerplate_scrub": textops.boilerplate_scrub,
+    "index_stats": ivf.index_stats,
+    "ann_search_matryoshka": knn.ann_search_matryoshka,
+    "ann_recall_matryoshka": knn.ann_recall_matryoshka,
+    "bitsign_codes": pq.bitsign_codes,
+    "ann_search_bitsign": pq.ann_search_bitsign,
+    "ann_recall_bitsign": pq.ann_recall_bitsign,
+    "dup_spans": dedup.dup_spans,
+    "dup_span_scrub": dedup.dup_span_scrub,
+    "knn_classify": knn.knn_classify,
+    "doc_logprob": textops.doc_logprob,
+    "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
+    "events_rolling_7d": analytics.events_rolling_7d,
+    "knn_join": knn.knn_join,
+    "source_mix": textops.source_mix,
+    "semantic_doc_search": knn.semantic_doc_search,
+    "streaming_sliding_window": ingest.streaming_sliding_window,
+    "streaming_sessionize": ingest.streaming_sessionize,
+    # -- r7-era greens (freshest, rotate last) --
     "streaming_dedup_state": ingest.streaming_dedup_state,
     "streaming_events_hourly": ingest.streaming_events_hourly,
     "streaming_sessionize_append": ingest.streaming_sessionize_append,
@@ -60,11 +192,6 @@ _QUERIES: dict[str, QueryFn] = {
     "events_anomaly": analytics.events_anomaly,
     "events_user_ltv": analytics.events_user_ltv,
     "ann_recall_sweep": knn.ann_recall_sweep,
-    # (2) r7-changed code — URI-portable index MAINTENANCE: every marker
-    # probe, dynamic-overwrite patch, emptied-directory delete and store
-    # existence check now routes through the io.py Hadoop-FS layer
-    # (io.fs_*), so an s3a://-addressed store patches identically to the
-    # local twin. Each store/upsert/streaming consumer re-gates:
     "ivf_upsert": ivf.ivf_upsert,
     "index_upsert": knn.index_upsert,
     "ann_search_lsh_store": knn.ann_search_lsh_store,
@@ -74,135 +201,12 @@ _QUERIES: dict[str, QueryFn] = {
     "streaming_index": ingest.streaming_index,
     "streaming_index_store": ingest.streaming_index_store,
     "streaming_index_compact": ingest.streaming_index_compact,
-    # (2) r7-changed code — the tokenizer seam (functions/text.tokens
-    # registry, ENN_TOKENIZER): minhash/n-gram/token-count paths now
-    # tokenize through it (default bit-identical to the old inline split):
-    "token_count": textops.token_count,
-    "minhash_signatures": dedup.minhash_signatures,
-    # NEW in r7 (#146): the seam's non-default path as a gated query —
-    # minhash over CJK-style char 3-shingles, oracle mirrored in DuckDB
-    "minhash_signatures_char": dedup.minhash_signatures_char,
-    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-    "minhash_est_jaccard": dedup.minhash_est_jaccard,
-    "dedup_incremental": dedup.dedup_incremental,
-    "ngram_jaccard_join": dedup.ngram_jaccard_join,
-    "containment_join": dedup.containment_join,
-    # (3) oldest r4-era greens that fit — the LSH/exact serving core:
     "lsh_index": knn.lsh_index,
     "ann_search_lsh": knn.ann_search_lsh_q,
     "knn_exact_euclidean": knn.knn_exact_euclidean_q,
     "knn_exact_cosine": knn.knn_exact_cosine_q,
     "dup_clusters": dedup.dup_clusters,
     "aknn_search_api": api.aknn_search_api,
-    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
-    # entries (measured r3-r6: each CORRECTNESS json holds 50 keys). Keep
-    # new/changed keys ABOVE this line and push an equal number below;
-    # tests/test_gate_window.py enforces the placement.
-    # -- r8 rotation queue, in priority order --
-    # (a) keys whose code changed in r7 after this rotation was written:
-    #     ann_recall_families (per-process recall-frame memo, output
-    #     oracle-identical — verified r7 vanilla-session drive)
-    # (b) the r4-era greens below (3 rounds stale at r8 start)
-    # (c) then r5-era, then r6/r7-era (freshest last)
-    # -- r4-era greens (next in line) --
-    "knn_exact_mips": knn.knn_exact_mips_q,
-    "events_dau_wau": analytics.events_dau_wau,
-    "multimodal_audio_stats": multimodal.multimodal_audio_stats,
-    "multimodal_featurize": multimodal.multimodal_featurize,
-    "multimodal_framesample": multimodal.multimodal_framesample,
-    "events_approx_distinct": analytics.events_approx_distinct,
-    "events_approx_distinct_check": analytics.events_approx_distinct_check,
-    "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
-    "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
-    "streaming_ann_search": ingest.streaming_ann_search,
-    "events_asof_join": analytics.events_asof_join,
-    "events_topk_users": analytics.events_topk_users,
-    "events_hourly": analytics.events_hourly,
-    "events_sessionize": analytics.events_sessionize,
-    "q1_pricing_summary": analytics.q1_pricing_summary,
-    "q3_shipping_priority": analytics.q3_shipping_priority,
-    "q4_order_priority": analytics.q4_order_priority,
-    "q14_promo_revenue": analytics.q14_promo_revenue,
-    "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
-    "q6_revenue_delta": analytics.q6_revenue_delta,
-    # -- r5-era greens --
-    "bm25_doc_search": search.bm25_doc_search,
-    "hybrid_search_rrf": search.hybrid_search_rrf,
-    "phrase_match": search.phrase_match,
-    "quality_score": textops.quality_score,
-    "corpus_clean": textops.corpus_clean,
-    "corpus_curate_full": textops.corpus_curate_full,
-    "quality_quantile": textops.quality_quantile,
-    "corpus_to_sequences": textops.corpus_to_sequences,
-    "lang_id": textops.lang_id,
-    "lang_confusion": textops.lang_confusion,
-    "aknn_model_registry": api.aknn_model_registry,
-    "label_centroids": knn.label_centroids_q,
-    "ann_recall": knn.ann_recall_q,
-    "similarity_join_lsh": knn.similarity_join_lsh_q,
-    "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
-    "vector_stats": knn.vector_stats_q,
-    "range_search": knn.range_search_q,
-    "dedup_exact": dedup.dedup_exact,
-    "dedup_minhash_canonical": dedup.dedup_minhash_canonical,
-    "dedup_simhash": dedup.dedup_simhash,
-    "doc_fingerprint": textops.doc_fingerprint,
-    "doc_chunk": textops.doc_chunk,
-    "idf_scores": textops.idf_scores,
-    "pii_scrub": textops.pii_scrub,
-    "corpus_sample": textops.corpus_sample,
-    "token_histogram": textops.token_histogram,
-    "doc_repetition": textops.doc_repetition,
-    "decontaminate": textops.decontaminate,
-    "seq_pack": textops.seq_pack,
-    "source_cap": textops.source_cap,
-    "stratified_sample": textops.stratified_sample,
-    "source_stats": analytics.source_stats,
-    # -- r6-era greens (freshest, rotate last) --
-    "knn_graph_multiprobe": graph.knn_graph_multiprobe,
-    "ann_search_graph": graph.ann_search_graph_q,
-    "ann_recall_graph": graph.ann_recall_graph_q,
-    "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
-    "embedding_clusters": graph.embedding_clusters,
-    "streaming_graph_search": ingest.streaming_graph_search,
-    "ann_search_graph_beam": graph.ann_search_graph_beam_q,
-    "ann_recall_graph_beam": graph.ann_recall_graph_beam_q,
-    "ann_search_ivfpq": pq.ann_search_ivfpq,
-    "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
-    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
-    "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
-    "ivf_index": ivf.ivf_index,
-    "ann_search_ivf": ivf.ann_search_ivf_q,
-    "ann_recall_ivf": ivf.ann_recall_ivf_q,
-    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
-    "dedup_semantic": ivf.dedup_semantic,
-    "knn_graph": ivf.knn_graph,
-    "pq_codes": pq.pq_codes,
-    "ann_search_pq": pq.ann_search_pq,
-    "ann_recall_pq": pq.ann_recall_pq,
-    "sq8_quantize": pq.sq8_quantize,
-    "ann_search_sq8": pq.ann_search_sq8,
-    "ann_recall_sq8": pq.ann_recall_sq8,
-    "boilerplate_scrub": textops.boilerplate_scrub,
-    "index_stats": ivf.index_stats,
-    "ann_search_matryoshka": knn.ann_search_matryoshka,
-    "ann_recall_matryoshka": knn.ann_recall_matryoshka,
-    "bitsign_codes": pq.bitsign_codes,
-    "ann_search_bitsign": pq.ann_search_bitsign,
-    "ann_recall_bitsign": pq.ann_recall_bitsign,
-    "dup_spans": dedup.dup_spans,
-    "dup_span_scrub": dedup.dup_span_scrub,
-    "knn_classify": knn.knn_classify,
-    "ann_recall_families": knn.ann_recall_families,
-    "dedup_report": dedup.dedup_report,
-    "doc_logprob": textops.doc_logprob,
-    "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
-    "events_rolling_7d": analytics.events_rolling_7d,
-    "knn_join": knn.knn_join,
-    "source_mix": textops.source_mix,
-    "semantic_doc_search": knn.semantic_doc_search,
-    "streaming_sliding_window": ingest.streaming_sliding_window,
-    "streaming_sessionize": ingest.streaming_sessionize,
 }
 
 
@@ -352,6 +356,9 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "q16_supplier_count": lambda sf: oracles.q16_supplier_count(),
     "q17_small_quantity_revenue": lambda sf: oracles.q17_small_quantity_revenue(),
     "q22_dormant_customers": lambda sf: oracles.q22_dormant_customers(),
+    "q2_min_cost_supplier": lambda sf: oracles.q2_min_cost_supplier(),
+    "q11_important_stock": lambda sf: oracles.q11_important_stock(),
+    "q20_potential_promotion": lambda sf: oracles.q20_potential_promotion(),
     "q12_priority_lateness": lambda sf: oracles.q12_priority_lateness(),
     "q21_waiting_supplier": lambda sf: oracles.q21_waiting_supplier(),
     "bucketed_join_revenue": lambda sf: oracles.bucketed_join_revenue(),

@@ -12,7 +12,7 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_short_keymap_unique_and_pinned():
-    smap = bench.short_keymap(bench.HEADLINE)
+    smap = bench.short_keymap(bench.bench_key_universe())
     assert len(set(smap.values())) == len(smap)
     with open(os.path.join(_ROOT, "tools", "bench_keys.json")) as f:
         committed = json.load(f)
@@ -24,12 +24,13 @@ def test_short_keymap_unique_and_pinned():
 
 def test_compact_line_fits_tail_budget():
     # worst realistic payload: every key at a 4-digit-second timing
-    smap = bench.short_keymap(bench.HEADLINE)
+    universe = bench.bench_key_universe()
+    smap = bench.short_keymap(universe)
     out = {
         "metric": "headline_queries_total",
         "value": 9999.999,
         "unit": "sec",
-        "queries": {smap[k]: 999.0 for k in bench.HEADLINE},
+        "queries": {smap[k]: 999.0 for k in universe},
         "sf": 0.1,
         "queries_omitted": 0,
         "keymap": "tools/bench_keys.json",

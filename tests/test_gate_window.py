@@ -17,47 +17,15 @@ from elastik_nearest_neighbors_spark import registry
 
 GATE_WINDOW_SIZE = 50
 
-# The r7 window, in driver gate order: (1) the 27 r3-era greens (oldest
-# driver rows in the registry), (2) the 9 URI-portable-maintenance keys and
-# (3) the 7 tokenizer-seam keys whose code changed in r7, (4) the oldest
-# r4-era serving-core greens that fit.
+# The r8 window, in driver gate order: (1) r8-changed code (families memo
+# key, dedup_report's new disjoint column, the tokenizer-seam consumers
+# after tokens() grew the explicit name parameter), (2) the 3 NEW TPC-H
+# keys (#147-#149), (3) the IVF fit entry points (sharded fine-level fit
+# seam), (4) the 20 r4-era stale greens, (5) the oldest r5-era greens that
+# fit.
 EXPECTED_GATE_WINDOW = [
-    "streaming_dedup_state",
-    "streaming_events_hourly",
-    "streaming_sessionize_append",
-    "q7_volume_shipping",
-    "q10_returned_revenue",
-    "q18_large_orders",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q19_disjunctive_revenue",
-    "sales_rollup",
-    "q8_market_share",
-    "q9_product_profit",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q22_dormant_customers",
-    "q12_priority_lateness",
-    "q21_waiting_supplier",
-    "bucketed_join_revenue",
-    "events_daily_pivot",
-    "events_funnel",
-    "events_retention",
-    "events_percentiles",
-    "events_sliding_window",
-    "events_props_extract",
-    "events_anomaly",
-    "events_user_ltv",
-    "ann_recall_sweep",
-    "ivf_upsert",
-    "index_upsert",
-    "ann_search_lsh_store",
-    "ann_search_ivf_store",
-    "ann_search_ivfpq_store",
-    "ann_search_graph_store",
-    "streaming_index",
-    "streaming_index_store",
-    "streaming_index_compact",
+    "ann_recall_families",
+    "dedup_report",
     "token_count",
     "minhash_signatures",
     "minhash_signatures_char",
@@ -66,12 +34,46 @@ EXPECTED_GATE_WINDOW = [
     "dedup_incremental",
     "ngram_jaccard_join",
     "containment_join",
-    "lsh_index",
-    "ann_search_lsh",
-    "knn_exact_euclidean",
-    "knn_exact_cosine",
-    "dup_clusters",
-    "aknn_search_api",
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "ivf_index",
+    "ann_search_ivf",
+    "ann_recall_ivf",
+    "knn_exact_mips",
+    "events_dau_wau",
+    "multimodal_audio_stats",
+    "multimodal_featurize",
+    "multimodal_framesample",
+    "events_approx_distinct",
+    "events_approx_distinct_check",
+    "ann_search_lsh_multiprobe",
+    "ann_recall_lsh_multiprobe",
+    "streaming_ann_search",
+    "events_asof_join",
+    "events_topk_users",
+    "events_hourly",
+    "events_sessionize",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "bm25_doc_search",
+    "hybrid_search_rrf",
+    "phrase_match",
+    "quality_score",
+    "corpus_clean",
+    "corpus_curate_full",
+    "quality_quantile",
+    "corpus_to_sequences",
+    "lang_id",
+    "lang_confusion",
+    "aknn_model_registry",
+    "label_centroids",
+    "ann_recall",
+    "similarity_join_lsh",
 ]
 
 
@@ -90,7 +92,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 146 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 149 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 146
-    assert len(set(ks)) == 146
+    assert len(ks) == 149
+    assert len(set(ks)) == 149
