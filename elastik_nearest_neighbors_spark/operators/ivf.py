@@ -1304,6 +1304,29 @@ def corpus_counts(sf_dir: str) -> tuple[int, int]:
     return got
 
 
+_MAX_DUP_CLASS_CACHE: dict[str, int] = {}
+
+
+def max_dup_class(sf_dir: str) -> int:
+    """Largest duplicate-class size (max rows sharing one exact embedding)
+    — the skew probe behind dedup_semantic's r8 single-frame guard. Same
+    driver-side DuckDB aggregate pattern (and caching) as corpus_counts;
+    only consulted when rows > distinct, so duplicate-free corpora (every
+    gated SF) never pay the scan. At 100 TB this is one extra MAX over the
+    per-value counts an existing dedup pass already materializes."""
+    got = _MAX_DUP_CLASS_CACHE.get(sf_dir)
+    if got is None:
+        import duckdb
+        import os as _os
+
+        p = _os.path.join(sf_dir, "embeddings.parquet")
+        (got,) = duckdb.sql(
+            f"SELECT max(c) FROM (SELECT count(*) AS c FROM '{p}' GROUP BY embedding)"
+        ).fetchone()
+        got = _MAX_DUP_CLASS_CACHE[sf_dir] = int(got)
+    return got
+
+
 def _single_list_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, v, list_id) under the BUILD quantizer (graph.graph_model_for:
     lists ∝ N) — the membership input for the numpy-local group operators.
@@ -1370,19 +1393,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both paths are bit-identical (property-tested, both directions
     forced).
 
+    Skew guard (r8, closing the r6/r7 even-spread caveat): the total-
+    answer estimate assumed duplication spreads evenly across lists; a
+    skewed corpus — one huge duplicate class among singletons — can
+    concentrate ~all pairs in ONE list's pandas frame. A duplicate class
+    is value-identical, so it lands in a single list; its pairs alone are
+    ≥ max_class²/2, and that bound is computable from the same kind of
+    driver-side aggregate as corpus_counts. The join path now ALSO
+    engages when that single-class worst case exceeds the ceiling —
+    data-driven, so uniformly-replicated corpora (max class = the
+    replication factor) keep the measured-faster pandas path, and
+    duplicate-free corpora (every gated SF) never even compute it.
+
     Output: (list_id, vec_a, vec_b, cosine) with cosine ≥ SEMDEDUP_TAU."""
     from ..constants import SEMDEDUP_PANDAS_PAIRS_MAX, SEMDEDUP_TAU
 
     mem = _single_list_members(spark, sf_dir)
     n_rows, n_distinct = corpus_counts(sf_dir)
-    # TOTAL-answer bound, assuming duplication spreads ~evenly across IVF
-    # lists (true for replicated corpora; a skewed corpus — one huge
-    # duplicate class among singletons — can concentrate most pairs in one
-    # list's pandas frame). The 1e8 ceiling caps that worst case at ~3.2 GB
-    # per frame, inside executor memory; corpora expected to be BOTH heavily
-    # duplicated and heavily skewed should lower SEMDEDUP_PANDAS_PAIRS_MAX.
     est_pairs = n_rows * n_rows // (2 * max(1, n_distinct))
-    if n_distinct == n_rows or est_pairs <= SEMDEDUP_PANDAS_PAIRS_MAX:
+    skew_pairs = 0 if n_distinct == n_rows else max_dup_class(sf_dir) ** 2 // 2
+    if n_distinct == n_rows or (
+        est_pairs <= SEMDEDUP_PANDAS_PAIRS_MAX
+        and skew_pairs <= SEMDEDUP_PANDAS_PAIRS_MAX
+    ):
 
         def per_list(pdf: pd.DataFrame) -> pd.DataFrame:
             lid = int(pdf["list_id"].iloc[0])

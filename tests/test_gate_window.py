@@ -40,6 +40,7 @@ EXPECTED_GATE_WINDOW = [
     "ivf_index",
     "ann_search_ivf",
     "ann_recall_ivf",
+    "dedup_semantic",
     "knn_exact_mips",
     "events_dau_wau",
     "multimodal_audio_stats",
@@ -73,7 +74,6 @@ EXPECTED_GATE_WINDOW = [
     "aknn_model_registry",
     "label_centroids",
     "ann_recall",
-    "similarity_join_lsh",
 ]
 
 

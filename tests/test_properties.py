@@ -476,6 +476,26 @@ def test_dedup_semantic_join_expansion_equals_pandas_path(spark, tmp_path, monke
     for c in cols:
         assert (legacy[c].values == joined[c].values).all(), c
 
+    # r8 skew guard: with the total-answer estimate PASSING but the
+    # single-class worst case forced past the ceiling, the join path must
+    # engage on its own (its plan carries the two expansion joins the
+    # pandas path lacks) and still emit the identical rows
+    monkeypatch.setattr(constants, "SEMDEDUP_PANDAS_PAIRS_MAX", 10**8)
+    ivf._CORPUS_COUNTS_CACHE[sf_dir] = (n, distinct)
+    ivf._MAX_DUP_CLASS_CACHE[sf_dir] = 1  # benign skew → pandas path
+    df_pandas = ivf.dedup_semantic(spark, sf_dir)
+    ivf._MAX_DUP_CLASS_CACHE[sf_dir] = 10**9  # one huge class → join path
+    df_join = ivf.dedup_semantic(spark, sf_dir)
+    n_joins_pandas = df_pandas._jdf.queryExecution().executedPlan().toString().count("Join")
+    n_joins_join = df_join._jdf.queryExecution().executedPlan().toString().count("Join")
+    assert n_joins_join > n_joins_pandas  # the guard actually flipped the plan
+    skew = df_join.toPandas().sort_values(cols).reset_index(drop=True)
+    assert len(skew) == len(legacy)
+    for c in cols:
+        assert (skew[c].values == legacy[c].values).all(), c
+    ivf._CORPUS_COUNTS_CACHE.pop(sf_dir, None)
+    ivf._MAX_DUP_CLASS_CACHE.pop(sf_dir, None)
+
 
 def test_groups_by_inv_equals_naive_all_regimes():
     """groups_by_inv (r6: the linearithmic lexsort/split grouping) must
