@@ -419,12 +419,16 @@ class IvfModel:
     hierarchy). With lists ∝ N/250 that is ~4 MB at 2M vectors (sf100),
     ~40 MB at 20M, and ~2 GB at 10^9 vectors — the practical
     closure/broadcast ceiling sits near L ≈ 10^6-10^7 (0.5-5 GB). Beyond
-    that the fine level must leave the driver: `assign_sharded` (r5)
-    does exactly that — fine centroids as a DataFrame keyed by level-0
-    group (`fine_level_table`), upper hierarchy as the only closure,
-    assignment as a co-partitioned shuffle join + numpy distance pass,
-    bit-equal to this closure path (asserted in tests). The closure path
-    stays the default below the ceiling; see graph.graph_model_for."""
+    that the fine level must leave the driver: `assign_sharded` (r6)
+    does exactly that for SERVING — fine centroids as a DataFrame keyed
+    by level-0 group (`fine_level_table`), upper hierarchy as the only
+    closure, assignment as a co-partitioned shuffle join + numpy distance
+    pass, bit-equal to this closure path (asserted in tests) — and
+    `fit_fine_df` (r8) does it for the FIT: every Lloyd iteration keeps
+    the fine level in a DataFrame, bit-equal to fit_path and measured
+    ~1.9x faster than the driver loop already at L=4096 (BASELINE.md r8).
+    The closure path stays the default below the ceiling (model_for
+    routes on projected bytes); see graph.graph_model_for."""
 
     def __init__(
         self,
