@@ -1294,23 +1294,25 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part, supplier) pair (documented substitution; exact double MIN, no
     division, so the engine comparison is bit-stable).
 
-    Scale shape: the correlated MIN-subquery is decorrelated into one
-    aggregation of the fact table on (partkey, suppkey) — the only real
-    shuffle; the part filter and region-supplier dim both broadcast into
-    it, and the per-part MIN re-join is a broadcast of a dim-sized
-    aggregate. ORDER BY is a total order (acctbal desc, nation, supplier,
-    partkey), so the TOPN cut is deterministic on any partitioning.
+    Scale shape (r9 — prune BEFORE the shuffle, matching q11/q20): the
+    type/size part filter (~1/150 of parts) and the region's supplier key
+    set (~1/5 of suppliers) both broadcast into the fact SCAN — as an
+    inner join and a semi-join respectively — so the one real shuffle
+    (the (partkey, suppkey) MIN aggregation) carries only ~0.1% of the
+    distinct-pair universe instead of all of it. Supplier attributes
+    re-join the dim-sized aggregate broadcast-side; the per-part MIN
+    re-join is a broadcast of a dim-sized aggregate. MIN per
+    (part, supplier) is over the same rows either way, and the post-agg
+    inner join dropped exactly the groups the semi-join now prunes, so
+    results are identical (same oracle). ORDER BY is a total order
+    (acctbal desc, nation, supplier, partkey), so the TOPN cut is
+    deterministic on any partitioning. Plan contract:
+    tests/test_plans.py::test_q2_broadcasts_part_below_aggregate.
 
     Output: (s_acctbal, s_name, nation, p_partkey, p_name, supply_cost)."""
     from ..constants import Q2_MAX_SIZE, Q2_REGION, Q2_TOPN, Q2_TYPE
 
     configure(spark)
-    cost = (
-        io.table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey", "l_extendedprice")
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min("l_extendedprice").alias("supply_cost"))
-    )
     part = io.table(spark, sf_dir, "part").where(
         (F.col("p_type") == Q2_TYPE) & (F.col("p_size") <= Q2_MAX_SIZE)
     ).select("p_partkey", "p_name")
@@ -1321,9 +1323,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsupp = io.table(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
-    sc = cost.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")).join(
-        F.broadcast(rsupp), F.col("l_suppkey") == F.col("s_suppkey")
+    cost = (
+        io.table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(rsupp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
     )
+    sc = cost.join(F.broadcast(rsupp), F.col("l_suppkey") == F.col("s_suppkey"))
     min_cost = sc.groupBy("p_partkey").agg(F.min("supply_cost").alias("min_cost"))
     return (
         sc.join(

@@ -585,3 +585,20 @@ def test_phrase_join_path_is_broadcast_nlj(spark):
     plan = plans.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q2_broadcasts_part_below_aggregate(spark):
+    """q2 (r9 fix): the broadcast part filter and the region-supplier
+    semi-join must execute UNDER the (partkey, suppkey) MIN aggregation —
+    in top-down print order the deepest BroadcastHashJoin sits below every
+    HashAggregate, so the one real shuffle carries only the pruned pairs."""
+    df = analytics.q2_min_cost_supplier(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    agg_lines = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    bj_lines = [i for i, l in enumerate(lines) if "BroadcastHashJoin" in l]
+    assert agg_lines and bj_lines, tree
+    assert max(bj_lines) > max(agg_lines), tree  # a broadcast join below ALL aggs
+    assert any("LeftSemi" in l for l in lines), tree  # supplier prune is a semi-join
+    assert "SortMergeJoin" not in plan, plan
