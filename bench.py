@@ -254,7 +254,11 @@ def main() -> None:
         else:
             timings[name] = round(min(runs), 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
-    total = round(sum(timings.values()), 3)
+    # `<key>_memo` entries are derived repeat-call measurements reported
+    # ALONGSIDE the cold timing of the same key — including them would
+    # double-count that key and drift the headline total's semantics from
+    # pre-memo rounds (ADVICE r8)
+    total = round(sum(v for k, v in timings.items() if not k.endswith("_memo")), 3)
     full = {
         "metric": "headline_queries_total",
         "value": total,

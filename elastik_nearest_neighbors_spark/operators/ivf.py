@@ -801,14 +801,30 @@ def _sample_df(spark: SparkSession, sf_dir: str, sample_n: int) -> tuple[DataFra
     The row_number windows are single-partition exchanges over sample-
     sized data (∝ L rows, the quantity that outgrew the driver's RAM, not
     its disk/shuffle) — acceptable once per fit; the iteration loop never
-    re-sorts."""
+    re-sorts.
+
+    Dedup groups on the raw BIT PATTERN of the vector (r9, ADVICE r8): a
+    plain groupBy('v') would normalize -0.0 to 0.0 (and all NaNs equal)
+    in the grouping key, while the driver path's unique_rows deliberately
+    splits bit-distinct values — a sample holding both zero signs would
+    dedup to different counts/idx order and break the claimed
+    bit-equality with fit_path. tobytes() reproduces unique_rows'
+    bit-pattern equality exactly; within a group every v is bit-identical,
+    so min_by picks the same array regardless of which row supplies it."""
     emb = io.table(spark, sf_dir, "embeddings", widen=True)
+
+    @pandas_udf("binary")
+    def _vbits(vs: pd.Series) -> pd.Series:
+        return vs.map(lambda a: np.asarray(a, dtype=np.float64).tobytes())
+
     base = (
         emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
         .withColumn("rn", F.row_number().over(Window.orderBy("vec_id")))
         .where(F.col("rn") <= sample_n)
     )
-    firsts = base.groupBy("v").agg(F.min("rn").alias("frn"))
+    firsts = base.groupBy(_vbits(F.col("v")).alias("vb")).agg(
+        F.min("rn").alias("frn"), F.min_by("v", "rn").alias("v")
+    )
     xdf = (
         firsts.withColumn(
             "idx", (F.row_number().over(Window.orderBy("frn")) - 1).cast("long")
@@ -1004,7 +1020,12 @@ def fit_fine_df(
     scale the caller persists this (partitioned fine_level_table shape),
     derives the upper hierarchy from its level-0 sub-fit, and serves
     through assign_sharded/probe_sharded; the model never exists as a
-    single in-memory object."""
+    single in-memory object.
+
+    Requires the EFFECTIVE k = min(nlist, deduped sample) to exceed
+    HIER_TOP (hierarchical models only) — callers with a possibly
+    duplicate-saturated corpus go through fit_path_sharded, which falls
+    back to the closure fit below that floor instead of raising."""
     xdf, n = _sample_df(spark, sf_dir, sample_n)
     return _lloyd_hier_df(spark, xdf, n, min(nlist, n), iters)
 
@@ -1016,13 +1037,25 @@ def fit_path_sharded(
     sample_n: int = IVF_SAMPLE,
     iters: int = IVF_ITERS,
 ) -> IvfModel:
-    """Collecting wrapper over fit_fine_df — for models that fit the
+    """Collecting wrapper over the sharded fit — for models that fit the
     driver once FIT (the forced tests, and the auto-engage band where the
     closure ceiling bites before driver RAM does). Bit-identical to
     fit_path(two_level=True) at the same parameters (asserted in tests):
     the collected centroids feed the same _build_levels the closure fit
-    runs, so serving — closure or sharded — sees the identical model."""
-    cdf = fit_fine_df(spark, sf_dir, nlist, sample_n, iters)
+    runs, so serving — closure or sharded — sees the identical model.
+
+    r9 (ADVICE r8): a duplicate-saturated corpus can dedup the fit sample
+    below the hierarchy floor even when the PROJECTED model bytes crossed
+    the sharded threshold — _lloyd_hier_df would raise on
+    k = min(nlist, n) ≤ HIER_TOP. Such a model is KB-sized by definition,
+    so fall back to the closure fit_path (which handles the tiny-k case
+    and applies the identical dedup + nlist cap)."""
+    from ..constants import HIER_TOP
+
+    xdf, n = _sample_df(spark, sf_dir, sample_n)
+    if min(nlist, n) <= HIER_TOP:
+        return IvfModel.fit_path(sf_dir, nlist=nlist, sample_n=sample_n, iters=iters)
+    cdf = _lloyd_hier_df(spark, xdf, n, min(nlist, n), iters)
     rows = cdf.orderBy("list_id").collect()
     cent = np.array([r.centroid for r in rows], dtype=np.float64)
     return IvfModel(cent, levels=_build_levels(cent))
@@ -1091,7 +1124,13 @@ def model_for(sf_dir: str) -> IvfModel:
 
         if IVF_NLIST >= TWO_LEVEL_MIN_NLIST and not io.is_uri(sf_dir):
             dim = _embedding_dim(sf_dir)
-            if dim and IVF_NLIST * dim * 8 > sharded_model_bytes_threshold():
+            # project with the EFFECTIVE nlist (r9, ADVICE r8): the fit
+            # caps nlist at the deduped sample size ≤ IVF_SAMPLE, so a
+            # raw-IVF_NLIST projection would route small/duplicated
+            # corpora to the sharded fit for a model far below the
+            # ceiling (perf-only mis-route; results stay bit-equal)
+            eff_nlist = min(IVF_NLIST, IVF_SAMPLE)
+            if dim and eff_nlist * dim * 8 > sharded_model_bytes_threshold():
                 from pyspark.sql import SparkSession
 
                 spark = SparkSession.getActiveSession()

@@ -1537,3 +1537,55 @@ def test_streaming_index_through_uri_store(spark):
     import shutil
 
     shutil.rmtree(base_local, ignore_errors=True)
+
+
+def test_fit_path_sharded_falls_back_below_hier_floor(spark):
+    """r9 (ADVICE r8): a fit whose EFFECTIVE k = min(nlist, deduped sample)
+    is ≤ HIER_TOP must fall back to the closure fit_path instead of raising
+    — the duplicate-saturated-corpus case where projected bytes crossed the
+    sharded threshold but the real model is KB-sized."""
+    import numpy as np
+
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_mod
+
+    # nlist=16 <= HIER_TOP=32: previously ValueError from _lloyd_hier_df
+    m = ivf_mod.fit_path_sharded(spark, SF_SMALL, nlist=16, sample_n=320)
+    ref = ivf_mod.IvfModel.fit_path(SF_SMALL, nlist=16, sample_n=320)
+    assert np.array_equal(m.centroids, ref.centroids)
+
+
+def test_sample_df_dedups_on_bit_pattern(spark, tmp_path):
+    """r9 (ADVICE r8): _sample_df must dedup on the raw BIT PATTERN like
+    the driver path's unique_rows — -0.0 and 0.0 rows stay DISTINCT and
+    first-occurrence idx order is by vec_id, not value-normalized."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_mod
+
+    vecs = [
+        [0.0, 1.0],    # idx 0
+        [-0.0, 1.0],   # bit-distinct from row 0 → kept (idx 1)
+        [0.0, 1.0],    # exact dup of row 0 → collapsed
+        [2.0, 3.0],    # idx 2
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(4), type=pa.int64()),
+            "embedding": pa.array(vecs, type=pa.list_(pa.float64())),
+            "label": pa.array([0, 0, 0, 0], type=pa.int32()),
+        }
+    )
+    papq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    xdf, n = ivf_mod._sample_df(spark, str(tmp_path), 4)
+    assert n == 3
+    rows = {r.idx: r.v for r in xdf.collect()}
+    assert np.copysign(1.0, rows[0][0]) == 1.0   # +0.0 first
+    assert np.copysign(1.0, rows[1][0]) == -1.0  # -0.0 kept distinct
+    assert rows[2] == [2.0, 3.0]
+
+    # and the driver twin agrees on the same data
+    x = np.array(vecs, dtype=np.float64)
+    _, _, first_idx = ivf_mod.unique_rows(x)
+    assert sorted(first_idx.tolist()) == [0, 1, 3]
