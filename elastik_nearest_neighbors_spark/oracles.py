@@ -149,6 +149,41 @@ GROUP BY user_id, sess_id
 """
 
 
+def streaming_sessionize_check() -> str:
+    """Oracle for the append-mode twin (streaming.ingest.
+    streaming_sessionize_check): the watermark-closed session prefix —
+    sessions whose end (last event + gap) the final watermark
+    (max ts − gap) passed — reduced to integer scalars. The mismatch
+    counters are literal zeros: the Spark side measures them against the
+    real drained stream, so the value-hash matches iff the streaming
+    state machine emitted exactly the closed set."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, epoch_ms(ts) AS ms, ts FROM events
+), flagged AS (
+  SELECT user_id, ms, ts,
+    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > {SESSION_GAP_MS} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, ts)
+), sess AS (
+  SELECT user_id, ms,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ms, ts ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+), agg AS (
+  SELECT user_id, sess_id, MAX(ms) AS end_ms, COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, sess_id
+), closed AS (
+  SELECT * FROM agg
+  WHERE end_ms + {SESSION_GAP_MS} <= (SELECT MAX(ms) FROM ev) - {SESSION_GAP_MS}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(COALESCE(SUM(n_events), 0) AS BIGINT) AS total_events,
+       CAST(0 AS BIGINT) AS only_stream,
+       CAST(0 AS BIGINT) AS only_batch
+FROM closed
+"""
+
+
 def events_dau_wau() -> str:
     """DAU/WAU per day (operators/analytics.events_dau_wau mirror)."""
     return """

@@ -29,84 +29,25 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # and rotates back into the window in later rounds. Goal invariant: every
 # entry's LATEST driver row is ≤1 round old.
 _QUERIES: dict[str, QueryFn] = {
-    # ---- r8 GATE WINDOW: exactly 50 entries above the boundary comment,
+    # ---- r9 GATE WINDOW: exactly 50 entries above the boundary comment,
     # pinned by tests/test_gate_window.py (EXPECTED_GATE_WINDOW).
-    # (1) r8-changed code — ann_recall_families (memo now keyed on
-    # applicationId; queued from r7 where the memo landed post-rotation),
-    # dedup_report (new disjoint near_only_dup_docs column, oracle updated
-    # in the same commit), and every tokenizer-seam consumer (tokens() grew
-    # an explicit `name` parameter; default remains expression-identical,
-    # minhash_signatures_char now selects 'char' without env mutation):
-    "ann_recall_families": knn.ann_recall_families,
-    "dedup_report": dedup.dedup_report,
-    "token_count": textops.token_count,
-    "minhash_signatures": dedup.minhash_signatures,
-    "minhash_signatures_char": dedup.minhash_signatures_char,
-    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-    "minhash_est_jaccard": dedup.minhash_est_jaccard,
-    "dedup_incremental": dedup.dedup_incremental,
-    "ngram_jaccard_join": dedup.ngram_jaccard_join,
-    "containment_join": dedup.containment_join,
-    # (2) NEW in r8 (#147-#149): TPC-H Q2/Q11/Q20-style — completes the
-    # 22-query TPC-H suite (partsupp substitutions documented in
-    # constants.py batch 4):
+    # (1) NEW in r9 (#150): the hash-gated twin of the append-mode
+    # sessionizer (events_approx_distinct_check pattern) — retires the
+    # registry's last designed no_oracle row to a gated contract:
+    "streaming_sessionize_check": ingest.streaming_sessionize_check,
+    # (2) r9-changed code — q2 now broadcasts the part filter + region
+    # supplier semi-join BELOW its (partkey, suppkey) aggregation
+    # (plan-contract tested); the IVF fit path gained the ADVICE-r8 fixes
+    # (bit-pattern sample dedup, sub-HIER_TOP fallback, effective-nlist
+    # byte projection — all inert at gated SFs, re-gated anyway):
     "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
-    "q11_important_stock": analytics.q11_important_stock,
-    "q20_potential_promotion": analytics.q20_potential_promotion,
-    # (3) r8-changed code — the IVF hierarchy fit gains the DataFrame-
-    # sharded fine-level path (ENN_SHARDED_MODEL_BYTES; inactive at gated
-    # SFs, bit-exactness pinned by a forced test) — the fit entry points
-    # re-gate; dedup_semantic gains the max-dup-class skew guard on its
-    # path choice (inert at gated SFs: duplicate-free short-circuit):
     "ivf_index": ivf.ivf_index,
     "ann_search_ivf": ivf.ann_search_ivf_q,
     "ann_recall_ivf": ivf.ann_recall_ivf_q,
     "dedup_semantic": ivf.dedup_semantic,
-    # (4) the 20 r4-era greens — the stalest driver rows at r8 start (the
-    # r7 verdict's #1 ask):
-    "knn_exact_mips": knn.knn_exact_mips_q,
-    "events_dau_wau": analytics.events_dau_wau,
-    "multimodal_audio_stats": multimodal.multimodal_audio_stats,
-    "multimodal_featurize": multimodal.multimodal_featurize,
-    "multimodal_framesample": multimodal.multimodal_framesample,
-    "events_approx_distinct": analytics.events_approx_distinct,
-    "events_approx_distinct_check": analytics.events_approx_distinct_check,
-    "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
-    "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
-    "streaming_ann_search": ingest.streaming_ann_search,
-    "events_asof_join": analytics.events_asof_join,
-    "events_topk_users": analytics.events_topk_users,
-    "events_hourly": analytics.events_hourly,
-    "events_sessionize": analytics.events_sessionize,
-    "q1_pricing_summary": analytics.q1_pricing_summary,
-    "q3_shipping_priority": analytics.q3_shipping_priority,
-    "q4_order_priority": analytics.q4_order_priority,
-    "q14_promo_revenue": analytics.q14_promo_revenue,
-    "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
-    "q6_revenue_delta": analytics.q6_revenue_delta,
-    # (5) oldest r5-era greens that fit:
-    "bm25_doc_search": search.bm25_doc_search,
-    "hybrid_search_rrf": search.hybrid_search_rrf,
-    "phrase_match": search.phrase_match,
-    "quality_score": textops.quality_score,
-    "corpus_clean": textops.corpus_clean,
-    "corpus_curate_full": textops.corpus_curate_full,
-    "quality_quantile": textops.quality_quantile,
-    "corpus_to_sequences": textops.corpus_to_sequences,
-    "lang_id": textops.lang_id,
-    "lang_confusion": textops.lang_confusion,
-    "aknn_model_registry": api.aknn_model_registry,
-    "label_centroids": knn.label_centroids_q,
-    "ann_recall": knn.ann_recall_q,
-    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
-    # entries (measured r3-r7: each CORRECTNESS json holds 50 keys). Keep
-    # new/changed keys ABOVE this line and push an equal number below;
-    # tests/test_gate_window.py enforces the placement.
-    # -- r9 rotation queue, in priority order --
-    # (a) keys whose code changes in r8 after this rotation was written
-    # (b) the r5-era greens below (next stalest at r9 start)
-    # (c) then r6-era, then r7/r8-era (freshest last)
-    # -- r5-era greens (next in line) --
+    # (3) the 19 r5-era greens — the stalest driver rows at r9 start (the
+    # r8 verdict's #1 ask; after this window no key's latest green is
+    # older than r6):
     "similarity_join_lsh": knn.similarity_join_lsh_q,
     "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
     "vector_stats": knn.vector_stats_q,
@@ -126,7 +67,7 @@ _QUERIES: dict[str, QueryFn] = {
     "source_cap": textops.source_cap,
     "stratified_sample": textops.stratified_sample,
     "source_stats": analytics.source_stats,
-    # -- r6-era greens --
+    # (4) oldest r6-era greens that fit (25 of 38):
     "knn_graph_multiprobe": graph.knn_graph_multiprobe,
     "ann_search_graph": graph.ann_search_graph_q,
     "ann_recall_graph": graph.ann_recall_graph_q,
@@ -152,6 +93,15 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_search_matryoshka": knn.ann_search_matryoshka,
     "ann_recall_matryoshka": knn.ann_recall_matryoshka,
     "bitsign_codes": pq.bitsign_codes,
+    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
+    # entries (measured r3-r8: each CORRECTNESS json holds 50 keys). Keep
+    # new/changed keys ABOVE this line and push an equal number below;
+    # tests/test_gate_window.py enforces the placement.
+    # -- r10 rotation queue, in priority order --
+    # (a) keys whose code changes in r9 after this rotation was written
+    # (b) the 13 r6-era greens below (next stalest at r10 start)
+    # (c) then r7-era, then r8-era (freshest last)
+    # -- r6-era greens (next in line) --
     "ann_search_bitsign": pq.ann_search_bitsign,
     "ann_recall_bitsign": pq.ann_recall_bitsign,
     "dup_spans": dedup.dup_spans,
@@ -165,7 +115,7 @@ _QUERIES: dict[str, QueryFn] = {
     "semantic_doc_search": knn.semantic_doc_search,
     "streaming_sliding_window": ingest.streaming_sliding_window,
     "streaming_sessionize": ingest.streaming_sessionize,
-    # -- r7-era greens (freshest, rotate last) --
+    # -- r7-era greens --
     "streaming_dedup_state": ingest.streaming_dedup_state,
     "streaming_events_hourly": ingest.streaming_events_hourly,
     "streaming_sessionize_append": ingest.streaming_sessionize_append,
@@ -208,6 +158,52 @@ _QUERIES: dict[str, QueryFn] = {
     "knn_exact_cosine": knn.knn_exact_cosine_q,
     "dup_clusters": dedup.dup_clusters,
     "aknn_search_api": api.aknn_search_api,
+    # -- r8-era greens (freshest, rotate last) --
+    "ann_recall_families": knn.ann_recall_families,
+    "dedup_report": dedup.dedup_report,
+    "token_count": textops.token_count,
+    "minhash_signatures": dedup.minhash_signatures,
+    "minhash_signatures_char": dedup.minhash_signatures_char,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "minhash_est_jaccard": dedup.minhash_est_jaccard,
+    "dedup_incremental": dedup.dedup_incremental,
+    "ngram_jaccard_join": dedup.ngram_jaccard_join,
+    "containment_join": dedup.containment_join,
+    "q11_important_stock": analytics.q11_important_stock,
+    "q20_potential_promotion": analytics.q20_potential_promotion,
+    "knn_exact_mips": knn.knn_exact_mips_q,
+    "events_dau_wau": analytics.events_dau_wau,
+    "multimodal_audio_stats": multimodal.multimodal_audio_stats,
+    "multimodal_featurize": multimodal.multimodal_featurize,
+    "multimodal_framesample": multimodal.multimodal_framesample,
+    "events_approx_distinct": analytics.events_approx_distinct,
+    "events_approx_distinct_check": analytics.events_approx_distinct_check,
+    "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
+    "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
+    "streaming_ann_search": ingest.streaming_ann_search,
+    "events_asof_join": analytics.events_asof_join,
+    "events_topk_users": analytics.events_topk_users,
+    "events_hourly": analytics.events_hourly,
+    "events_sessionize": analytics.events_sessionize,
+    "q1_pricing_summary": analytics.q1_pricing_summary,
+    "q3_shipping_priority": analytics.q3_shipping_priority,
+    "q4_order_priority": analytics.q4_order_priority,
+    "q14_promo_revenue": analytics.q14_promo_revenue,
+    "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
+    "q6_revenue_delta": analytics.q6_revenue_delta,
+    "bm25_doc_search": search.bm25_doc_search,
+    "hybrid_search_rrf": search.hybrid_search_rrf,
+    "phrase_match": search.phrase_match,
+    "quality_score": textops.quality_score,
+    "corpus_clean": textops.corpus_clean,
+    "corpus_curate_full": textops.corpus_curate_full,
+    "quality_quantile": textops.quality_quantile,
+    "corpus_to_sequences": textops.corpus_to_sequences,
+    "lang_id": textops.lang_id,
+    "lang_confusion": textops.lang_confusion,
+    "aknn_model_registry": api.aknn_model_registry,
+    "label_centroids": knn.label_centroids_q,
+    "ann_recall": knn.ann_recall_q,
 }
 
 
@@ -284,6 +280,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     # the batch sessionizer / exact-dedup / hourly-agg results (schemas
     # matched to what the streaming output carries)
     "streaming_sessionize": lambda sf: oracles.streaming_sessionize(),
+    # the append-mode twin's contract scalars (closed watermark prefix)
+    "streaming_sessionize_check": lambda sf: oracles.streaming_sessionize_check(),
     "streaming_dedup_state": oracles_text.streaming_dedup_state,
     "streaming_events_hourly": lambda sf: oracles.streaming_events_hourly(),
     "multimodal_framesample": oracles_text.multimodal_framesample,

@@ -12,9 +12,11 @@ watermark at scale; availableNow here drains the backlog and stops).
 Gate wiring: wherever the drained stream's output provably equals a batch
 query's rows (streaming_index, streaming_sliding_window, streaming_ann_search,
 streaming_index_store, streaming_sessionize, streaming_dedup_state), the
-batch DuckDB oracle gates the streaming path too. Only the entries whose
-output is inherently streaming-shaped (append-mode watermark prefixes) stay
-rows-only.
+batch DuckDB oracle gates the streaming path too. The one inherently
+streaming-shaped output (streaming_sessionize_append's watermark prefix)
+stays rows-only under its own key, but its CONTRACT is hash-gated by
+streaming_sessionize_check (r9): closed prefix == batch sessionizer rows,
+reduced to oracle-checkable scalars.
 """
 
 from __future__ import annotations
@@ -306,6 +308,88 @@ def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                    date_format(win.end, 'yyyy-MM-dd HH:mm:ss') AS session_end,
                    n_events, sum_value
             FROM {name}"""
+    )
+
+
+def streaming_sessionize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated twin of streaming_sessionize_append (r9, the
+    events_approx_distinct_check pattern, SURVEY §2 #150): the append-mode
+    emitted SET is engine-shaped (a watermark prefix — rows-only on its own
+    gate), but its CONTRACT is deterministic and SQL-assertable: the
+    emitted sessions are exactly the batch sessionizer's rows whose window
+    end (last event + gap) the final watermark (max event ts − gap) passed.
+
+    This side drains the real append-mode stream, recomputes the closed
+    prefix from the batch lag-sessionizer (same decimal-exact aggregates),
+    and full-outer-joins the two on ALL five output columns; the oracle
+    computes the same closed-prefix scalars in SQL and emits literal zeros
+    for the mismatch counts — so the value-hash matches iff the streaming
+    state machine emitted precisely the closed set with identical
+    aggregates. Together the two entries gate the bounded-state scale path
+    AND its emit-exactly-once claim.
+
+    Output 1 row: (n_sessions, n_users, total_events, only_stream,
+    only_batch)."""
+    from pyspark.sql.window import Window
+
+    from ..constants import SESSION_GAP_MS
+
+    configure(spark)
+    streamed = streaming_sessionize_append(spark, sf_dir)
+    ev = io.table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        F.unix_millis("ts").alias("ms"),
+        F.col("value").cast(DEC).alias("v"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "ts")
+    new_sess = F.when(
+        F.lag("ms").over(w).isNull()
+        | ((F.col("ms") - F.lag("ms").over(w)) > SESSION_GAP_MS),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id", F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    batch = sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("start_ts"),
+        F.max("ms").alias("end_ms_raw"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").cast("double").alias("sum_value"),
+    )
+    wm = ev.agg((F.max("ms") - F.lit(SESSION_GAP_MS)).alias("wm_ms"))
+    closed = (
+        batch.join(F.broadcast(wm))
+        .where(F.col("end_ms_raw") + F.lit(SESSION_GAP_MS) <= F.col("wm_ms"))
+        .select(
+            "user_id",
+            F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(
+                F.timestamp_millis(F.col("end_ms_raw") + F.lit(SESSION_GAP_MS)),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    keys = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    j = (
+        streamed.select(*keys)
+        .withColumn("in_s", F.lit(1))
+        .join(closed.select(*keys).withColumn("in_b", F.lit(1)), keys, "full_outer")
+    )
+    return j.agg(
+        F.sum(F.coalesce("in_s", F.lit(0))).alias("n_sessions"),
+        F.count_distinct(F.when(F.col("in_s") == 1, F.col("user_id"))).alias("n_users"),
+        F.sum(F.when(F.col("in_s") == 1, F.col("n_events")).otherwise(0)).alias(
+            "total_events"
+        ),
+        F.sum(
+            F.when(F.col("in_s").isNotNull() & F.col("in_b").isNull(), 1).otherwise(0)
+        ).alias("only_stream"),
+        F.sum(
+            F.when(F.col("in_b").isNotNull() & F.col("in_s").isNull(), 1).otherwise(0)
+        ).alias("only_batch"),
     )
 
 

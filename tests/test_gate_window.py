@@ -17,63 +17,61 @@ from elastik_nearest_neighbors_spark import registry
 
 GATE_WINDOW_SIZE = 50
 
-# The r8 window, in driver gate order: (1) r8-changed code (families memo
-# key, dedup_report's new disjoint column, the tokenizer-seam consumers
-# after tokens() grew the explicit name parameter), (2) the 3 NEW TPC-H
-# keys (#147-#149), (3) the IVF fit entry points (sharded fine-level fit
-# seam), (4) the 20 r4-era stale greens, (5) the oldest r5-era greens that
-# fit.
+# The r9 window, in driver gate order: (1) the NEW #150 (the append-mode
+# sessionizer's hash-gated twin), (2) r9-changed code (the q2 plan fix and
+# the IVF fit entries after the ADVICE-r8 fixes), (3) the 19 r5-era stale
+# greens (the r8 verdict's #1 ask), (4) the oldest 25 r6-era greens.
 EXPECTED_GATE_WINDOW = [
-    "ann_recall_families",
-    "dedup_report",
-    "token_count",
-    "minhash_signatures",
-    "minhash_signatures_char",
-    "dedup_minhash_lsh",
-    "minhash_est_jaccard",
-    "dedup_incremental",
-    "ngram_jaccard_join",
-    "containment_join",
+    "streaming_sessionize_check",
     "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q20_potential_promotion",
     "ivf_index",
     "ann_search_ivf",
     "ann_recall_ivf",
     "dedup_semantic",
-    "knn_exact_mips",
-    "events_dau_wau",
-    "multimodal_audio_stats",
-    "multimodal_featurize",
-    "multimodal_framesample",
-    "events_approx_distinct",
-    "events_approx_distinct_check",
-    "ann_search_lsh_multiprobe",
-    "ann_recall_lsh_multiprobe",
-    "streaming_ann_search",
-    "events_asof_join",
-    "events_topk_users",
-    "events_hourly",
-    "events_sessionize",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q14_promo_revenue",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "bm25_doc_search",
-    "hybrid_search_rrf",
-    "phrase_match",
-    "quality_score",
-    "corpus_clean",
-    "corpus_curate_full",
-    "quality_quantile",
-    "corpus_to_sequences",
-    "lang_id",
-    "lang_confusion",
-    "aknn_model_registry",
-    "label_centroids",
-    "ann_recall",
+    "similarity_join_lsh",
+    "dedup_embedding_cosine",
+    "vector_stats",
+    "range_search",
+    "dedup_exact",
+    "dedup_minhash_canonical",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_chunk",
+    "idf_scores",
+    "pii_scrub",
+    "corpus_sample",
+    "token_histogram",
+    "doc_repetition",
+    "decontaminate",
+    "seq_pack",
+    "source_cap",
+    "stratified_sample",
+    "source_stats",
+    "knn_graph_multiprobe",
+    "ann_search_graph",
+    "ann_recall_graph",
+    "ann_recall_graph_sweep",
+    "embedding_clusters",
+    "streaming_graph_search",
+    "ann_search_graph_beam",
+    "ann_recall_graph_beam",
+    "ann_search_ivfpq",
+    "ann_search_ivfpq_refined",
+    "ann_recall_ivfpq",
+    "ann_recall_ivfpq_refined",
+    "ann_search_ivf_filtered",
+    "knn_graph",
+    "pq_codes",
+    "ann_search_pq",
+    "ann_recall_pq",
+    "sq8_quantize",
+    "ann_search_sq8",
+    "ann_recall_sq8",
+    "boilerplate_scrub",
+    "index_stats",
+    "ann_search_matryoshka",
+    "ann_recall_matryoshka",
+    "bitsign_codes",
 ]
 
 
@@ -92,7 +90,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 149 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 150 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 149
-    assert len(set(ks)) == 149
+    assert len(ks) == 150
+    assert len(set(ks)) == 150
