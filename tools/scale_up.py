@@ -11,8 +11,13 @@ workload realistic instead of degenerate. Embedding vectors are copied
 verbatim: the fixed query batch (vec_id < N_QUERIES, all in copy 0) then
 searches an R× denser index — the serving-scale axis we want to measure.
 
-Usage: python tools/scale_up.py SRC DST R
+Usage: python tools/scale_up.py SRC DST R [TABLES]
   e.g. python tools/scale_up.py /root/testdata/sf0.1 /tmp/enn_scale/sf1 10
+       python tools/scale_up.py /root/testdata/sf0.1 /tmp/enn_scale/sf100 1000 embeddings,events
+TABLES (optional, comma-separated) restricts generation to those tables —
+the per-table output is independent and deterministic, so a restricted run
+produces byte-identical files to the same tables of a full run (the
+tools/README.md recipes rebuild the per-round scale dirs this way).
 
 Writes one parquet per table with 100k-row row groups (splittable scans).
 Pure DuckDB SQL — no Spark session needed to generate.
@@ -61,10 +66,10 @@ def _copy_select(table: str, cols: list[tuple[str, str]], i: int) -> str:
     return "SELECT " + ", ".join(parts) + " FROM src"
 
 
-def scale(src: str, dst: str, r: int) -> None:
+def scale(src: str, dst: str, r: int, tables: list[str] | None = None) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
-    for table in DIMS + list(OFFSETS):
+    for table in tables if tables else DIMS + list(OFFSETS):
         sp = os.path.join(src, f"{table}.parquet")
         dp = os.path.join(dst, f"{table}.parquet")
         con.execute(f"CREATE OR REPLACE VIEW src AS SELECT * FROM '{sp}'")
@@ -85,4 +90,5 @@ def scale(src: str, dst: str, r: int) -> None:
 
 if __name__ == "__main__":
     src, dst, r = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    scale(src, dst, r)
+    tables = sys.argv[4].split(",") if len(sys.argv) > 4 else None
+    scale(src, dst, r, tables)
