@@ -315,6 +315,18 @@ FLAT_FIT_MAX = 1 << 22
 # tests (tests/test_plans.py) and in one gated run via
 # ENN_SHARDED_MODEL_BYTES (the env override the scale test uses).
 SHARDED_MODEL_BYTES = 512 << 20
+# Sharded-FIT speed crossover (r9, closing the r8 verdict's reach-seam
+# observation): below the broadcast ceiling the DataFrame-sharded Lloyd
+# fit is still FASTER than the single-threaded driver loop once the fit
+# SAMPLE is large enough — the driver's per-iteration descent cost is
+# ~linear in the sample while the sharded fit is ~140 s of fixed
+# per-iteration job overhead until compute dominates. Measured on
+# /tmp/enn_scale/sfdistinct2m (2M distinct 64-dim, fresh process per fit,
+# bit-equal at every point; BASELINE.md r9 table): driver wins 2.3× at
+# n=20k (even at L=8192, 1.45×), sharded wins 1.3× at n=50k and 1.9× at
+# n=200k. The crossover is sample-driven, not L-driven, so the engage
+# rule keys on the PROJECTED sample min(IVF_SAMPLE, corpus distinct):
+SHARDED_FIT_SAMPLE_MIN = 50_000
 # single-linkage clustering over the graph's edges. Threshold swept at
 # sf0.01 (min pair distance ≈ 1.05): 1.2 percolates into one 474-member
 # blob, 1.05 leaves only pairs; 1.12 gives 63 non-singleton clusters up to

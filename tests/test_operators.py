@@ -1589,3 +1589,39 @@ def test_sample_df_dedups_on_bit_pattern(spark, tmp_path):
     x = np.array(vecs, dtype=np.float64)
     _, _, first_idx = ivf_mod.unique_rows(x)
     assert sorted(first_idx.tolist()) == [0, 1, 3]
+
+
+def test_model_for_speed_routes_sharded_fit_at_crossover(spark, monkeypatch):
+    """r9: below the byte ceiling, model_for engages the sharded fit when
+    the projected sample min(IVF_SAMPLE, corpus distinct) reaches the
+    measured SHARDED_FIT_SAMPLE_MIN crossover — and stays on the closure
+    fit below it. Routing-only: both paths are bit-equal (asserted by the
+    sharded-fit equality tests)."""
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_mod
+
+    calls = []
+    real = ivf_mod.fit_path_sharded
+
+    def spy(spark_, sf_dir, *a, **kw):
+        calls.append(sf_dir)
+        return real(spark_, sf_dir, *a, **kw)
+
+    monkeypatch.setattr(ivf_mod, "fit_path_sharded", spy)
+    monkeypatch.setattr(ivf_mod, "IVF_NLIST", 128)  # hierarchical band
+    # SF_SMALL distinct vectors >> 10, so projected sample = IVF_SAMPLE=256
+    monkeypatch.setenv("ENN_SHARDED_FIT_SAMPLE_MIN", "10")
+    ivf_mod._MODEL_CACHE.pop(SF_SMALL, None)
+    m1 = ivf_mod.model_for(SF_SMALL)
+    assert calls == [SF_SMALL]
+
+    monkeypatch.setenv("ENN_SHARDED_FIT_SAMPLE_MIN", "10000000")
+    ivf_mod._MODEL_CACHE.pop(SF_SMALL, None)
+    m2 = ivf_mod.model_for(SF_SMALL)
+    assert calls == [SF_SMALL]  # no second sharded call — closure path
+    import numpy as np
+
+    # the spy path fell back through fit_path_sharded's own routing with
+    # the DEFAULT nlist (16 <= HIER_TOP -> closure fallback), so both
+    # models come from the same closure fit: identical centroids
+    assert np.array_equal(m1.centroids, m2.centroids)
+    ivf_mod._MODEL_CACHE.pop(SF_SMALL, None)
