@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_search_matryoshka",
     "ann_recall_matryoshka",
     "ivf_upsert",
+    "ivf_delete",
     "index_stats",
     "aknn_search_api",
     "aknn_model_registry",

@@ -104,6 +104,12 @@ ANN_FILTER_LABEL = 3
 # hash/rank the identical updated doubles); 17 puts ~6% of vectors,
 # including query vec_id 0, on the changed side
 UPSERT_MOD = 17
+# index delete (r9, #151): vectors with vec_id % DELETE_MOD == DELETE_REM
+# are purged — an id-set delete, the GDPR/right-to-be-forgotten shape;
+# 13/3 puts ~7.7% of vectors, including query vec_id 3, on the deleted
+# side (so the rebuild semantics of a vanished QUERY are exercised too)
+DELETE_MOD = 13
+DELETE_REM = 3
 ANN_K1 = 100  # candidates from hash-table term match
 ANN_K2 = 10  # final neighbors after exact re-rank
 # PQ (product quantization): M subspaces × ksub centroids — 64 float64 dims

@@ -1835,3 +1835,64 @@ def ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 io.fs_delete(spark, io.fs_join(store, f"list_id={lid}"))
         io.fs_touch(spark, marker)
     return _search_ivf_store(spark, store, model, memb)
+
+
+def ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index DELETE-in-place (r9, #151) — the missing CRUD op of the
+    maintenance matrix (LSH: append/compact/upsert; IVF: store/upsert/
+    DELETE): the purged ids (vec_id % DELETE_MOD == DELETE_REM — an
+    id-set delete, the GDPR purge shape) are dropped from ONLY the list
+    directories that held one, via the same pruned dynamic partition
+    overwrite as ivf_upsert; a list emptied by the delete is removed
+    explicitly. No refit — the centroids keep serving (FAISS remove_ids'
+    invariant). Searching the patched store with the surviving table
+    equals a full rebuild on the filtered corpus, which the oracle
+    recomputes in SQL; a deleted QUERY id vanishes from the output too —
+    exactly the rebuild semantics. Idempotent across re-runs (marker).
+
+    At 100 TB: deleting D ids rewrites only the directories that actually
+    held one (≤ min(D, nlist)); a clustered purge — a source drop, a
+    near-dup kill list, which lands in few Voronoi cells by construction
+    — touches a small fraction of the store, and the search path is the
+    unchanged partition-pruned probing.
+
+    Output: (query_id, neighbor_id, list_id, distance)."""
+    from ..constants import DELETE_MOD, DELETE_REM
+    from ..sources.index_store import save_ivf_index
+
+    model = model_for(sf_dir)
+    emb = _emb(spark, sf_dir)
+    out = io.scratch_dir("ivf_delete", sf_dir)
+    store = io.fs_join(out, "data")
+    marker = io.fs_join(out, "DELETED")
+    if not io.fs_exists(spark, io.fs_join(store, "_SUCCESS")):
+        save_ivf_index(build_ivf_index(emb, model), store)
+    doomed_pred = F.col("vec_id") % DELETE_MOD == DELETE_REM
+    if not io.fs_exists(spark, marker):
+        doomed = build_ivf_index(emb.where(doomed_pred), model)
+        parts = [int(r.list_id) for r in doomed.select("list_id").distinct().collect()]
+        existing = (
+            spark.read.parquet(store)
+            .where(F.col("list_id").isin(parts))
+            .select("vec_id", "list_id", "center_dist")
+        )
+        # localCheckpoint BEFORE the overwrite: `patched` reads the path
+        # it is about to rewrite (see ivf_upsert / knn.index_upsert)
+        patched = existing.where(~doomed_pred).localCheckpoint()
+        live = {int(r.list_id) for r in patched.select("list_id").distinct().collect()}
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                patched.repartition("list_id")
+                .write.mode("overwrite")
+                .partitionBy("list_id")
+                .parquet(store)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for lid in parts:
+            if lid not in live:
+                io.fs_delete(spark, io.fs_join(store, f"list_id={lid}"))
+        io.fs_touch(spark, marker)
+    return _search_ivf_store(spark, store, model, emb.where(~doomed_pred))

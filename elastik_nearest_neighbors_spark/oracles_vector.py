@@ -1513,6 +1513,49 @@ FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
 """
 
 
+def ivf_delete(sf_dir: str) -> str:
+    """Full-rebuild-on-filtered-table reference for the purged IVF store
+    (operators/ivf.ivf_delete): assignment AND search recomputed over the
+    SURVIVING vectors with the ORIGINAL centroids (no refit — the
+    operator's production invariant); a purged query id contributes no
+    output rows, exactly like the patched-store search."""
+    from .constants import ANN_K2, DELETE_MOD, DELETE_REM, IVF_NPROBE, N_QUERIES
+
+    memb = (
+        f"memb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding "
+        f"FROM embeddings WHERE vec_id % {DELETE_MOD} <> {DELETE_REM})"
+    )
+    return f"""
+WITH {memb}, {_ivf_cent_cte(sf_dir)},
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding, c.c), 6) AS cd
+    FROM memb e CROSS JOIN cent c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, list_id FROM (
+    SELECT e.vec_id, c.list_id,
+           round(list_distance(e.embedding, c.c), 6) AS cd
+    FROM memb e CROSS JOIN cent c
+    WHERE e.vec_id < {N_QUERIES}
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, CAST(a.list_id AS INT) AS list_id,
+         round(list_distance(eq.embedding, en.embedding), 6) AS distance
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+  JOIN memb eq ON eq.vec_id = p.query_id
+  JOIN memb en ON en.vec_id = a.vec_id
+)
+SELECT query_id, neighbor_id, list_id, distance
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
+"""
+
+
 def ivf_upsert(sf_dir: str) -> str:
     """Full-rebuild-on-updated-table reference for the patched IVF store
     (operators/ivf.ivf_upsert): assignment AND search recomputed over the

@@ -23,6 +23,7 @@ GATE_WINDOW_SIZE = 50
 # greens (the r8 verdict's #1 ask), (4) the oldest 25 r6-era greens.
 EXPECTED_GATE_WINDOW = [
     "streaming_sessionize_check",
+    "ivf_delete",
     "q2_min_cost_supplier",
     "ivf_index",
     "ann_search_ivf",
@@ -71,7 +72,6 @@ EXPECTED_GATE_WINDOW = [
     "index_stats",
     "ann_search_matryoshka",
     "ann_recall_matryoshka",
-    "bitsign_codes",
 ]
 
 
@@ -90,7 +90,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 150 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 151 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 150
-    assert len(set(ks)) == 150
+    assert len(ks) == 151
+    assert len(set(ks)) == 151

@@ -1625,3 +1625,30 @@ def test_model_for_speed_routes_sharded_fit_at_crossover(spark, monkeypatch):
     # models come from the same closure fit: identical centroids
     assert np.array_equal(m1.centroids, m2.centroids)
     ivf_mod._MODEL_CACHE.pop(SF_SMALL, None)
+
+
+def test_ivf_delete_purges_store_and_results(spark):
+    """r9 (#151): the purged ids are gone from the patched store's every
+    list directory AND from the search output (neighbor or query side);
+    untouched-survivor search equals a fresh rebuild (oracle-tested); a
+    second call is idempotent (marker short-circuit, identical rows)."""
+    from elastik_nearest_neighbors_spark import io as eio
+    from elastik_nearest_neighbors_spark.constants import DELETE_MOD, DELETE_REM
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_mod
+
+    r1 = ivf_mod.ivf_delete(spark, SF_SMALL).toPandas()
+    assert len(r1) > 0
+    assert not (r1.neighbor_id % DELETE_MOD == DELETE_REM).any()
+    assert not (r1.query_id % DELETE_MOD == DELETE_REM).any()
+    assert DELETE_REM < 8  # the query purge case is actually exercised
+    assert DELETE_REM not in set(r1.query_id)
+
+    store = eio.fs_join(eio.scratch_dir("ivf_delete", SF_SMALL), "data")
+    left = spark.read.parquet(store)
+    assert left.where(F.col("vec_id") % DELETE_MOD == DELETE_REM).count() == 0
+
+    r2 = ivf_mod.ivf_delete(spark, SF_SMALL).toPandas()
+    key = ["query_id", "neighbor_id", "list_id", "distance"]
+    a = r1[key].sort_values(key).reset_index(drop=True)
+    b = r2[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
