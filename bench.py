@@ -57,6 +57,7 @@ HEADLINE = [
     "ann_recall_matryoshka",
     "ivf_upsert",
     "ivf_delete",
+    "index_delete",
     "index_stats",
     "aknn_search_api",
     "aknn_model_registry",

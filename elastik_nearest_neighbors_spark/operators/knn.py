@@ -810,6 +810,81 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_lsh_store(spark, sf_dir, store, emb=memb)
 
 
+def index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index DELETE-in-place (r9, #152) — ivf_delete's LSH twin, making
+    the maintenance matrix symmetric on both layouts (LSH: append /
+    compact / upsert / DELETE; IVF: store / upsert / delete): the purged
+    ids (vec_id % DELETE_MOD == DELETE_REM, the id-set GDPR shape) are
+    dropped from ONLY the (tbl, bucket) directories that held one —
+    found by re-hashing just the doomed vectors — via the same packed-key
+    PartitionFilter read + dynamic partition overwrite as index_upsert; a
+    directory left with zero surviving rows is deleted explicitly (its
+    stale files would otherwise keep matching). Searching the patched
+    store with the surviving table equals a full rebuild on the filtered
+    corpus, which the oracle recomputes in SQL; a purged QUERY id
+    contributes no output rows — rebuild semantics. Idempotent.
+
+    At 100 TB: deleting D ids touches ≤ D·T of the T·n_buckets
+    directories — the same bound as the upsert delta; the search path is
+    the unchanged literal-PartitionFilter probing.
+
+    Output: (query_id, neighbor_id, n_match, distance)."""
+    from ..constants import DELETE_MOD, DELETE_REM
+    from ..sources.index_store import DEFAULT_HASH_BUCKETS, save_lsh_index
+
+    emb = _emb(spark, sf_dir)
+    model = _model_for(emb, sf_dir)
+    out = io.scratch_dir("lsh_delete", sf_dir)
+    store = io.fs_join(out, "data")
+    marker = io.fs_join(out, "DELETED")
+    if not io.fs_exists(spark, io.fs_join(store, "_SUCCESS")):
+        save_lsh_index(lsh_index(spark, sf_dir), store)
+    doomed_pred = F.col("vec_id") % DELETE_MOD == DELETE_REM
+    if not io.fs_exists(spark, marker):
+        doomed = explode_hashes(
+            build_index(emb.where(doomed_pred), model), "vec_id", "vec_id"
+        ).select(
+            "vec_id",
+            F.col("tbl").cast("int").alias("tbl"),
+            F.pmod("hash", F.lit(DEFAULT_HASH_BUCKETS)).cast("int").alias("bucket"),
+        )
+        parts = [
+            (r.tbl, r.bucket) for r in doomed.select("tbl", "bucket").distinct().collect()
+        ]
+        packed = [int(t) * 100000 + int(b) for t, b in parts]
+        existing = (
+            spark.read.parquet(store)
+            .where(
+                (F.col("tbl").cast("long") * 100000 + F.col("bucket")).isin(packed)
+            )
+            .select("vec_id", "tbl", "hash", "bucket")
+        )
+        # localCheckpoint BEFORE the overwrite: `patched` reads the path it
+        # is about to rewrite (see index_upsert)
+        patched = existing.where(~doomed_pred).localCheckpoint()
+        live = {
+            (r.tbl, r.bucket)
+            for r in patched.select("tbl", "bucket").distinct().collect()
+        }
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                patched.repartition("tbl", "bucket")
+                .write.mode("overwrite")
+                .partitionBy("tbl", "bucket")
+                .parquet(store)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        live_keys = {(int(x), int(y)) for x, y in live}
+        for t, b in parts:
+            if (int(t), int(b)) not in live_keys:
+                io.fs_delete(spark, io.fs_join(store, f"tbl={t}", f"bucket={b}"))
+        io.fs_touch(spark, marker)
+    return search_lsh_store(spark, sf_dir, store, emb=emb.where(~doomed_pred))
+
+
 def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #41: per-label centroid of the embedding column — the
     vector-aggregate pattern (class prototypes / coarse init for IVF).

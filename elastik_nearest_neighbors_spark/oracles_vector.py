@@ -156,6 +156,46 @@ SELECT * FROM ann
 """
 
 
+def index_delete(sf_dir: str) -> str:
+    """Full-rebuild-on-filtered-table reference for the purged LSH store
+    (operators/knn.index_delete): the patched store's search must equal
+    ann_search_lsh recomputed over the surviving vectors only (purged
+    query ids contribute no rows — rebuild semantics)."""
+    from .constants import DELETE_MOD, DELETE_REM
+
+    model = lsh_model_for(sf_dir)
+    memb = (
+        f"memb AS (SELECT vec_id, embedding::DOUBLE[] AS embedding "
+        f"FROM embeddings WHERE vec_id % {DELETE_MOD} <> {DELETE_REM})"
+    )
+    return f"""
+WITH {memb},
+hashes AS (
+{_hashes_cte(model, from_table="memb")}
+), cand AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id, CAST(COUNT(*) AS BIGINT) AS n_match
+  FROM hashes i JOIN hashes q ON i.tbl = q.tbl AND i.hash = q.hash
+  WHERE q.vec_id < {N_QUERIES} AND i.vec_id <> q.vec_id
+  GROUP BY 1, 2
+), k1_sel AS (
+  SELECT query_id, neighbor_id, n_match,
+         row_number() OVER (PARTITION BY query_id ORDER BY n_match DESC, neighbor_id) AS rn
+  FROM cand
+), scored AS (
+  SELECT k.query_id, k.neighbor_id, k.n_match,
+         round(list_distance(qe.embedding, ne.embedding), 6) AS distance
+  FROM k1_sel k
+  JOIN memb qe ON qe.vec_id = k.query_id
+  JOIN memb ne ON ne.vec_id = k.neighbor_id
+  WHERE k.rn <= {ANN_K1}
+)
+SELECT query_id, neighbor_id, n_match, distance
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) AS rn2
+      FROM scored)
+WHERE rn2 <= {ANN_K2}
+"""
+
+
 def index_upsert(sf_dir: str) -> str:
     """Full-rebuild-on-updated-table reference for the patched store
     (operators/knn.index_upsert): the upserted store's search must equal

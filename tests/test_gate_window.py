@@ -24,6 +24,7 @@ GATE_WINDOW_SIZE = 50
 EXPECTED_GATE_WINDOW = [
     "streaming_sessionize_check",
     "ivf_delete",
+    "index_delete",
     "q2_min_cost_supplier",
     "ivf_index",
     "ann_search_ivf",
@@ -71,7 +72,6 @@ EXPECTED_GATE_WINDOW = [
     "boilerplate_scrub",
     "index_stats",
     "ann_search_matryoshka",
-    "ann_recall_matryoshka",
 ]
 
 
@@ -90,7 +90,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 151 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 152 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 151
-    assert len(set(ks)) == 151
+    assert len(ks) == 152
+    assert len(set(ks)) == 152

@@ -1652,3 +1652,28 @@ def test_ivf_delete_purges_store_and_results(spark):
     a = r1[key].sort_values(key).reset_index(drop=True)
     b = r2[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_index_delete_purges_store_and_results(spark):
+    """r9 (#152): ivf_delete's LSH twin — purged ids gone from every
+    (tbl, bucket) directory and from both sides of the search output;
+    idempotent second call returns identical rows."""
+    from elastik_nearest_neighbors_spark import io as eio
+    from elastik_nearest_neighbors_spark.constants import DELETE_MOD, DELETE_REM
+    from elastik_nearest_neighbors_spark.operators import knn as knn_mod
+
+    r1 = knn_mod.index_delete(spark, SF_SMALL).toPandas()
+    assert len(r1) > 0
+    assert not (r1.neighbor_id % DELETE_MOD == DELETE_REM).any()
+    assert not (r1.query_id % DELETE_MOD == DELETE_REM).any()
+    assert DELETE_REM not in set(r1.query_id)
+
+    store = eio.fs_join(eio.scratch_dir("lsh_delete", SF_SMALL), "data")
+    left = spark.read.parquet(store)
+    assert left.where(F.col("vec_id") % DELETE_MOD == DELETE_REM).count() == 0
+
+    r2 = knn_mod.index_delete(spark, SF_SMALL).toPandas()
+    key = ["query_id", "neighbor_id", "n_match", "distance"]
+    a = r1[key].sort_values(key).reset_index(drop=True)
+    b = r2[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
