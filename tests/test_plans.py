@@ -602,3 +602,21 @@ def test_q2_broadcasts_part_below_aggregate(spark):
     assert max(bj_lines) > max(agg_lines), tree  # a broadcast join below ALL aggs
     assert any("LeftSemi" in l for l in lines), tree  # supplier prune is a semi-join
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q20_merge_join_reuses_aggregation_partitioning(spark):
+    """q20 (r9 plan audit): the avail-vs-shipped join of the two
+    (partkey, suppkey) aggregates must REUSE their aggregation
+    partitioning — a SortMergeJoin fed by Sort directly over each final
+    HashAggregate, with no extra Exchange between aggregate and join.
+    Non-broadcast exchanges in the whole plan: exactly the two partial→
+    final aggregation shuffles plus the KB-sized candidate distinct."""
+    df = analytics.q20_potential_promotion(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" in tree, tree
+    shuffles = sum(
+        1 for l in tree.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    )
+    assert shuffles == 3, tree
