@@ -276,7 +276,20 @@ def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only in the gate by design: the emitted set is the watermark-closed
     PREFIX of the batch result, which tests/test_operators.py asserts
-    exactly (closed sessions equal the batch sessionizer's rows)."""
+    exactly (closed sessions equal the batch sessionizer's rows); the
+    contract is additionally hash-gated by streaming_sessionize_check.
+
+    Sink (r9): parquet, not memory. This is the ONE streaming entry whose
+    output is data-sized (O(closed sessions) ∝ events), and the memory
+    sink collects every emitted row to the driver — measured blowing
+    spark.driver.maxResultSize at sf10 (10M events). The append-mode
+    parquet sink keeps the emission distributed (each micro-batch's tasks
+    write their own files; the driver sees only commit metadata), exactly
+    what a 100 TB deployment does, and the returned DataFrame is the
+    read-back of that store. Re-invocations in one process reuse the
+    checkpoint: the availableNow drain sees no new files and the
+    read-back returns the identical rows (idempotent, like the
+    maintenance ops)."""
     configure(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     src = (
@@ -292,22 +305,28 @@ def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast(DEC)).cast("double").alias("sum_value"),
         )
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
     )
-    name = f"enn_stream_sessapp_{uuid.uuid4().hex[:8]}"
+    out = io.scratch_dir("sess_append", sf_dir)
+    data = io.fs_join(out, "data")
+    ckpt = io.fs_join(out, "ckpt")
     q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
+        agg.writeStream.format("parquet")
+        .option("path", data)
+        .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
-    return spark.sql(
-        f"""SELECT user_id,
-                   date_format(win.start, 'yyyy-MM-dd HH:mm:ss') AS session_start,
-                   date_format(win.end, 'yyyy-MM-dd HH:mm:ss') AS session_end,
-                   n_events, sum_value
-            FROM {name}"""
+    q.awaitTermination(600)
+    return spark.read.parquet(data).select(
+        "user_id", "session_start", "session_end", "n_events", "sum_value"
     )
 
 
