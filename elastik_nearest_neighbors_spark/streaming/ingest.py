@@ -54,6 +54,21 @@ def _split_source(batch: DataFrame, out: str, n: int = STREAM_SPLIT_FILES) -> st
     return src_dir
 
 
+def _drain(q, timeout: int = 300) -> None:
+    """Block until the availableNow drain finishes, failing LOUDLY on
+    timeout: awaitTermination returns False when the clock runs out while
+    the stream is still writing, and silently proceeding would read a
+    partial sink (the parquet-sink sessionizer at sf10+ is the case that
+    motivated this — r9 ADVICE). Stop the straggler before raising so the
+    JVM doesn't keep appending behind the failure."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming drain timed out after {timeout}s "
+            f"(query id {q.id}); sink is incomplete — not reading it back"
+        )
+
+
 def _record_batches(q, out: str) -> None:
     """Persist how many non-empty micro-batches the FIRST build ran (the
     checkpointed re-invocation is a no-op and must not overwrite it)."""
@@ -105,7 +120,7 @@ def streaming_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     _record_batches(q, out)
     return spark.read.parquet(f"{out}/data")
 
@@ -157,7 +172,7 @@ def _ensure_stream_store(spark: SparkSession, sf_dir: str) -> str:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     _record_batches(q, out)
     return store
 
@@ -223,7 +238,7 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.sql(
         f"""SELECT date_format(win.start, 'yyyy-MM-dd HH:mm:ss') AS hour_ts,
                    event_type, n_events, sum_value
@@ -257,7 +272,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.sql(
         f"""SELECT user_id,
                    date_format(win.start, 'yyyy-MM-dd HH:mm:ss') AS session_start,
@@ -324,7 +339,7 @@ def streaming_sessionize_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    _drain(q, 600)
     return spark.read.parquet(data).select(
         "user_id", "session_start", "session_end", "n_events", "sum_value"
     )
@@ -458,7 +473,7 @@ def streaming_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.sql(f"SELECT content_md5, canonical_id FROM {name}")
 
 
@@ -506,7 +521,7 @@ def streaming_ann_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
 
     sunk = spark.sql(f"SELECT query_id, neighbor_id, n_match FROM {name}")
     return rank_term_matches(sunk, emb, emb.where(F.col("vec_id") < N_QUERIES))
@@ -568,7 +583,7 @@ def streaming_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     from ..constants import GRAPH_SEED_K
     from pyspark.sql.window import Window
 
@@ -615,7 +630,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.sql(
         f"""SELECT date_format(win.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
                    n_events, sum_value
@@ -698,5 +713,5 @@ def streaming_index_kafka(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(q, 300)
     return spark.read.parquet(f"{out}/data")

@@ -515,6 +515,33 @@ def test_ivfpq_refine_recovers_quantization_loss(spark):
     assert m.recall_ref.mean() > m.recall_adc.mean()  # strict lift on avg
 
 
+def test_drain_raises_on_timeout_and_stops_query():
+    """r9 ADVICE: awaitTermination(timeout) returns False on a slow drain;
+    proceeding to read the sink would return partial rows. _drain must
+    stop the straggler and raise — duck-typed fake, no real stream needed."""
+    import pytest
+
+    from elastik_nearest_neighbors_spark.streaming.ingest import _drain
+
+    class FakeQuery:
+        def __init__(self, done):
+            self.done, self.stopped, self.id = done, False, "fake-q"
+
+        def awaitTermination(self, timeout):
+            return self.done
+
+        def stop(self):
+            self.stopped = True
+
+    ok = FakeQuery(done=True)
+    _drain(ok, 1)  # completes: no raise, no stop
+    assert not ok.stopped
+    slow = FakeQuery(done=False)
+    with pytest.raises(TimeoutError, match="drain timed out"):
+        _drain(slow, 1)
+    assert slow.stopped  # straggler killed before the raise
+
+
 def test_streaming_state_store_is_rocksdb(spark):
     """session.configure() must put streaming state in RocksDB (bounded
     executor memory at 100 TB state sizes), not the default HDFS-backed
