@@ -16,11 +16,30 @@ import time
 from elastik_nearest_neighbors_spark import registry
 from elastik_nearest_neighbors_spark.session import get_spark
 
+# HEADLINE exclusion policy (explicit since r10; previously implicit):
+# every registry key is benched EXCEPT
+#   (a) streaming drains (streaming_index*, streaming_sessionize*,
+#       streaming_dedup_state, streaming_events_hourly,
+#       streaming_sliding_window, streaming_ann_search) — their wall time
+#       is availableNow micro-batch DRAIN time (checkpoint + sink commit
+#       cadence), not plan cost; their batch twins ARE benched and the
+#       drained outputs are gate-verified equal, so timing them again
+#       would double-count the same plan behind stream-runtime noise;
+#   (b) estimate-only twins whose entire body is a benched key plus a
+#       constant-time scalar compare (events_approx_distinct_check,
+#       streaming_sessionize_check);
+#   (c) events_approx_distinct (rows-only HLL estimate; its _check twin's
+#       cost is (b) and its scan is events_hourly-shaped, already timed).
+# Batch maintenance keys (upserts/deletes/stores) are IN: their store
+# build + patch + pruned search is exactly the cost a 100 TB operator
+# pays. index_upsert and ann_search_ivf_store joined in r10 (r9 verdict
+# item 5) alongside the two new delete ops.
 HEADLINE = [
     "lsh_index",
     "ann_search_lsh",
     "ann_search_lsh_filtered",
     "ann_search_lsh_multiprobe",
+    "ann_recall_lsh_multiprobe",
     "ann_search_lsh_store",
     "semantic_doc_search",
     "ann_recall_sweep",
@@ -29,15 +48,21 @@ HEADLINE = [
     "knn_exact_mips",
     "label_centroids",
     "similarity_join_lsh",
+    "vector_stats",
+    "dedup_embedding_cosine",
     "ann_recall",
     "ivf_index",
     "ann_search_ivf",
     "ann_search_ivf_filtered",
     "ann_recall_ivf",
+    "ann_search_ivf_store",
     "pq_codes",
     "ann_search_pq",
+    "ann_recall_pq",
     "ann_search_ivfpq",
+    "ann_recall_ivfpq",
     "ann_search_ivfpq_refined",
+    "ann_recall_ivfpq_refined",
     "ann_search_ivfpq_store",
     "bm25_doc_search",
     "hybrid_search_rrf",
@@ -55,9 +80,12 @@ HEADLINE = [
     "ann_recall_graph_beam",
     "ann_search_matryoshka",
     "ann_recall_matryoshka",
+    "index_upsert",
     "ivf_upsert",
     "ivf_delete",
     "index_delete",
+    "ivfpq_delete",
+    "graph_delete",
     "index_stats",
     "aknn_search_api",
     "aknn_model_registry",
@@ -71,6 +99,8 @@ HEADLINE = [
     "minhash_signatures",
     "minhash_signatures_char",
     "dedup_minhash_lsh",
+    "dedup_minhash_canonical",
+    "minhash_est_jaccard",
     "dup_clusters",
     "dedup_simhash",
     "ngram_jaccard_join",
@@ -99,6 +129,7 @@ HEADLINE = [
     "corpus_to_sequences",
     "corpus_curate_full",
     "source_mix",
+    "source_stats",
     "multimodal_featurize",
     "multimodal_audio_stats",
     "multimodal_framesample",

@@ -536,6 +536,103 @@ def ann_search_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _expand_and_rerank(emb, queries, seeds, edges)
 
 
+def graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph store DELETE-in-place (r10, #154) — completes the CRUD
+    matrix's fourth layout (LSH #152 / IVF #151 / IVFPQ #153 / GRAPH),
+    with a DIFFERENT, explicitly weaker contract than its siblings:
+    EDGE-PATCH (mark-delete), not rebuild-equivalence. A rebuilt kNN
+    graph on the filtered corpus would discover REPLACEMENT neighbors
+    for every survivor that lost an edge; no patch can know those
+    without re-running construction — which is exactly why HNSW/FAISS
+    graph indexes only mark-delete and rebuild periodically. The gated
+    contract here is the strongest one a patch can honor, and it is
+    deterministic and SQL-checkable: search over the SURVIVING corpus
+    (original quantizers, no refit) hopping along the ORIGINAL graph
+    minus every edge touching a doomed id. The oracle recomputes that in
+    SQL; recall vs exact degrades gracefully with delete fraction and a
+    periodic offline rebuild restores it (documented in SURVEY §2).
+
+    Physical purge (GDPR-shaped, like #151-#153): a doomed id appears as
+    vec_a in ≤1 bucket (its own) and as vec_b wherever in-edges point at
+    it, so touched buckets are found by one column-pruned scan of the
+    edge store (vec_a, vec_b only — never the vectors); only those
+    ≤ GRAPH_EDGE_BUCKETS directories are rewritten via pruned dynamic
+    partition overwrite, emptied dirs removed, doomed rows physically
+    gone (not tombstoned — the contract is mark-delete SEMANTICS with
+    hard-delete STORAGE). Idempotent across re-runs (marker).
+
+    At 100 TB: the patch cost is O(touched directories) of a store that
+    is itself ≤ degree·16 bytes/vector; the search path is the unchanged
+    seed-bucket-pruned hop + broadcast rerank.
+
+    Output: (query_id, neighbor_id, distance) top-ANN_K2 per surviving
+    query."""
+    from ..constants import DELETE_MOD, DELETE_REM
+    from ..sources.index_store import GRAPH_EDGE_BUCKETS, load_graph_buckets, save_graph_edges
+
+    model = model_for(sf_dir)
+    emb = _emb(spark, sf_dir)
+    out = io.scratch_dir("graph_delete", sf_dir)
+    store = io.fs_join(out, "data")
+    marker = io.fs_join(out, "DELETED")
+    if not io.fs_exists(spark, io.fs_join(store, "_SUCCESS")):
+        save_graph_edges(graph_edges(spark, sf_dir), store)
+    doomed_edge = (F.col("vec_a") % DELETE_MOD == DELETE_REM) | (
+        F.col("vec_b") % DELETE_MOD == DELETE_REM
+    )
+    if not io.fs_exists(spark, marker):
+        # one column-pruned scan finds the buckets holding any doomed
+        # edge (vec_a-doomed live in the id's own bucket; vec_b-doomed
+        # wherever in-edges land) — the collect is ≤ GRAPH_EDGE_BUCKETS
+        # ints, and only those directories get rewritten
+        touched = sorted(
+            int(r.bucket)
+            for r in spark.read.parquet(store)
+            .where(doomed_edge)
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        existing = (
+            spark.read.parquet(store)
+            .where(F.col("bucket").isin(touched))
+            .select("vec_a", "vec_b", "distance", "bucket")
+        )
+        # localCheckpoint BEFORE the overwrite: `patched` reads the path
+        # it is about to rewrite (see ivf_delete / knn.index_delete)
+        patched = existing.where(~doomed_edge).localCheckpoint()
+        live = {int(r.bucket) for r in patched.select("bucket").distinct().collect()}
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                patched.repartition("bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(store)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for b in touched:
+            if b not in live:
+                io.fs_delete(spark, io.fs_join(store, f"bucket={b}"))
+        io.fs_touch(spark, marker)
+
+    # search: surviving corpus + original quantizer seeds + hop over the
+    # patched store — the same pruned shape as ann_search_graph_store
+    surv = emb.where(F.col("vec_id") % DELETE_MOD != DELETE_REM)
+    queries = surv.where(F.col("vec_id") < N_QUERIES)
+    seeds = (
+        ann_search_ivf(surv, queries, model, nprobe=1, k=GRAPH_SEED_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # feeds the bucket collect AND the hop join
+    )
+    seed_ids = sorted({r.neighbor_id for r in seeds.select("neighbor_id").distinct().collect()})
+    buckets = sorted({int(i) % GRAPH_EDGE_BUCKETS for i in seed_ids})
+    edges = load_graph_buckets(spark, store, buckets).where(F.col("vec_a").isin(seed_ids))
+    return _expand_and_rerank(surv, queries, seeds, edges)
+
+
 def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §2 #116: agglomerative embedding clustering — connected
     components over the multiprobe kNN graph's near-dup edges (distance ≤

@@ -326,6 +326,97 @@ def ann_search_ivfpq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= ANN_K2).drop("rn")
 
 
+def ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ store DELETE-in-place (r10, #153) — extends the #151/#152
+    CRUD pattern to the COMPRESSED serving layout (the billion-vector
+    shape: codes live with their coarse list, raw vectors never reopened
+    at query time), so a GDPR purge can patch the codes store without a
+    rebuild: the purged ids (vec_id % DELETE_MOD == DELETE_REM — the same
+    id set as ivf_delete / index_delete) are dropped from ONLY the
+    list_id directories that held one, via pruned dynamic partition
+    overwrite; a list emptied by the purge is removed explicitly. NO
+    refit of either quantizer — coarse centroids and PQ codebooks keep
+    serving (FAISS remove_ids' invariant), which is what makes the patch
+    O(touched dirs) instead of O(index). Searching the patched store
+    with the surviving queries equals a full rebuild on the filtered
+    corpus (codes are a deterministic function of vector × codebook, so
+    rebuild == original minus doomed rows); the oracle recomputes that
+    rebuild in SQL, and a purged QUERY id vanishes from the output —
+    rebuild semantics. Idempotent across re-runs (marker).
+
+    At 100 TB: deleting D ids rewrites ≤ min(D, nlist) directories of
+    codes (1/128 the bytes of raw vectors); the search path is the
+    unchanged literal-PartitionFilter ADC probe.
+
+    Output: (query_id, neighbor_id, adc_dist) top-ANN_K2 per surviving
+    query."""
+    from ..constants import DEC, DELETE_MOD, DELETE_REM
+    from ..sources.index_store import load_ivf_lists, save_ivf_index
+    from .ivf import list_assignments
+    from .ivf import model_for as ivf_model_for
+    from .ivf import probe_pairs
+
+    emb = _emb(spark, sf_dir)
+    out = io.scratch_dir("ivfpq_delete", sf_dir)
+    store = io.fs_join(out, "data")
+    marker = io.fs_join(out, "DELETED")
+    if not io.fs_exists(spark, io.fs_join(store, "_SUCCESS")):
+        rows = pq_codes(spark, sf_dir).join(list_assignments(spark, sf_dir), "vec_id")
+        save_ivf_index(rows, store)
+    doomed_pred = F.col("vec_id") % DELETE_MOD == DELETE_REM
+    if not io.fs_exists(spark, marker):
+        # only the doomed ids' assignments are recomputed — the collect is
+        # ≤ min(D, nlist) list ids, the same KB bound as ivf_delete
+        parts = [
+            int(r.list_id)
+            for r in list_assignments(spark, sf_dir)
+            .where(doomed_pred)
+            .select("list_id")
+            .distinct()
+            .collect()
+        ]
+        existing = (
+            spark.read.parquet(store)
+            .where(F.col("list_id").isin(parts))
+            .select("vec_id", "m", "code", "list_id")
+        )
+        # localCheckpoint BEFORE the overwrite: `patched` reads the path
+        # it is about to rewrite (see ivf_delete / knn.index_delete)
+        patched = existing.where(~doomed_pred).localCheckpoint()
+        live = {int(r.list_id) for r in patched.select("list_id").distinct().collect()}
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                patched.repartition("list_id")
+                .write.mode("overwrite")
+                .partitionBy("list_id")
+                .parquet(store)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for lid in parts:
+            if lid not in live:
+                io.fs_delete(spark, io.fs_join(store, f"list_id={lid}"))
+        io.fs_touch(spark, marker)
+
+    # search the patched store: identical plan to ann_search_ivfpq_store,
+    # with doomed QUERY ids excluded (a purged id can't issue queries)
+    queries = emb.where((F.col("vec_id") < N_QUERIES) & ~doomed_pred)
+    probes = probe_pairs(queries, ivf_model_for(sf_dir))
+    probe_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
+    codes = load_ivf_lists(spark, store, probe_lists).withColumnRenamed("vec_id", "neighbor_id")
+    adc = (
+        codes.join(F.broadcast(probes), "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(_query_dist_table(spark, sf_dir)), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("d2").cast(DEC)).cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return adc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= ANN_K2).drop("rn")
+
+
 def ann_recall_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of refined IVFPQ vs exact kNN — quantifies how much of the
     composed IVF+PQ loss the exact refine stage recovers (compare against

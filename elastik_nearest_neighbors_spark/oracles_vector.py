@@ -545,9 +545,13 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id)
 """
 
 
-def _ivfpq_core(sf_dir: str) -> str:
+def _ivfpq_core(sf_dir: str, src: str = "embeddings") -> str:
     """CTE chain ending in `adc(query_id, neighbor_id, adc_dist)`: IVF list
-    pruning composed with PQ-ADC ranking (operators/pq.ann_search_ivfpq)."""
+    pruning composed with PQ-ADC ranking (operators/pq.ann_search_ivfpq).
+    `src` swaps the corpus table (ivfpq_delete passes a filtered `memb`
+    CTE — index AND query sides; the codes CTE stays on the full table,
+    equivalently, since codes are deterministic per vector and the cand
+    join restricts to surviving neighbors)."""
     from .constants import IVF_NPROBE, N_QUERIES
 
     pq_cte, model = _pq_codes_sql(sf_dir, name="pcent")
@@ -557,14 +561,14 @@ assign AS (
   SELECT vec_id, list_id FROM (
     SELECT e.vec_id, c.list_id,
            round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
-    FROM embeddings e CROSS JOIN cent c
+    FROM {src} e CROSS JOIN cent c
   ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
 ),
 probes AS (
   SELECT vec_id AS query_id, list_id FROM (
     SELECT e.vec_id, c.list_id,
            round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
-    FROM embeddings e CROSS JOIN cent c
+    FROM {src} e CROSS JOIN cent c
     WHERE e.vec_id < {N_QUERIES}
   ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) <= {IVF_NPROBE}
 ),
@@ -574,7 +578,7 @@ dtab AS (
          CAST(round(power(round(list_distance(
            (q.embedding::DOUBLE[])[c.m * {dsub} + 1 : (c.m + 1) * {dsub}], c.c), 6), 2), 6)
            AS DECIMAL(18,6)) AS d2
-  FROM embeddings q CROSS JOIN pcent c
+  FROM {src} q CROSS JOIN pcent c
   WHERE q.vec_id < {N_QUERIES}
 ),
 cand AS (
@@ -595,6 +599,27 @@ def ann_search_ivfpq(sf_dir: str) -> str:
 
     return f"""
 WITH {_ivfpq_core(sf_dir)}
+SELECT query_id, neighbor_id, adc_dist
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) <= {ANN_K2}
+"""
+
+
+def ivfpq_delete(sf_dir: str) -> str:
+    """Full-rebuild-on-filtered-table reference for the purged IVFPQ codes
+    store (operators/pq.ivfpq_delete): assignment, probes and ADC ranking
+    recomputed over the SURVIVING vectors with the ORIGINAL coarse
+    centroids and PQ codebooks (no refit — the operator's production
+    invariant); a purged query id contributes no output rows, exactly
+    like the patched-store search."""
+    from .constants import ANN_K2, DELETE_MOD, DELETE_REM
+
+    memb = (
+        f"memb AS (SELECT vec_id, embedding FROM embeddings "
+        f"WHERE vec_id % {DELETE_MOD} <> {DELETE_REM})"
+    )
+    return f"""
+WITH {memb}, {_ivfpq_core(sf_dir, src="memb")}
 SELECT query_id, neighbor_id, adc_dist
 FROM adc
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) <= {ANN_K2}
@@ -972,26 +997,34 @@ SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY vec_id
 """
 
 
-def _graph_ann_cte(sf_dir: str) -> str:
+def _graph_ann_cte(sf_dir: str, src: str = "embeddings", edge_pred: str = "") -> str:
     """seeds (nprobe=1 list members, top GRAPH_SEED_K) → 1-hop expansion →
     exact rerank: ann AS (query_id, neighbor_id, distance) — the mirror of
-    operators/graph.ann_search_graph."""
+    operators/graph.ann_search_graph. `src` swaps the corpus table (the
+    delete oracle passes a filtered `memb`); `edge_pred`, when set,
+    inserts a live_edges CTE filtering the ORIGINAL full-corpus graph —
+    the edge-patch (mark-delete) contract, NOT a graph rebuild."""
     from .constants import ANN_K2, GRAPH_SEED_K, N_QUERIES
 
+    etab = "edges"
+    live = ""
+    if edge_pred:
+        etab = "live_edges"
+        live = f"live_edges AS (SELECT * FROM edges WHERE {edge_pred}),\n"
     return f"""
 {_graph_edges_cte(sf_dir)},
-assign AS (
+{live}assign AS (
   SELECT vec_id, list_id FROM (
     SELECT e.vec_id, c.list_id,
            round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
-    FROM embeddings e CROSS JOIN cent c
+    FROM {src} e CROSS JOIN cent c
   ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
 ),
 probes AS (
   SELECT vec_id AS query_id, list_id FROM (
     SELECT e.vec_id, c.list_id,
            round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
-    FROM embeddings e CROSS JOIN cent c
+    FROM {src} e CROSS JOIN cent c
     WHERE e.vec_id < {N_QUERIES}
   ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) = 1
 ),
@@ -1001,8 +1034,8 @@ seeds AS (
            round(list_distance(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS distance
     FROM probes p
     JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
-    JOIN embeddings eq ON eq.vec_id = p.query_id
-    JOIN embeddings en ON en.vec_id = a.vec_id
+    JOIN {src} eq ON eq.vec_id = p.query_id
+    JOIN {src} en ON en.vec_id = a.vec_id
   ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {GRAPH_SEED_K}
 ),
 cand AS (
@@ -1010,7 +1043,7 @@ cand AS (
     SELECT query_id, neighbor_id FROM seeds
     UNION ALL
     SELECT s.query_id, e.vec_b AS neighbor_id
-    FROM seeds s JOIN edges e ON e.vec_a = s.neighbor_id
+    FROM seeds s JOIN {etab} e ON e.vec_a = s.neighbor_id
   ) u WHERE neighbor_id <> query_id
 ),
 ann AS (
@@ -1018,8 +1051,8 @@ ann AS (
     SELECT c.query_id, c.neighbor_id,
            round(list_distance(eq.embedding::DOUBLE[], en.embedding::DOUBLE[]), 6) AS distance
     FROM cand c
-    JOIN embeddings eq ON eq.vec_id = c.query_id
-    JOIN embeddings en ON en.vec_id = c.neighbor_id
+    JOIN {src} eq ON eq.vec_id = c.query_id
+    JOIN {src} en ON en.vec_id = c.neighbor_id
   ) QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id) <= {ANN_K2}
 )"""
 
@@ -1029,6 +1062,33 @@ def ann_search_graph(sf_dir: str) -> str:
 WITH {_ivf_cent_cte(sf_dir)},
 {_graph_cent_cte(sf_dir)},
 {_graph_ann_cte(sf_dir)}
+SELECT query_id, neighbor_id, distance FROM ann
+"""
+
+
+def graph_delete(sf_dir: str) -> str:
+    """Edge-patch (mark-delete) reference for the purged graph store
+    (operators/graph.graph_delete): seeds, rerank and queries recomputed
+    over the SURVIVING vectors with the ORIGINAL quantizers, and the hop
+    walks the ORIGINAL full-corpus graph MINUS every edge touching a
+    doomed id — deliberately NOT a graph rebuild (a rebuilt kNN graph
+    would discover replacement neighbors; HNSW/FAISS deletes don't, and
+    neither does this contract — see the operator docstring)."""
+    from .constants import DELETE_MOD, DELETE_REM
+
+    memb = (
+        f"memb AS (SELECT vec_id, embedding FROM embeddings "
+        f"WHERE vec_id % {DELETE_MOD} <> {DELETE_REM})"
+    )
+    pred = (
+        f"vec_a % {DELETE_MOD} <> {DELETE_REM} "
+        f"AND vec_b % {DELETE_MOD} <> {DELETE_REM}"
+    )
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+{_graph_cent_cte(sf_dir)},
+{memb},
+{_graph_ann_cte(sf_dir, src="memb", edge_pred=pred)}
 SELECT query_id, neighbor_id, distance FROM ann
 """
 

@@ -29,86 +29,34 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # and rotates back into the window in later rounds. Goal invariant: every
 # entry's LATEST driver row is ≤1 round old.
 _QUERIES: dict[str, QueryFn] = {
-    # ---- r9 GATE WINDOW: exactly 50 entries above the boundary comment,
+    # ---- r10 GATE WINDOW: exactly 50 entries above the boundary comment,
     # pinned by tests/test_gate_window.py (EXPECTED_GATE_WINDOW).
-    # (1) NEW in r9 (#150): the hash-gated twin of the append-mode
-    # sessionizer (events_approx_distinct_check pattern) — retires the
-    # registry's last designed no_oracle row to a gated contract:
+    # (1) NEW in r10 (#153): IVFPQ codes-store DELETE-in-place — extends
+    # the #151/#152 purge pattern to the compressed serving layout
+    # (pruned list-dir rewrite, no refit, full-rebuild oracle):
+    "ivfpq_delete": pq.ivfpq_delete,
+    # (1b) NEW in r10 (#154): graph-store DELETE — edge-patch with
+    # explicit MARK-DELETE semantics (HNSW/FAISS invariant: no
+    # replacement-edge discovery without rebuild); oracle = search over
+    # the original graph minus doomed edges on the surviving corpus:
+    "graph_delete": graph.graph_delete,
+    # (2) r10-changed code — every streaming entry drains through the
+    # new _drain() (fail-loudly-on-timeout, r9 ADVICE), so the whole
+    # streaming family re-gates:
     "streaming_sessionize_check": ingest.streaming_sessionize_check,
-    # (1b) NEW in r9 (#151): IVF index DELETE-in-place — the missing
-    # CRUD op of the maintenance matrix (id-set purge, pruned dynamic
-    # partition overwrite, full-rebuild oracle):
-    "ivf_delete": ivf.ivf_delete,
-    # (1c) NEW in r9 (#152): the LSH twin of the delete op (same purge
-    # set, packed-key PartitionFilter rewrite, full-rebuild oracle):
-    "index_delete": knn.index_delete,
-    # (2) r9-changed code — q2 now broadcasts the part filter + region
-    # supplier semi-join BELOW its (partkey, suppkey) aggregation
-    # (plan-contract tested); the IVF fit path gained the ADVICE-r8 fixes
-    # (bit-pattern sample dedup, sub-HIER_TOP fallback, effective-nlist
-    # byte projection — all inert at gated SFs, re-gated anyway):
-    "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
-    "ivf_index": ivf.ivf_index,
-    "ann_search_ivf": ivf.ann_search_ivf_q,
-    "ann_recall_ivf": ivf.ann_recall_ivf_q,
-    "dedup_semantic": ivf.dedup_semantic,
-    # (3) the 19 r5-era greens — the stalest driver rows at r9 start (the
-    # r8 verdict's #1 ask; after this window no key's latest green is
-    # older than r6):
-    "similarity_join_lsh": knn.similarity_join_lsh_q,
-    "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
-    "vector_stats": knn.vector_stats_q,
-    "range_search": knn.range_search_q,
-    "dedup_exact": dedup.dedup_exact,
-    "dedup_minhash_canonical": dedup.dedup_minhash_canonical,
-    "dedup_simhash": dedup.dedup_simhash,
-    "doc_fingerprint": textops.doc_fingerprint,
-    "doc_chunk": textops.doc_chunk,
-    "idf_scores": textops.idf_scores,
-    "pii_scrub": textops.pii_scrub,
-    "corpus_sample": textops.corpus_sample,
-    "token_histogram": textops.token_histogram,
-    "doc_repetition": textops.doc_repetition,
-    "decontaminate": textops.decontaminate,
-    "seq_pack": textops.seq_pack,
-    "source_cap": textops.source_cap,
-    "stratified_sample": textops.stratified_sample,
-    "source_stats": analytics.source_stats,
-    # (4) oldest r6-era greens that fit (25 of 38):
-    "knn_graph_multiprobe": graph.knn_graph_multiprobe,
-    "ann_search_graph": graph.ann_search_graph_q,
-    "ann_recall_graph": graph.ann_recall_graph_q,
-    "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
-    "embedding_clusters": graph.embedding_clusters,
+    "streaming_sessionize_append": ingest.streaming_sessionize_append,
+    "streaming_sessionize": ingest.streaming_sessionize,
+    "streaming_sliding_window": ingest.streaming_sliding_window,
+    "streaming_dedup_state": ingest.streaming_dedup_state,
+    "streaming_events_hourly": ingest.streaming_events_hourly,
+    "streaming_index": ingest.streaming_index,
+    "streaming_index_store": ingest.streaming_index_store,
+    "streaming_index_compact": ingest.streaming_index_compact,
+    "streaming_ann_search": ingest.streaming_ann_search,
     "streaming_graph_search": ingest.streaming_graph_search,
-    "ann_search_graph_beam": graph.ann_search_graph_beam_q,
-    "ann_recall_graph_beam": graph.ann_recall_graph_beam_q,
-    "ann_search_ivfpq": pq.ann_search_ivfpq,
-    "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
-    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
-    "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
-    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
-    "knn_graph": ivf.knn_graph,
-    "pq_codes": pq.pq_codes,
-    "ann_search_pq": pq.ann_search_pq,
-    "ann_recall_pq": pq.ann_recall_pq,
-    "sq8_quantize": pq.sq8_quantize,
-    "ann_search_sq8": pq.ann_search_sq8,
-    "ann_recall_sq8": pq.ann_recall_sq8,
-    "boilerplate_scrub": textops.boilerplate_scrub,
-    "index_stats": ivf.index_stats,
-    "ann_search_matryoshka": knn.ann_search_matryoshka,
-    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
-    # entries (measured r3-r8: each CORRECTNESS json holds 50 keys). Keep
-    # new/changed keys ABOVE this line and push an equal number below;
-    # tests/test_gate_window.py enforces the placement.
-    # -- r10 rotation queue, in priority order --
-    # (a) keys whose code changes in r9 after this rotation was written
-    # (b) the 13 r6-era greens below (next stalest at r10 start)
-    # (c) then r7-era, then r8-era (freshest last)
-    # -- r6-era greens (next in line; bitsign_codes demoted from the r9
-    # window to make room for ivf_delete; ann_recall_matryoshka for
-    # index_delete) --
+    # (3) the 13 remaining r6-era greens — the stalest driver rows at
+    # r10 start (the other two r6-era keys are the streaming pair above;
+    # after this window no key's latest green is older than r7):
     "ann_recall_matryoshka": knn.ann_recall_matryoshka,
     "bitsign_codes": pq.bitsign_codes,
     "ann_search_bitsign": pq.ann_search_bitsign,
@@ -122,52 +70,55 @@ _QUERIES: dict[str, QueryFn] = {
     "knn_join": knn.knn_join,
     "source_mix": textops.source_mix,
     "semantic_doc_search": knn.semantic_doc_search,
-    "streaming_sliding_window": ingest.streaming_sliding_window,
-    "streaming_sessionize": ingest.streaming_sessionize,
-    # -- r7-era greens --
-    "streaming_dedup_state": ingest.streaming_dedup_state,
-    "streaming_events_hourly": ingest.streaming_events_hourly,
-    "streaming_sessionize_append": ingest.streaming_sessionize_append,
-    "q7_volume_shipping": analytics.q7_volume_shipping,
-    "q10_returned_revenue": analytics.q10_returned_revenue,
-    "q18_large_orders": analytics.q18_large_orders,
-    "q13_customer_distribution": analytics.q13_customer_distribution,
-    "q15_top_supplier": analytics.q15_top_supplier,
-    "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
-    "sales_rollup": analytics.sales_rollup,
-    "q8_market_share": analytics.q8_market_share,
-    "q9_product_profit": analytics.q9_product_profit,
-    "q16_supplier_count": analytics.q16_supplier_count,
-    "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
-    "q22_dormant_customers": analytics.q22_dormant_customers,
-    "q12_priority_lateness": analytics.q12_priority_lateness,
-    "q21_waiting_supplier": analytics.q21_waiting_supplier,
-    "bucketed_join_revenue": analytics.bucketed_join_revenue,
-    "events_daily_pivot": analytics.events_daily_pivot,
-    "events_funnel": analytics.events_funnel,
-    "events_retention": analytics.events_retention,
-    "events_percentiles": analytics.events_percentiles,
-    "events_sliding_window": analytics.events_sliding_window,
-    "events_props_extract": analytics.events_props_extract,
-    "events_anomaly": analytics.events_anomaly,
-    "events_user_ltv": analytics.events_user_ltv,
-    "ann_recall_sweep": knn.ann_recall_sweep,
+    # (4) oldest r7-era greens that fit (24 of 41; store/maintenance and
+    # core-LSH first — the pq.py/graph.py store paths sit in this round's
+    # changed modules):
+    "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
+    "ann_search_graph_store": graph.ann_search_graph_store,
     "ivf_upsert": ivf.ivf_upsert,
     "index_upsert": knn.index_upsert,
     "ann_search_lsh_store": knn.ann_search_lsh_store,
     "ann_search_ivf_store": ivf.ann_search_ivf_store,
-    "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
-    "ann_search_graph_store": graph.ann_search_graph_store,
-    "streaming_index": ingest.streaming_index,
-    "streaming_index_store": ingest.streaming_index_store,
-    "streaming_index_compact": ingest.streaming_index_compact,
     "lsh_index": knn.lsh_index,
     "ann_search_lsh": knn.ann_search_lsh_q,
     "knn_exact_euclidean": knn.knn_exact_euclidean_q,
     "knn_exact_cosine": knn.knn_exact_cosine_q,
     "dup_clusters": dedup.dup_clusters,
     "aknn_search_api": api.aknn_search_api,
-    # -- r8-era greens (freshest, rotate last) --
+    "ann_recall_sweep": knn.ann_recall_sweep,
+    "bucketed_join_revenue": analytics.bucketed_join_revenue,
+    "events_anomaly": analytics.events_anomaly,
+    "events_daily_pivot": analytics.events_daily_pivot,
+    "events_funnel": analytics.events_funnel,
+    "events_percentiles": analytics.events_percentiles,
+    "events_props_extract": analytics.events_props_extract,
+    "events_retention": analytics.events_retention,
+    "events_sliding_window": analytics.events_sliding_window,
+    "events_user_ltv": analytics.events_user_ltv,
+    "q7_volume_shipping": analytics.q7_volume_shipping,
+    "q10_returned_revenue": analytics.q10_returned_revenue,
+    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
+    # entries (measured r3-r9: each CORRECTNESS json holds 50 keys). Keep
+    # new/changed keys ABOVE this line and push an equal number below;
+    # tests/test_gate_window.py enforces the placement.
+    # -- r11 rotation queue, in priority order --
+    # (a) keys whose code changes in r10 after this rotation was written
+    # (b) the 12 r7-era greens below (next stalest at r11 start)
+    # (c) then r8-era, then r9-era (freshest last)
+    # -- r7-era greens (next in line) --
+    "q12_priority_lateness": analytics.q12_priority_lateness,
+    "q13_customer_distribution": analytics.q13_customer_distribution,
+    "q15_top_supplier": analytics.q15_top_supplier,
+    "q16_supplier_count": analytics.q16_supplier_count,
+    "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
+    "q18_large_orders": analytics.q18_large_orders,
+    "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
+    "sales_rollup": analytics.sales_rollup,
+    "q8_market_share": analytics.q8_market_share,
+    "q9_product_profit": analytics.q9_product_profit,
+    "q22_dormant_customers": analytics.q22_dormant_customers,
+    "q21_waiting_supplier": analytics.q21_waiting_supplier,
+    # -- r8-era greens --
     "ann_recall_families": knn.ann_recall_families,
     "dedup_report": dedup.dedup_report,
     "token_count": textops.token_count,
@@ -189,7 +140,6 @@ _QUERIES: dict[str, QueryFn] = {
     "events_approx_distinct_check": analytics.events_approx_distinct_check,
     "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
     "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
-    "streaming_ann_search": ingest.streaming_ann_search,
     "events_asof_join": analytics.events_asof_join,
     "events_topk_users": analytics.events_topk_users,
     "events_hourly": analytics.events_hourly,
@@ -213,6 +163,55 @@ _QUERIES: dict[str, QueryFn] = {
     "aknn_model_registry": api.aknn_model_registry,
     "label_centroids": knn.label_centroids_q,
     "ann_recall": knn.ann_recall_q,
+    # -- r9-era greens (freshest, rotate last) --
+    "ivf_delete": ivf.ivf_delete,
+    "index_delete": knn.index_delete,
+    "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
+    "ivf_index": ivf.ivf_index,
+    "ann_search_ivf": ivf.ann_search_ivf_q,
+    "ann_recall_ivf": ivf.ann_recall_ivf_q,
+    "dedup_semantic": ivf.dedup_semantic,
+    "similarity_join_lsh": knn.similarity_join_lsh_q,
+    "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
+    "vector_stats": knn.vector_stats_q,
+    "range_search": knn.range_search_q,
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_minhash_canonical": dedup.dedup_minhash_canonical,
+    "dedup_simhash": dedup.dedup_simhash,
+    "doc_fingerprint": textops.doc_fingerprint,
+    "doc_chunk": textops.doc_chunk,
+    "idf_scores": textops.idf_scores,
+    "pii_scrub": textops.pii_scrub,
+    "corpus_sample": textops.corpus_sample,
+    "token_histogram": textops.token_histogram,
+    "doc_repetition": textops.doc_repetition,
+    "decontaminate": textops.decontaminate,
+    "seq_pack": textops.seq_pack,
+    "source_cap": textops.source_cap,
+    "stratified_sample": textops.stratified_sample,
+    "source_stats": analytics.source_stats,
+    "knn_graph_multiprobe": graph.knn_graph_multiprobe,
+    "ann_search_graph": graph.ann_search_graph_q,
+    "ann_recall_graph": graph.ann_recall_graph_q,
+    "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
+    "embedding_clusters": graph.embedding_clusters,
+    "ann_search_graph_beam": graph.ann_search_graph_beam_q,
+    "ann_recall_graph_beam": graph.ann_recall_graph_beam_q,
+    "ann_search_ivfpq": pq.ann_search_ivfpq,
+    "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
+    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
+    "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
+    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
+    "knn_graph": ivf.knn_graph,
+    "pq_codes": pq.pq_codes,
+    "ann_search_pq": pq.ann_search_pq,
+    "ann_recall_pq": pq.ann_recall_pq,
+    "sq8_quantize": pq.sq8_quantize,
+    "ann_search_sq8": pq.ann_search_sq8,
+    "ann_recall_sq8": pq.ann_recall_sq8,
+    "boilerplate_scrub": textops.boilerplate_scrub,
+    "index_stats": ivf.index_stats,
+    "ann_search_matryoshka": knn.ann_search_matryoshka,
 }
 
 
@@ -320,6 +319,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ivf_upsert": oracles_vector.ivf_upsert,
     "ivf_delete": oracles_vector.ivf_delete,
     "index_delete": oracles_vector.index_delete,
+    "ivfpq_delete": oracles_vector.ivfpq_delete,
+    "graph_delete": oracles_vector.graph_delete,
     "bitsign_codes": oracles_vector.bitsign_codes,
     "ann_search_bitsign": oracles_vector.ann_search_bitsign,
     "ann_recall_bitsign": oracles_vector.ann_recall_bitsign,

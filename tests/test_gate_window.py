@@ -17,61 +17,63 @@ from elastik_nearest_neighbors_spark import registry
 
 GATE_WINDOW_SIZE = 50
 
-# The r9 window, in driver gate order: (1) the NEW #150 (the append-mode
-# sessionizer's hash-gated twin), (2) r9-changed code (the q2 plan fix and
-# the IVF fit entries after the ADVICE-r8 fixes), (3) the 19 r5-era stale
-# greens (the r8 verdict's #1 ask), (4) the oldest 25 r6-era greens.
+# The r10 window, in driver gate order: (1) the two NEW delete ops
+# (#153 ivfpq_delete, #154 graph_delete — the CRUD matrix's last two
+# layouts), (2) the 11 streaming entries (r10-changed: every drain now
+# fails loudly on timeout via _drain, r9 ADVICE), (3) the 13 remaining
+# r6-era stale greens (r9 verdict's #1 ask), (4) the oldest 24 r7-era
+# greens, store/maintenance keys first.
 EXPECTED_GATE_WINDOW = [
+    "ivfpq_delete",
+    "graph_delete",
     "streaming_sessionize_check",
-    "ivf_delete",
-    "index_delete",
-    "q2_min_cost_supplier",
-    "ivf_index",
-    "ann_search_ivf",
-    "ann_recall_ivf",
-    "dedup_semantic",
-    "similarity_join_lsh",
-    "dedup_embedding_cosine",
-    "vector_stats",
-    "range_search",
-    "dedup_exact",
-    "dedup_minhash_canonical",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "doc_chunk",
-    "idf_scores",
-    "pii_scrub",
-    "corpus_sample",
-    "token_histogram",
-    "doc_repetition",
-    "decontaminate",
-    "seq_pack",
-    "source_cap",
-    "stratified_sample",
-    "source_stats",
-    "knn_graph_multiprobe",
-    "ann_search_graph",
-    "ann_recall_graph",
-    "ann_recall_graph_sweep",
-    "embedding_clusters",
+    "streaming_sessionize_append",
+    "streaming_sessionize",
+    "streaming_sliding_window",
+    "streaming_dedup_state",
+    "streaming_events_hourly",
+    "streaming_index",
+    "streaming_index_store",
+    "streaming_index_compact",
+    "streaming_ann_search",
     "streaming_graph_search",
-    "ann_search_graph_beam",
-    "ann_recall_graph_beam",
-    "ann_search_ivfpq",
-    "ann_search_ivfpq_refined",
-    "ann_recall_ivfpq",
-    "ann_recall_ivfpq_refined",
-    "ann_search_ivf_filtered",
-    "knn_graph",
-    "pq_codes",
-    "ann_search_pq",
-    "ann_recall_pq",
-    "sq8_quantize",
-    "ann_search_sq8",
-    "ann_recall_sq8",
-    "boilerplate_scrub",
-    "index_stats",
-    "ann_search_matryoshka",
+    "ann_recall_matryoshka",
+    "bitsign_codes",
+    "ann_search_bitsign",
+    "ann_recall_bitsign",
+    "dup_spans",
+    "dup_span_scrub",
+    "knn_classify",
+    "doc_logprob",
+    "ann_search_lsh_filtered",
+    "events_rolling_7d",
+    "knn_join",
+    "source_mix",
+    "semantic_doc_search",
+    "ann_search_ivfpq_store",
+    "ann_search_graph_store",
+    "ivf_upsert",
+    "index_upsert",
+    "ann_search_lsh_store",
+    "ann_search_ivf_store",
+    "lsh_index",
+    "ann_search_lsh",
+    "knn_exact_euclidean",
+    "knn_exact_cosine",
+    "dup_clusters",
+    "aknn_search_api",
+    "ann_recall_sweep",
+    "bucketed_join_revenue",
+    "events_anomaly",
+    "events_daily_pivot",
+    "events_funnel",
+    "events_percentiles",
+    "events_props_extract",
+    "events_retention",
+    "events_sliding_window",
+    "events_user_ltv",
+    "q7_volume_shipping",
+    "q10_returned_revenue",
 ]
 
 
@@ -90,7 +92,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 152 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 154 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 152
-    assert len(set(ks)) == 152
+    assert len(ks) == 154
+    assert len(set(ks)) == 154

@@ -1704,3 +1704,58 @@ def test_index_delete_purges_store_and_results(spark):
     a = r1[key].sort_values(key).reset_index(drop=True)
     b = r2[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_ivfpq_delete_purges_codes_store_and_results(spark):
+    """r10 (#153): the purged ids' CODES are gone from every list
+    directory of the compressed store and from both sides of the search
+    output; idempotent second call returns identical rows."""
+    from elastik_nearest_neighbors_spark import io as eio
+    from elastik_nearest_neighbors_spark.constants import DELETE_MOD, DELETE_REM
+    from elastik_nearest_neighbors_spark.operators import pq as pq_mod
+
+    r1 = pq_mod.ivfpq_delete(spark, SF_SMALL).toPandas()
+    assert len(r1) > 0
+    assert not (r1.neighbor_id % DELETE_MOD == DELETE_REM).any()
+    assert not (r1.query_id % DELETE_MOD == DELETE_REM).any()
+    assert DELETE_REM not in set(r1.query_id)
+
+    store = eio.fs_join(eio.scratch_dir("ivfpq_delete", SF_SMALL), "data")
+    left = spark.read.parquet(store)
+    assert left.where(F.col("vec_id") % DELETE_MOD == DELETE_REM).count() == 0
+
+    r2 = pq_mod.ivfpq_delete(spark, SF_SMALL).toPandas()
+    key = ["query_id", "neighbor_id", "adc_dist"]
+    a = r1[key].sort_values(key).reset_index(drop=True)
+    b = r2[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_graph_delete_purges_edges_and_results(spark):
+    """r10 (#154): EVERY edge touching a doomed id (either endpoint) is
+    physically gone from the patched edge store — hard-delete storage
+    under mark-delete semantics — and purged ids appear on neither side
+    of the search output; idempotent second call returns identical rows."""
+    from elastik_nearest_neighbors_spark import io as eio
+    from elastik_nearest_neighbors_spark.constants import DELETE_MOD, DELETE_REM
+    from elastik_nearest_neighbors_spark.operators import graph as graph_mod
+
+    r1 = graph_mod.graph_delete(spark, SF_SMALL).toPandas()
+    assert len(r1) > 0
+    assert not (r1.neighbor_id % DELETE_MOD == DELETE_REM).any()
+    assert not (r1.query_id % DELETE_MOD == DELETE_REM).any()
+    assert DELETE_REM not in set(r1.query_id)
+
+    store = eio.fs_join(eio.scratch_dir("graph_delete", SF_SMALL), "data")
+    left = spark.read.parquet(store)
+    doomed = (F.col("vec_a") % DELETE_MOD == DELETE_REM) | (
+        F.col("vec_b") % DELETE_MOD == DELETE_REM
+    )
+    assert left.where(doomed).count() == 0
+    assert left.count() > 0  # the patch didn't nuke the graph
+
+    r2 = graph_mod.graph_delete(spark, SF_SMALL).toPandas()
+    key = ["query_id", "neighbor_id", "distance"]
+    a = r1[key].sort_values(key).reset_index(drop=True)
+    b = r2[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
