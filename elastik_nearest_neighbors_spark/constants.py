@@ -331,8 +331,13 @@ SHARDED_MODEL_BYTES = 512 << 20
 # bit-equal at every point; BASELINE.md r9 table): driver wins 2.3× at
 # n=20k (even at L=8192, 1.45×), sharded wins 1.3× at n=50k and 1.9× at
 # n=200k. The crossover is sample-driven, not L-driven, so the engage
-# rule keys on the PROJECTED sample min(IVF_SAMPLE, corpus distinct):
-SHARDED_FIT_SAMPLE_MIN = 50_000
+# rule keys on the PROJECTED sample min(IVF_SAMPLE, corpus distinct).
+# r10 pinned the bracket (same corpus, same cold protocol, bit-equal
+# at every point, BASELINE.md r10 table): driver wins 1.20× at n=35k,
+# sharded wins 0.92× at n=42k and 0.77× at n=50k (the r9 50k ratio
+# reproduced exactly) — crossover in (35k, 42k], so engage at 40k; the
+# residual mis-routing cost anywhere inside the bracket is ≤ ~10%.
+SHARDED_FIT_SAMPLE_MIN = 40_000
 # single-linkage clustering over the graph's edges. Threshold swept at
 # sf0.01 (min pair distance ≈ 1.05): 1.2 percolates into one 474-member
 # blob, 1.05 leaves only pairs; 1.12 gives 63 non-singleton clusters up to
