@@ -4,6 +4,13 @@ entry() at sf0.001, then runs every queries()[k] against oracle_sql()[k] at
 sf0.01 with the bit-exact comparator from tests/oracle_check.
 
 Usage: python tools/verify_drive.py [key ...]   (no args = all keys)
+
+ENN_VERIFY_SF_DIR overrides the comparison scale (default
+/root/testdata/sf0.01 — the driver's gate SF). The r9 verdict's item 6:
+one higher-SF parity run per round (e.g. ENN_VERIFY_SF_DIR=
+/root/testdata/sf0.1 over the heaviest keys) guards against
+scale-dependent constants (MAX_BUCKET, literal-path thresholds)
+silently diverging from their oracle mirrors.
 """
 
 from __future__ import annotations
@@ -27,9 +34,15 @@ def main() -> int:
     print(f"entry rows: {n}")
     assert n >= 0
 
-    sf = "/root/testdata/sf0.01"
+    sf = os.environ.get("ENN_VERIFY_SF_DIR", "/root/testdata/sf0.01")
     con = duck_con(sf)
-    qs, osql = m.queries(), m.oracle_sql()
+    # oracle SQL must be BUILT FOR the comparison SF: the vector-family
+    # oracles inline model constants refit deterministically from that
+    # scale's parquet (__spark_entry__.oracle_sql() pins the driver's
+    # sf0.01 — correct for the gate, wrong for an override SF)
+    from elastik_nearest_neighbors_spark import registry
+
+    qs, osql = m.queries(), registry.oracle_sql(sf)
     keys = [k for k in qs if not only or k in only]
     bad = []
     for k in keys:
