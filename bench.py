@@ -82,6 +82,7 @@ HEADLINE = [
     "ann_recall_matryoshka",
     "index_upsert",
     "ivf_upsert",
+    "ivfpq_upsert",
     "ivf_delete",
     "index_delete",
     "ivfpq_delete",
@@ -318,9 +319,17 @@ def main() -> None:
         # in BENCH_LOCAL.json) at 3 significant digits — measured ~1.6k chars,
         # so the driver's 2000-char tail parses all keys, queries_omitted=0.
         smap = short_keymap(bench_key_universe(keys))
+
+        def _compact(v: float):
+            # 3 significant digits; integral values emit as ints ("999"
+            # not "999.0") — the 2 chars/key that keep the 143-key
+            # worst-case line inside the driver's tail budget
+            g = float(f"{v:.3g}")
+            return int(g) if g.is_integer() else g
+
         out = dict(
             full,
-            queries={smap[k]: float(f"{v:.3g}") for k, v in timings.items()},
+            queries={smap[k]: _compact(v) for k, v in timings.items()},
         )
         out["queries_omitted"] = 0
         out["keymap"] = "tools/bench_keys.json"

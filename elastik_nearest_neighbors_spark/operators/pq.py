@@ -185,10 +185,14 @@ def ann_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_of(ann, exact_ground_truth(spark, sf_dir))
 
 
-def _query_dist_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _query_dist_table(spark: SparkSession, sf_dir: str, emb: DataFrame | None = None) -> DataFrame:
     """Broadcast-ready ADC distance table for the canonical query batch —
-    shared by ann_search_pq and ann_search_ivfpq (Q·M·ksub rows ≈ KB)."""
-    emb = _emb(spark, sf_dir)
+    shared by ann_search_pq and ann_search_ivfpq (Q·M·ksub rows ≈ KB).
+    `emb` overrides the query-vector table (ivfpq_upsert passes the
+    updated vectors so changed QUERY vectors search with their new
+    coordinates)."""
+    if emb is None:
+        emb = _emb(spark, sf_dir)
     model = model_for(sf_dir)
     qrows = (
         emb.where(F.col("vec_id") < N_QUERIES)
@@ -319,6 +323,114 @@ def ann_search_ivfpq_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         codes.join(F.broadcast(probes), "list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .join(F.broadcast(_query_dist_table(spark, sf_dir)), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum(F.col("d2").cast(DEC)).cast("double").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    return adc.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= ANN_K2).drop("rn")
+
+
+def ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ store UPDATE-in-place (r10, #155) — ivf_upsert's twin on the
+    COMPRESSED layout, completing full CRUD on the billion-vector serving
+    shape (store #124 / delete #153 / UPSERT): the changed vectors
+    (vec_id % UPSERT_MOD == 0, components doubled) get NEW codes and a
+    NEW coarse assignment from the ORIGINAL codebooks and centroids — no
+    refit of either quantizer, the invariant that keeps the store
+    patchable — and only the list directories that held or now hold a
+    changed vector are rewritten via pruned dynamic partition overwrite
+    (a list emptied by the move is removed explicitly). Searching the
+    patched store with the updated queries equals a full rebuild on the
+    updated table (codes and assignments are deterministic functions of
+    vector × model), which the oracle recomputes in SQL; changed QUERY
+    vectors search with their updated coordinates (their ADC distance
+    table is rebuilt from the updated embeddings). Idempotent (marker).
+
+    At 100 TB: a delta of D changed vectors rewrites ≤ 2·D of the nlist
+    code directories (1/128 the bytes of raw vectors); the doubled
+    components also MOVE vectors between Voronoi cells, so both the
+    leave and arrive sides of the patch are exercised.
+
+    Output: (query_id, neighbor_id, adc_dist) top-ANN_K2 per query."""
+    from ..constants import DEC, UPSERT_MOD
+    from ..sources.index_store import load_ivf_lists, save_ivf_index
+    from .ivf import build_ivf_index, list_assignments
+    from .ivf import model_for as ivf_model_for
+    from .ivf import probe_pairs
+    from .knn import _updated_emb
+
+    emb = _emb(spark, sf_dir)
+    memb = _updated_emb(spark, sf_dir)
+    pqm = model_for(sf_dir)
+    ivfm = ivf_model_for(sf_dir)
+    out = io.scratch_dir("ivfpq_upsert", sf_dir)
+    store = io.fs_join(out, "data")
+    marker = io.fs_join(out, "UPSERTED")
+    if not io.fs_exists(spark, io.fs_join(store, "_SUCCESS")):
+        rows = pq_codes(spark, sf_dir).join(list_assignments(spark, sf_dir), "vec_id")
+        save_ivf_index(rows, store)
+    changed = F.col("vec_id") % UPSERT_MOD == 0
+    if not io.fs_exists(spark, marker):
+        # leave side: the changed ids' ORIGINAL lists; arrive side: their
+        # NEW lists under the original centroids — both collects are
+        # ≤ min(2·D, nlist) ints, the ivf_upsert bound
+        old_a = build_ivf_index(emb.where(changed), ivfm).select("vec_id", "list_id")
+        new_a = build_ivf_index(memb.where(changed), ivfm).select("vec_id", "list_id")
+        parts = [
+            int(r.list_id)
+            for r in old_a.select("list_id").union(new_a.select("list_id")).distinct().collect()
+        ]
+        new_rows = (
+            memb.where(changed)
+            .select(
+                "vec_id",
+                F.posexplode(pqm.codes_udf()(F.col("embedding"))).alias("m", "code"),
+            )
+            .join(new_a, "vec_id")
+        )
+        existing = (
+            spark.read.parquet(store)
+            .where(F.col("list_id").isin(parts))
+            .select("vec_id", "m", "code", "list_id")
+        )
+        # localCheckpoint BEFORE the overwrite: `patched` reads the path
+        # it is about to rewrite (see ivf_upsert / ivfpq_delete)
+        patched = (
+            existing.where(~changed)
+            .unionByName(new_rows.select("vec_id", "m", "code", "list_id"))
+            .localCheckpoint()
+        )
+        live = {int(r.list_id) for r in patched.select("list_id").distinct().collect()}
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                patched.repartition("list_id")
+                .write.mode("overwrite")
+                .partitionBy("list_id")
+                .parquet(store)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        for lid in parts:
+            if lid not in live:
+                io.fs_delete(spark, io.fs_join(store, f"list_id={lid}"))
+        io.fs_touch(spark, marker)
+
+    # search the patched store with the UPDATED queries (dist table and
+    # probes both from the updated vectors) — same pruned plan as
+    # ann_search_ivfpq_store
+    queries = memb.where(F.col("vec_id") < N_QUERIES)
+    probes = probe_pairs(queries, ivfm)
+    probe_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
+    codes = load_ivf_lists(spark, store, probe_lists).withColumnRenamed("vec_id", "neighbor_id")
+    adc = (
+        codes.join(F.broadcast(probes), "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(
+            F.broadcast(_query_dist_table(spark, sf_dir, emb=memb)),
+            ["query_id", "m", "code"],
+        )
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum(F.col("d2").cast(DEC)).cast("double").alias("adc_dist"))
     )

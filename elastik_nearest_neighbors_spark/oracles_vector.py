@@ -548,13 +548,14 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY distance, neighbor_id)
 def _ivfpq_core(sf_dir: str, src: str = "embeddings") -> str:
     """CTE chain ending in `adc(query_id, neighbor_id, adc_dist)`: IVF list
     pruning composed with PQ-ADC ranking (operators/pq.ann_search_ivfpq).
-    `src` swaps the corpus table (ivfpq_delete passes a filtered `memb`
-    CTE — index AND query sides; the codes CTE stays on the full table,
-    equivalently, since codes are deterministic per vector and the cand
-    join restricts to surviving neighbors)."""
+    `src` swaps the corpus table everywhere — assign, probes, dtab AND
+    the codes CTE (ivfpq_delete passes a filtered `memb`: codes of
+    survivors equal their full-table codes, deterministic per vector;
+    ivfpq_upsert passes the updated table: changed vectors get NEW codes
+    and assignments, exactly the no-refit rebuild semantics)."""
     from .constants import IVF_NPROBE, N_QUERIES
 
-    pq_cte, model = _pq_codes_sql(sf_dir, name="pcent")
+    pq_cte, model = _pq_codes_sql(sf_dir, name="pcent", src=src)
     dsub = model.dsub
     return f"""{_ivf_cent_cte(sf_dir)},
 assign AS (
@@ -599,6 +600,27 @@ def ann_search_ivfpq(sf_dir: str) -> str:
 
     return f"""
 WITH {_ivfpq_core(sf_dir)}
+SELECT query_id, neighbor_id, adc_dist
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) <= {ANN_K2}
+"""
+
+
+def ivfpq_upsert(sf_dir: str) -> str:
+    """Full-rebuild-on-updated-table reference for the patched IVFPQ codes
+    store (operators/pq.ivfpq_upsert): codes, assignment, probes and ADC
+    ranking recomputed over the UPDATED vectors with the ORIGINAL coarse
+    centroids and PQ codebooks (no refit — the operator's production
+    invariant); changed query vectors search with their new coordinates."""
+    from .constants import ANN_K2, UPSERT_MOD
+
+    memb = (
+        f"memb AS (SELECT vec_id, CASE WHEN vec_id % {UPSERT_MOD} = 0 "
+        "THEN list_transform(embedding::DOUBLE[], x -> x * 2.0) "
+        "ELSE embedding::DOUBLE[] END AS embedding FROM embeddings)"
+    )
+    return f"""
+WITH {memb}, {_ivfpq_core(sf_dir, src="memb")}
 SELECT query_id, neighbor_id, adc_dist
 FROM adc
 QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) <= {ANN_K2}
@@ -767,7 +789,7 @@ def _pq_cent_cte(sf_dir: str, name: str = "cent") -> str:
     return f"{name} AS ({rows})", model
 
 
-def _pq_codes_sql(sf_dir: str, name: str = "cent") -> tuple[str, object]:
+def _pq_codes_sql(sf_dir: str, name: str = "cent", src: str = "embeddings") -> tuple[str, object]:
     cent, model = _pq_cent_cte(sf_dir, name)
     dsub = model.dsub
     return (
@@ -776,7 +798,7 @@ sub AS (
   SELECT e.vec_id, c.m, c.k,
          round(list_distance(
            (e.embedding::DOUBLE[])[c.m * {dsub} + 1 : (c.m + 1) * {dsub}], c.c), 6) AS d
-  FROM embeddings e CROSS JOIN {name} c
+  FROM {src} e CROSS JOIN {name} c
 ),
 codes AS (
   SELECT vec_id, CAST(m AS INT) AS m, CAST(k AS INT) AS code

@@ -40,6 +40,11 @@ _QUERIES: dict[str, QueryFn] = {
     # replacement-edge discovery without rebuild); oracle = search over
     # the original graph minus doomed edges on the surviving corpus:
     "graph_delete": graph.graph_delete,
+    # (1c) NEW in r10 (#155): IVFPQ codes-store UPSERT — completes full
+    # CRUD on the compressed serving layout (new codes + new assignment
+    # from the ORIGINAL quantizers, ≤2·D list dirs rewritten,
+    # full-rebuild oracle, updated queries search with new coordinates):
+    "ivfpq_upsert": pq.ivfpq_upsert,
     # (2) r10-changed code — every streaming entry drains through the
     # new _drain() (fail-loudly-on-timeout, r9 ADVICE), so the whole
     # streaming family re-gates:
@@ -70,7 +75,7 @@ _QUERIES: dict[str, QueryFn] = {
     "knn_join": knn.knn_join,
     "source_mix": textops.source_mix,
     "semantic_doc_search": knn.semantic_doc_search,
-    # (4) oldest r7-era greens that fit (24 of 41; store/maintenance and
+    # (4) oldest r7-era greens that fit (23 of 41; store/maintenance and
     # core-LSH first — the pq.py/graph.py store paths sit in this round's
     # changed modules):
     "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
@@ -96,16 +101,16 @@ _QUERIES: dict[str, QueryFn] = {
     "events_sliding_window": analytics.events_sliding_window,
     "events_user_ltv": analytics.events_user_ltv,
     "q7_volume_shipping": analytics.q7_volume_shipping,
-    "q10_returned_revenue": analytics.q10_returned_revenue,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
     # entries (measured r3-r9: each CORRECTNESS json holds 50 keys). Keep
     # new/changed keys ABOVE this line and push an equal number below;
     # tests/test_gate_window.py enforces the placement.
     # -- r11 rotation queue, in priority order --
     # (a) keys whose code changes in r10 after this rotation was written
-    # (b) the 12 r7-era greens below (next stalest at r11 start)
+    # (b) the 13 r7-era greens below (next stalest at r11 start)
     # (c) then r8-era, then r9-era (freshest last)
     # -- r7-era greens (next in line) --
+    "q10_returned_revenue": analytics.q10_returned_revenue,
     "q12_priority_lateness": analytics.q12_priority_lateness,
     "q13_customer_distribution": analytics.q13_customer_distribution,
     "q15_top_supplier": analytics.q15_top_supplier,
@@ -321,6 +326,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "index_delete": oracles_vector.index_delete,
     "ivfpq_delete": oracles_vector.ivfpq_delete,
     "graph_delete": oracles_vector.graph_delete,
+    "ivfpq_upsert": oracles_vector.ivfpq_upsert,
     "bitsign_codes": oracles_vector.bitsign_codes,
     "ann_search_bitsign": oracles_vector.ann_search_bitsign,
     "ann_recall_bitsign": oracles_vector.ann_recall_bitsign,

@@ -59,11 +59,14 @@ def test_compact_line_fits_tail_budget():
     # worst realistic payload: every key at a 4-digit-second timing
     universe = bench.bench_key_universe()
     smap = bench.short_keymap(universe)
+    # mirror bench.main's compact encoder (3 sig digits, integral -> int):
+    # the widest realistic value is 4 chars — "99.9" (or "1230" for a
+    # 4-digit-second timing after the .3g cut)
     out = {
         "metric": "headline_queries_total",
         "value": 9999.999,
         "unit": "sec",
-        "queries": {smap[k]: 999.0 for k in universe},
+        "queries": {smap[k]: 99.9 for k in universe},
         "sf": 0.1,
         "queries_omitted": 0,
         "keymap": "tools/bench_keys.json",

@@ -1731,6 +1731,55 @@ def test_ivfpq_delete_purges_codes_store_and_results(spark):
     assert a.equals(b)
 
 
+def test_ivfpq_upsert_patches_codes_store(spark):
+    """r10 (#155): the changed ids' rows in the patched codes store carry
+    their NEW codes/assignments (at least one changed vector MOVES lists
+    and at least one changes a code — both patch sides exercised), no id
+    is duplicated or lost, and a second call is idempotent."""
+    from elastik_nearest_neighbors_spark import io as eio
+    from elastik_nearest_neighbors_spark.constants import PQ_M, UPSERT_MOD
+    from elastik_nearest_neighbors_spark.operators import pq as pq_mod
+    from elastik_nearest_neighbors_spark.operators.ivf import build_ivf_index
+    from elastik_nearest_neighbors_spark.operators.ivf import model_for as ivf_model_for
+    from elastik_nearest_neighbors_spark.operators.knn import _updated_emb
+
+    r1 = pq_mod.ivfpq_upsert(spark, SF_SMALL).toPandas()
+    assert len(r1) > 0
+
+    store = eio.fs_join(eio.scratch_dir("ivfpq_upsert", SF_SMALL), "data")
+    left = spark.read.parquet(store).toPandas()
+    n_vecs = pq_mod._emb(spark, SF_SMALL).count()
+    assert len(left) == n_vecs * PQ_M  # nothing duplicated or lost
+    # the changed ids' stored assignment equals a fresh assignment of the
+    # UPDATED vectors under the original centroids
+    memb = _updated_emb(spark, SF_SMALL)
+    changed = memb.where(F.col("vec_id") % UPSERT_MOD == 0)
+    want = {
+        (r.vec_id, r.list_id)
+        for r in build_ivf_index(changed, ivf_model_for(SF_SMALL))
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    got = {
+        (v, l)
+        for v, l in left[left.vec_id % UPSERT_MOD == 0][["vec_id", "list_id"]]
+        .drop_duplicates()
+        .itertuples(index=False)
+    }
+    assert got == want
+    # the doubled coordinates actually moved something / recoded something
+    orig = pq_mod.pq_codes(spark, SF_SMALL).toPandas()
+    ch = left[left.vec_id % UPSERT_MOD == 0]
+    merged = ch.merge(orig, on=["vec_id", "m"], suffixes=("_new", "_old"))
+    assert (merged.code_new != merged.code_old).any()
+
+    r2 = pq_mod.ivfpq_upsert(spark, SF_SMALL).toPandas()
+    key = ["query_id", "neighbor_id", "adc_dist"]
+    a = r1[key].sort_values(key).reset_index(drop=True)
+    b = r2[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
 def test_graph_delete_purges_edges_and_results(spark):
     """r10 (#154): EVERY edge touching a doomed id (either endpoint) is
     physically gone from the patched edge store — hard-delete storage
