@@ -95,6 +95,18 @@ def test_ivfpq_store_search_partition_prunes_and_matches(spark):
     assert df.exceptAll(expect).count() == 0 and expect.exceptAll(df).count() == 0
 
 
+def test_maintenance_search_paths_partition_prune(spark):
+    """r10 (#153-#155): the patched-store searches keep the same pruned
+    plan as their read-only store siblings — a delete/upsert must not
+    silently degrade serving to a full store scan."""
+    from elastik_nearest_neighbors_spark.operators import graph
+    from elastik_nearest_neighbors_spark.operators import pq as pq_ops
+
+    for fn in (pq_ops.ivfpq_delete, pq_ops.ivfpq_upsert, graph.graph_delete):
+        df = fn(spark, SF_SMALL)
+        assert plans.partition_filters(df), (fn.__name__, plans.formatted_plan(df))
+
+
 def test_ivf_index_store_partition_prunes(spark, tmp_path):
     path = str(tmp_path / "ivf_idx")
     assigned = ivf.ivf_index(spark, SF_SMALL)
