@@ -585,8 +585,15 @@ def dedup_embedding_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..constants import COSINE_JOIN_TAU
 
     emb = _emb(spark, sf_dir)
-    near = _pairs_with_cosine(emb, _lsh_pairs(emb, sf_dir)).where(
-        F.col("cosine") >= COSINE_JOIN_TAU
+    # localCheckpoint: `near` feeds BOTH sides of the symmetrization
+    # union — without it the whole hash→bucket→pair→cosine pipeline runs
+    # twice (r10 plan audit caught the duplicated subtree when this key
+    # joined the bench headline). The pair set is KB-bounded (bucketed
+    # candidates above tau), so the materialization is cheap.
+    near = (
+        _pairs_with_cosine(emb, _lsh_pairs(emb, sf_dir))
+        .where(F.col("cosine") >= COSINE_JOIN_TAU)
+        .localCheckpoint()
     )
     sym = (
         near.select(F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("other"))
