@@ -374,11 +374,20 @@ def _recall_of(ann: DataFrame, exact: DataFrame) -> DataFrame:
     (exact_ground_truth) — it feeds two branches (intersect + the per-query
     denominator) and would otherwise execute its whole kNN subtree twice."""
     ann = ann.localCheckpoint(eager=True)
-    hits = ann.intersect(exact).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    # both sides are distinct (query_id, neighbor_id) rank lists bounded
+    # by Q·k rows, so the intersection is an inner join on both columns —
+    # broadcast, not the SortMergeJoin-with-two-Exchanges that .intersect
+    # compiles to (r10 plan census: every recall twin carried smj=2)
+    hits = (
+        ann.join(F.broadcast(exact.select("query_id", "neighbor_id")),
+                 ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
     return (
         exact.groupBy("query_id")
         .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(hits, "query_id", "left")
+        .join(F.broadcast(hits), "query_id", "left")
         .select(
             "query_id",
             F.round(
