@@ -1566,6 +1566,45 @@ def test_streaming_index_through_uri_store(spark):
     shutil.rmtree(base_local, ignore_errors=True)
 
 
+def test_ivfpq_delete_through_uri_store(spark):
+    """r10: the compressed-store purge must run entirely through the
+    Hadoop-FS layer under a scheme-addressed base — store probe, pruned
+    dynamic overwrite, emptied-dir deletion and the DELETED marker all
+    via io.fs_* — and the patched-store search equals the local-store
+    run's rows (same models, same purge set)."""
+    import os
+    import uuid
+
+    from elastik_nearest_neighbors_spark import io as enn_io
+    from elastik_nearest_neighbors_spark.operators import pq as pq_mod
+
+    base_local = f"/tmp/enn_uri_ivfpqdel_{uuid.uuid4().hex[:8]}"
+    os.makedirs(base_local)
+    saved_env = os.environ.get("ENN_SCRATCH_URI")
+    saved = enn_io._TMP_DIRS.pop(("ivfpq_delete", SF_SMALL), None)
+    os.environ["ENN_SCRATCH_URI"] = f"file://{base_local}"
+    try:
+        out = enn_io.scratch_dir("ivfpq_delete", SF_SMALL)
+        assert out.startswith("file://"), out
+        got = pq_mod.ivfpq_delete(spark, SF_SMALL).toPandas()
+        assert enn_io.fs_exists(spark, enn_io.fs_join(out, "DELETED"))
+    finally:
+        if saved_env is None:
+            os.environ.pop("ENN_SCRATCH_URI", None)
+        else:
+            os.environ["ENN_SCRATCH_URI"] = saved_env
+        enn_io._TMP_DIRS.pop(("ivfpq_delete", SF_SMALL), None)
+        if saved is not None:
+            enn_io._TMP_DIRS[("ivfpq_delete", SF_SMALL)] = saved
+    local = pq_mod.ivfpq_delete(spark, SF_SMALL).toPandas()
+    cols = ["query_id", "neighbor_id", "adc_dist"]
+    srt = lambda df: df[cols].sort_values(cols).reset_index(drop=True)
+    assert srt(got).equals(srt(local))
+    import shutil
+
+    shutil.rmtree(base_local, ignore_errors=True)
+
+
 def test_fit_path_sharded_falls_back_below_hier_floor(spark):
     """r9 (ADVICE r8): a fit whose EFFECTIVE k = min(nlist, deduped sample)
     is ≤ HIER_TOP must fall back to the closure fit_path instead of raising
