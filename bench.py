@@ -90,6 +90,7 @@ HEADLINE = [
     "index_stats",
     "aknn_search_api",
     "aknn_model_registry",
+    "aknn_http_search",
     "sq8_quantize",
     "ann_search_sq8",
     "ann_recall_sq8",

@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import api, oracles, oracles_text, oracles_vector
+from . import api, oracles, oracles_text, oracles_vector, server
 from .io import ORACLE_SF_DIR
 from .operators import analytics, dedup, graph, ivf, knn, multimodal, pq, search, textops
 from .streaming import ingest
@@ -45,6 +45,11 @@ _QUERIES: dict[str, QueryFn] = {
     # from the ORIGINAL quantizers, ≤2·D list dirs rewritten,
     # full-rebuild oracle, updated queries search with new coordinates):
     "ivfpq_upsert": pq.ivfpq_upsert,
+    # (1d) NEW in r10 (#156): the reference's actual WIRE protocol — the
+    # three EsAknn endpoints served over a localhost socket (stdlib
+    # http.server), model catalog + parquet-backed index store behind
+    # them; the JSON round-trip gates bit-identical to ann_search_lsh:
+    "aknn_http_search": server.aknn_http_search,
     # (2) r10-changed code — every streaming entry drains through the
     # new _drain() (fail-loudly-on-timeout, r9 ADVICE), so the whole
     # streaming family re-gates:
@@ -75,7 +80,7 @@ _QUERIES: dict[str, QueryFn] = {
     "knn_join": knn.knn_join,
     "source_mix": textops.source_mix,
     "semantic_doc_search": knn.semantic_doc_search,
-    # (4) oldest r7-era greens that fit (23 of 41; store/maintenance and
+    # (4) oldest r7-era greens that fit (22 of 41; store/maintenance and
     # core-LSH first — the pq.py/graph.py store paths sit in this round's
     # changed modules):
     "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
@@ -100,16 +105,16 @@ _QUERIES: dict[str, QueryFn] = {
     "events_retention": analytics.events_retention,
     "events_sliding_window": analytics.events_sliding_window,
     "events_user_ltv": analytics.events_user_ltv,
-    "q7_volume_shipping": analytics.q7_volume_shipping,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
     # entries (measured r3-r9: each CORRECTNESS json holds 50 keys). Keep
     # new/changed keys ABOVE this line and push an equal number below;
     # tests/test_gate_window.py enforces the placement.
     # -- r11 rotation queue, in priority order --
     # (a) keys whose code changes in r10 after this rotation was written
-    # (b) the 13 r7-era greens below (next stalest at r11 start)
+    # (b) the 14 r7-era greens below (next stalest at r11 start)
     # (c) then r8-era, then r9-era (freshest last)
     # -- r7-era greens (next in line) --
+    "q7_volume_shipping": analytics.q7_volume_shipping,
     "q10_returned_revenue": analytics.q10_returned_revenue,
     "q12_priority_lateness": analytics.q12_priority_lateness,
     "q13_customer_distribution": analytics.q13_customer_distribution,
@@ -327,6 +332,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ivfpq_delete": oracles_vector.ivfpq_delete,
     "graph_delete": oracles_vector.graph_delete,
     "ivfpq_upsert": oracles_vector.ivfpq_upsert,
+    # the HTTP wire round-trip is bit-identical to the in-memory search
+    "aknn_http_search": oracles_vector.ann_search_lsh,
     "bitsign_codes": oracles_vector.bitsign_codes,
     "ann_search_bitsign": oracles_vector.ann_search_bitsign,
     "ann_recall_bitsign": oracles_vector.ann_recall_bitsign,

@@ -17,16 +17,17 @@ from elastik_nearest_neighbors_spark import registry
 
 GATE_WINDOW_SIZE = 50
 
-# The r10 window, in driver gate order: (1) the three NEW maintenance
+# The r10 window, in driver gate order: (1) the four NEW keys: three maintenance
 # ops (#153 ivfpq_delete, #154 graph_delete, #155 ivfpq_upsert — full
-# CRUD across all four store layouts), (2) the 11 streaming entries
+# CRUD across all four store layouts) plus the #156 HTTP wire surface, (2) the 11 streaming entries
 # (r10-changed: every drain now fails loudly on timeout via _drain, r9
 # ADVICE), (3) the 13 remaining r6-era stale greens (r9 verdict's #1
-# ask), (4) the oldest 23 r7-era greens, store/maintenance keys first.
+# ask), (4) the oldest 22 r7-era greens, store/maintenance keys first.
 EXPECTED_GATE_WINDOW = [
     "ivfpq_delete",
     "graph_delete",
     "ivfpq_upsert",
+    "aknn_http_search",
     "streaming_sessionize_check",
     "streaming_sessionize_append",
     "streaming_sessionize",
@@ -73,7 +74,6 @@ EXPECTED_GATE_WINDOW = [
     "events_retention",
     "events_sliding_window",
     "events_user_ltv",
-    "q7_volume_shipping",
 ]
 
 
@@ -92,7 +92,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 155 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 156 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 155
-    assert len(set(ks)) == 155
+    assert len(ks) == 156
+    assert len(set(ks)) == 156

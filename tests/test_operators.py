@@ -1605,6 +1605,60 @@ def test_ivfpq_delete_through_uri_store(spark):
     shutil.rmtree(base_local, ignore_errors=True)
 
 
+def test_aknn_http_server_endpoints(spark):
+    """r10 (#156): the wire layer itself — create/index/search/models over
+    a real localhost socket, plus the error contract (404 unknown path,
+    400 unknown model) and multi-model coexistence in the catalog."""
+    import json as _json
+    import tempfile
+    import urllib.error
+    import urllib.request
+
+    from elastik_nearest_neighbors_spark import io as eio
+    from elastik_nearest_neighbors_spark.server import AknnHttpServer, _http_get, _http_post
+
+    emb = eio.table(spark, SF_SMALL, "embeddings", widen=True)
+    docs = [
+        {"_id": int(r.vec_id), "_source": {"_aknn_vector": list(r.embedding)}}
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").limit(300).collect()
+    ]
+    srv = AknnHttpServer(spark, tempfile.mkdtemp(prefix="enn_http_test_")).start()
+    try:
+        out = _http_post(srv.port, "/_aknn_create",
+                         {"_id": "m1", "nb_tables": 4, "nb_bits_per_table": 2, "docs": docs[:16]})
+        assert out["acknowledged"] and out["nb_tables"] == 4
+        _http_post(srv.port, "/_aknn_create",
+                   {"_id": "m2", "nb_tables": 2, "nb_bits_per_table": 2, "docs": docs[:8]})
+        assert _http_get(srv.port, "/_aknn_models")["models"] == ["m1", "m2"]
+        out = _http_post(srv.port, "/_aknn_index",
+                         {"model": "m1", "_index": "idx", "docs": docs})
+        assert out["indexed"] == len(docs)
+        res = _http_get(srv.port, f"/idx/{docs[0]['_id']}/_aknn_search?k1=50&k2=5")
+        hits = res["hits"]["hits"]
+        assert len(hits) == 5 and res["hits"]["total"] == 5
+        assert hits == sorted(hits, key=lambda h: (h["_score"], h["_id"]))
+        assert all(h["_id"] != docs[0]["_id"] for h in hits)  # no self-match
+        # error contract: unknown endpoint -> 404; unknown model -> 400
+        for path, code in [("/_nope", 404)]:
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}")
+                raise AssertionError("expected HTTPError")
+            except urllib.error.HTTPError as e:
+                assert e.code == code
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{srv.port}/_aknn_index",
+                data=_json.dumps({"model": "nope", "_index": "idx", "docs": []}).encode(),
+            )
+            urllib.request.urlopen(req)
+            raise AssertionError("expected HTTPError")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "no such model" in _json.loads(e.read())["error"]
+    finally:
+        srv.stop()
+
+
 def test_fit_path_sharded_falls_back_below_hier_floor(spark):
     """r9 (ADVICE r8): a fit whose EFFECTIVE k = min(nlist, deduped sample)
     is ≤ HIER_TOP must fall back to the closure fit_path instead of raising
