@@ -91,6 +91,7 @@ HEADLINE = [
     "aknn_search_api",
     "aknn_model_registry",
     "aknn_http_search",
+    "aknn_http_search_store",
     "sq8_quantize",
     "ann_search_sq8",
     "ann_recall_sq8",
@@ -214,17 +215,35 @@ def _short_key(name: str) -> str:
     return "".join(parts)
 
 
-def short_keymap(names: list[str]) -> dict[str, str]:
-    """full name -> unique short key, deterministic in list order.
+_KEYMAP_SNAPSHOT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tools", "bench_keys.json"
+)
 
-    Collisions extend with successive letters of the final token
-    ("dedup_simhash"/"dedup_semantic" -> "dsi"/"dse"). The committed
-    snapshot tools/bench_keys.json mirrors this mapping (test-pinned) so
-    the judge can decode BENCH_r{N}.json's compact `queries` line.
+
+def short_keymap(names: list[str]) -> dict[str, str]:
+    """full name -> unique short key, APPEND-ONLY against the committed
+    snapshot (ADVICE r10: aliases were silently re-pointed when HEADLINE
+    order changed — "asis"/"iu"/"ss" meant different keys in BENCH_r09 vs
+    BENCH_r10). A name present in tools/bench_keys.json keeps its alias
+    verbatim and every pinned alias stays reserved even if its name leaves
+    HEADLINE; only never-before-seen names get fresh aliases (per-word
+    abbreviation, collisions extended with letters of the final token —
+    "dedup_simhash"/"dedup_semantic" -> "dsi"/"dse"). Regenerating the
+    snapshot through this function is therefore a fixed point: old pairs
+    unchanged, new pairs appended. Historical records decode against their
+    own frozen per-round snapshots tools/bench_keys_r{07..10}.json.
     """
+    try:
+        with open(_KEYMAP_SNAPSHOT) as f:
+            pinned: dict[str, str] = json.load(f)
+    except FileNotFoundError:
+        pinned = {}
     out: dict[str, str] = {}
-    taken: set[str] = set()
+    taken: set[str] = set(pinned.values())
     for name in names:
+        if name in pinned:
+            out[name] = pinned[name]
+            continue
         base = _short_key(name)
         cand, last, i = base, name.split("_")[-1], 1
         while cand in taken:
@@ -322,10 +341,19 @@ def main() -> None:
         smap = short_keymap(bench_key_universe(keys))
 
         def _compact(v: float):
-            # 3 significant digits; integral values emit as ints ("999"
-            # not "999.0") — the 2 chars/key that keep the 143-key
-            # worst-case line inside the driver's tail budget
-            g = float(f"{v:.3g}")
+            # encode every timing in ≤4 chars so the worst-case line width
+            # is provable (tests/test_bench_keys.py models 4 chars/value):
+            # sub-second values round to 2 decimals with a 0.01 floor
+            # ("0.218"→"0.22" — the lost ±5 ms is far below the ~10% host
+            # noise band), values ≥1 keep 3 significant digits, integral
+            # values emit as ints ("999" not "999.0"). ADVICE r10: the old
+            # 3-sig-digit cut made 85/145 r10 values 5 chars wide while the
+            # size test modelled 4, so a real run could silently overflow
+            # into the queries_omitted fallback.
+            if v < 1:
+                g = max(round(v, 2), 0.01)
+            else:
+                g = float(f"{v:.3g}")
             return int(g) if g.is_integer() else g
 
         out = dict(

@@ -50,6 +50,11 @@ _QUERIES: dict[str, QueryFn] = {
     # http.server), model catalog + parquet-backed index store behind
     # them; the JSON round-trip gates bit-identical to ann_search_lsh:
     "aknn_http_search": server.aknn_http_search,
+    # (1e) NEW in r11 (#157): the same wire protocol served from the
+    # partition-pruned store layout (docs/ by id_bucket, terms/ by
+    # (tbl, bucket)) — the r10 verdict's "What's missing" #3; gates
+    # bit-identical to the flat-mode twin via the shared oracle:
+    "aknn_http_search_store": server.aknn_http_search_store,
     # (2) r10-changed code — every streaming entry drains through the
     # new _drain() (fail-loudly-on-timeout, r9 ADVICE), so the whole
     # streaming family re-gates:
@@ -104,7 +109,6 @@ _QUERIES: dict[str, QueryFn] = {
     "events_props_extract": analytics.events_props_extract,
     "events_retention": analytics.events_retention,
     "events_sliding_window": analytics.events_sliding_window,
-    "events_user_ltv": analytics.events_user_ltv,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
     # entries (measured r3-r9: each CORRECTNESS json holds 50 keys). Keep
     # new/changed keys ABOVE this line and push an equal number below;
@@ -113,6 +117,8 @@ _QUERIES: dict[str, QueryFn] = {
     # (a) keys whose code changes in r10 after this rotation was written
     # (b) the 14 r7-era greens below (next stalest at r11 start)
     # (c) then r8-era, then r9-era (freshest last)
+    # -- r10-era greens (demoted to make room for r11-new keys) --
+    "events_user_ltv": analytics.events_user_ltv,
     # -- r7-era greens (next in line) --
     "q7_volume_shipping": analytics.q7_volume_shipping,
     "q10_returned_revenue": analytics.q10_returned_revenue,
@@ -334,6 +340,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ivfpq_upsert": oracles_vector.ivfpq_upsert,
     # the HTTP wire round-trip is bit-identical to the in-memory search
     "aknn_http_search": oracles_vector.ann_search_lsh,
+    # ... and so is the partition-pruned store-backed serving mode
+    "aknn_http_search_store": oracles_vector.ann_search_lsh,
     "bitsign_codes": oracles_vector.bitsign_codes,
     "ann_search_bitsign": oracles_vector.ann_search_bitsign,
     "ann_recall_bitsign": oracles_vector.ann_recall_bitsign,

@@ -32,12 +32,27 @@ parameter names and document field names, using only the Python stdlib
 
 Deployment shape: the server is a DRIVER-side facade — each request plans
 a Spark job over the parquet-backed index (candidate generation is the
-broadcast hash join; the corpus never shuffles per query). At 100 TB the
-same handler fronts the partition-pruned (tbl, bucket) store
-(sources.index_store) instead of the flat parquet dir; the wire protocol
-is identical. Registry entry `aknn_http_search` drives all three
-endpoints over a real localhost socket and gates the round-trip against
-the shared ann_search_lsh oracle.
+broadcast hash join; the corpus never shuffles per query). Two store
+layouts behind the SAME wire protocol, selected by a constructor flag
+(r10 verdict item 2 — previously the pruned mode was promised in prose
+only):
+
+- flat (default): one parquet dir per index; every search scans it.
+  Right for small indexes — zero layout overhead.
+- store_backed=True: the 100 TB layout. `/_aknn_index` appends the
+  hashed docs under `docs/` partitioned by id_bucket =
+  pmod(xxhash64(_id), n) (doc-by-id lookup prunes to ONE directory) and
+  the exploded terms under `terms/` partitioned by
+  (tbl, bucket = pmod(hash, n)) — exactly sources.index_store's layout,
+  read back through its load_lsh_partitions. A search touches ≤ T of
+  the T·n_buckets term directories plus one docs directory; only the
+  ≤ k1-candidate re-rank gather reads the docs table un-pruned (the
+  same shape the gated batch ann_search_lsh_store pays).
+  tests/test_server.py asserts the PartitionFilters in the served plan.
+
+Registry entries `aknn_http_search` (flat) and `aknn_http_search_store`
+(pruned) drive all three endpoints over a real localhost socket and gate
+the round-trip against the shared ann_search_lsh oracle.
 """
 
 from __future__ import annotations
@@ -70,9 +85,10 @@ class AknnHttpServer:
     driver behind a load balancer, each replica reading the same store).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, store_backed: bool = False):
         self.spark = spark
         self.root = root
+        self.store_backed = store_backed
         self.registry = AknnModelRegistry(os.path.join(root, "models"))
         self._lock = threading.RLock()
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(self))
@@ -103,6 +119,41 @@ class AknnHttpServer:
             rows, f"{ID_FIELD} {id_type}, {VECTOR_FIELD} array<double>"
         )
 
+    def _docs_path(self, index: str) -> str:
+        """Where the (_id, _aknn_vector, hashes) doc rows live for `index` —
+        the flat dir itself, or the store layout's docs/ side."""
+        path = self._index_path(index)
+        return os.path.join(path, "docs") if self.store_backed else path
+
+    def _stored_id_type(self, index: str) -> str | None:
+        """The _id dtype already persisted for this index, or None if the
+        index has no data yet."""
+        from . import io
+
+        docs_path = self._docs_path(index)
+        if not io.fs_isdir(self.spark, docs_path):
+            return None
+        return dict(self.spark.read.parquet(docs_path).dtypes)[ID_FIELD]
+
+    def _pin_id_type(self, index: str, docs: DataFrame) -> DataFrame:
+        """ADVICE r10: _docs_df infers the _id type PER BATCH (bigint iff
+        every id is an int), so a later string-id batch would append string
+        _id files next to bigint ones and break every subsequent search on
+        schema merge. The id type is pinned by the index's FIRST batch:
+        later int-id batches against a string-pinned index are cast
+        (lossless), a string-id batch against a bigint-pinned index is
+        rejected with a 400 (the caller's ids don't round-trip)."""
+        pinned = self._stored_id_type(index)
+        batch = dict(docs.dtypes)[ID_FIELD]
+        if pinned is None or pinned == batch:
+            return docs
+        if pinned == "string":
+            return docs.withColumn(ID_FIELD, F.col(ID_FIELD).cast("string"))
+        raise ValueError(
+            f"index {index!r} pins {ID_FIELD} type {pinned}; "
+            f"batch has {batch} ids — re-index under a new index name"
+        )
+
     def create(self, body: dict) -> dict:
         name = body["_id"]
         nb_tables = int(body.get("nb_tables", LSH_TABLES))
@@ -125,20 +176,115 @@ class AknnHttpServer:
     def index(self, body: dict) -> dict:
         with self._lock:
             model = self.registry.get(body["model"])
-            hashed = aknn_index(self._docs_df(body["docs"]), model)
-            hashed.write.mode("append").parquet(self._index_path(body["_index"]))
+            name = body["_index"]
+            docs = self._pin_id_type(name, self._docs_df(body["docs"]))
+            hashed = aknn_index(docs, model)
+            if self.store_backed:
+                self._append_store(name, hashed)
+            else:
+                hashed.write.mode("append").parquet(self._index_path(name))
         return {"acknowledged": True, "_index": body["_index"], "indexed": len(body["docs"])}
+
+    def _append_store(self, index: str, hashed: DataFrame) -> None:
+        """Append one /_aknn_index batch into the partition-pruned layout:
+        docs/ partitioned by id_bucket (doc-by-id lookup = one directory),
+        terms/ partitioned by (tbl, bucket) — sources.index_store's exact
+        LSH layout (id column stored under its vec_id name so
+        load_lsh_partitions reads it back verbatim). Per-batch appends
+        accumulate one file per touched directory per batch — the
+        compaction story is streaming_index_compact's, unchanged."""
+        from .operators.lsh import explode_hashes
+        from .sources.index_store import DEFAULT_HASH_BUCKETS
+
+        path = self._index_path(index)
+        n = DEFAULT_HASH_BUCKETS
+        docs = hashed.withColumn(
+            "id_bucket", F.pmod(F.xxhash64(F.col(ID_FIELD)), F.lit(n))
+        )
+        (
+            docs.repartition("id_bucket")
+            .write.mode("append")
+            .partitionBy("id_bucket")
+            .parquet(os.path.join(path, "docs"))
+        )
+        terms = explode_hashes(
+            hashed.select(ID_FIELD, "hashes"), ID_FIELD, "vec_id"
+        ).withColumn("bucket", F.pmod(F.col("hash"), F.lit(n)))
+        (
+            terms.repartition("tbl", "bucket")
+            .write.mode("append")
+            .partitionBy("tbl", "bucket")
+            .parquet(os.path.join(path, "terms"))
+        )
+
+    def _query_doc_df(self, index: str, doc_id) -> DataFrame:
+        """The stored query doc, read from its SINGLE id_bucket directory:
+        xxhash64(lit) constant-folds, so the bucket predicate lands in the
+        scan's PartitionFilters (asserted by tests/test_server.py). The lit
+        is cast to the pinned id type — xxhash64 is type-sensitive, so an
+        int literal probing a bigint-written bucket column must hash as
+        bigint."""
+        from .sources.index_store import DEFAULT_HASH_BUCKETS
+
+        docs = self.spark.read.parquet(os.path.join(self._index_path(index), "docs"))
+        qlit = F.lit(doc_id).cast(dict(docs.dtypes)[ID_FIELD])
+        return docs.where(
+            (F.col("id_bucket") == F.pmod(F.xxhash64(qlit), F.lit(DEFAULT_HASH_BUCKETS)))
+            & (F.col(ID_FIELD) == qlit)
+        )
+
+    def _search_store(self, index: str, doc_id, k1: int, k2: int) -> DataFrame:
+        """The pruned serving read (store_backed mode), returned BEFORE the
+        collect so tests can assert its physical plan: the query doc comes
+        from its single id_bucket directory (xxhash64(lit) folds to a
+        literal PartitionFilter), candidates from the ≤ T probed
+        (tbl, bucket) term directories via load_lsh_partitions; only the
+        ≤ k1 re-rank vector gather touches docs/ un-pruned."""
+        from .operators.knn import rank_term_matches
+        from .sources.index_store import DEFAULT_HASH_BUCKETS, load_lsh_partitions
+
+        path = self._index_path(index)
+        n = DEFAULT_HASH_BUCKETS
+        docs = self.spark.read.parquet(os.path.join(path, "docs"))
+        id_type = dict(docs.dtypes)[ID_FIELD]
+        if id_type == "bigint":
+            doc_id = int(doc_id)
+        qrows = self._query_doc_df(index, doc_id).collect()
+        if not qrows:
+            raise KeyError(f"no such doc in index {index!r}: {doc_id!r}")
+        q = qrows[0]
+        q_exp = self.spark.createDataFrame(
+            [(doc_id, t, int(h)) for t, h in enumerate(q["hashes"])],
+            f"query_id {id_type}, tbl int, hash bigint",
+        )
+        parts = [(t, int(h) % n) for t, h in enumerate(q["hashes"])]
+        idx_exp = load_lsh_partitions(
+            self.spark, os.path.join(path, "terms"), parts
+        ).withColumnRenamed("vec_id", "neighbor_id")
+        counts = (
+            idx_exp.join(F.broadcast(q_exp), ["tbl", "hash"])
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.count(F.lit(1)).alias("n_match"))
+        )
+        query_df = self.spark.createDataFrame(
+            [(doc_id, list(q[VECTOR_FIELD]))],
+            f"{ID_FIELD} {id_type}, {VECTOR_FIELD} array<double>",
+        )
+        return rank_term_matches(
+            counts, docs, query_df, k1, k2, ID_FIELD, VECTOR_FIELD
+        )
 
     def search(self, index: str, doc_id, k1: int = ANN_K1, k2: int = ANN_K2) -> dict:
         with self._lock:
-            indexed = self.spark.read.parquet(self._index_path(index))
-            if dict(indexed.dtypes)[ID_FIELD] == "bigint":
-                doc_id = int(doc_id)
-            rows = (
-                aknn_search(indexed, [doc_id], k1, k2)
-                .orderBy(F.asc("distance"), F.asc("neighbor_id"))
-                .collect()
-            )
+            if self.store_backed:
+                ranked = self._search_store(index, doc_id, k1, k2)
+            else:
+                indexed = self.spark.read.parquet(self._index_path(index))
+                if dict(indexed.dtypes)[ID_FIELD] == "bigint":
+                    doc_id = int(doc_id)
+                ranked = aknn_search(indexed, [doc_id], k1, k2)
+            rows = ranked.orderBy(F.asc("distance"), F.asc("neighbor_id")).collect()
         return {
             "timed_out": False,
             "hits": {
@@ -209,9 +355,10 @@ def _make_handler(server: AknnHttpServer):
     return Handler
 
 
-# server + indexed store, once per (SparkContext, sf_dir) — the facade's
-# create+index phase is index MAINTENANCE; repeat calls measure serving
-_SERVER_CACHE: dict[tuple[str, str], AknnHttpServer] = {}
+# server + indexed store, once per (SparkContext, sf_dir, mode) — the
+# facade's create+index phase is index MAINTENANCE; repeat calls measure
+# serving
+_SERVER_CACHE: dict[tuple[str, str, bool], AknnHttpServer] = {}
 
 
 def _http_post(port: int, path: str, payload: dict) -> dict:
@@ -249,15 +396,32 @@ def aknn_http_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame. Gated by the shared ann_search_lsh oracle: the wire round-trip
     (JSON floats both directions — exact, shortest-repr) must be
     bit-identical to the in-memory search path."""
+    return _drive_endpoints(spark, sf_dir, store_backed=False)
+
+
+def aknn_http_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (SURVEY §2 #157, r11): the SAME three endpoints and
+    the same wire payloads served from the partition-pruned store layout
+    (store_backed=True — docs/ by id_bucket, terms/ by (tbl, bucket)).
+    Gated by the same shared ann_search_lsh oracle as the flat-mode twin:
+    the pruned serving path must be bit-identical to the in-memory search,
+    proving the 100 TB layout is lossless behind an unchanged protocol."""
+    return _drive_endpoints(spark, sf_dir, store_backed=True)
+
+
+def _drive_endpoints(spark: SparkSession, sf_dir: str, store_backed: bool) -> DataFrame:
     from . import io
     from .constants import N_QUERIES
     from .session import configure
 
     configure(spark)
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, store_backed)
     srv = _SERVER_CACHE.get(key)
     if srv is None:
-        srv = AknnHttpServer(spark, io.scratch_dir("aknn_http", sf_dir)).start()
+        scratch = io.scratch_dir(
+            "aknn_http_store" if store_backed else "aknn_http", sf_dir
+        )
+        srv = AknnHttpServer(spark, scratch, store_backed=store_backed).start()
         _SERVER_CACHE[key] = srv
         emb = io.table(spark, sf_dir, "embeddings", widen=True)
         docs = [

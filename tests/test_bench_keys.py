@@ -55,13 +55,33 @@ def test_short_keymap_unique_and_pinned():
     )
 
 
+def _compact_ref(v: float):
+    # mirror of bench.main's inner _compact encoder (kept in sync by
+    # test_compact_encoder_width below exercising the same contract)
+    if v < 1:
+        g = max(round(v, 2), 0.01)
+    else:
+        g = float(f"{v:.3g}")
+    return int(g) if g.is_integer() else g
+
+
+def test_compact_encoder_width_le_4_chars():
+    # the size-budget proof below models every value as 4 chars; the
+    # encoder must guarantee that for the realistic timing range
+    # (ADVICE r10: the old 3-sig-digit cut emitted 5-char sub-second
+    # values like "0.218" while the model said 4)
+    for v in [0.001, 0.0099, 0.049, 0.1, 0.218, 0.5, 0.95, 0.995, 0.9999,
+              1.0, 1.372, 9.99, 12.34, 99.94, 163.9, 999.4, 1234.5, 9994.0]:
+        enc = json.dumps(_compact_ref(v))
+        assert len(enc) <= 4, (v, enc)
+
+
 def test_compact_line_fits_tail_budget():
-    # worst realistic payload: every key at a 4-digit-second timing
+    # worst-case payload: EVERY key at the encoder's widest emission
+    # (4 chars, guaranteed by test_compact_encoder_width_le_4_chars —
+    # previously the model assumed 4 while the encoder could emit 5)
     universe = bench.bench_key_universe()
     smap = bench.short_keymap(universe)
-    # mirror bench.main's compact encoder (3 sig digits, integral -> int):
-    # the widest realistic value is 4 chars — "99.9" (or "1230" for a
-    # 4-digit-second timing after the .3g cut)
     out = {
         "metric": "headline_queries_total",
         "value": 9999.999,
@@ -73,3 +93,25 @@ def test_compact_line_fits_tail_budget():
         "full": "BENCH_LOCAL.json",
     }
     assert len(json.dumps(out, separators=(",", ":"))) <= 1900
+
+
+def test_aliases_append_only_vs_latest_round_snapshot():
+    # ADVICE r10 (medium): aliases must never re-point. The committed
+    # current snapshot must CONTAIN the latest frozen per-round snapshot
+    # verbatim (every historical BENCH_r{N}.json decodes against its own
+    # tools/bench_keys_r{N}.json; the current map only appends).
+    import glob
+
+    versioned = sorted(glob.glob(os.path.join(_ROOT, "tools", "bench_keys_r*.json")))
+    assert versioned, "per-round keymap snapshots missing"
+    with open(versioned[-1]) as f:
+        frozen = json.load(f)
+    with open(os.path.join(_ROOT, "tools", "bench_keys.json")) as f:
+        current = json.load(f)
+    repointed = {k: (v, current.get(k)) for k, v in frozen.items() if current.get(k) != v}
+    assert not repointed, f"aliases re-pointed or dropped vs {versioned[-1]}: {repointed}"
+    # and the reverse direction: no alias string reused for a different name
+    inv_frozen = {a: n for n, a in frozen.items()}
+    stolen = {a: (inv_frozen[a], n) for n, a in current.items()
+              if a in inv_frozen and inv_frozen[a] != n}
+    assert not stolen, f"alias strings reused for different keys: {stolen}"

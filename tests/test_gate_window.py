@@ -28,6 +28,7 @@ EXPECTED_GATE_WINDOW = [
     "graph_delete",
     "ivfpq_upsert",
     "aknn_http_search",
+    "aknn_http_search_store",
     "streaming_sessionize_check",
     "streaming_sessionize_append",
     "streaming_sessionize",
@@ -73,7 +74,6 @@ EXPECTED_GATE_WINDOW = [
     "events_props_extract",
     "events_retention",
     "events_sliding_window",
-    "events_user_ltv",
 ]
 
 
@@ -92,7 +92,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 156 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 157 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 156
-    assert len(set(ks)) == 156
+    assert len(ks) == 157
+    assert len(set(ks)) == 157
