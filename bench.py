@@ -87,6 +87,7 @@ HEADLINE = [
     "index_delete",
     "ivfpq_delete",
     "graph_delete",
+    "graph_rebuild",
     "index_stats",
     "aknn_search_api",
     "aknn_model_registry",

@@ -110,6 +110,16 @@ UPSERT_MOD = 17
 # side (so the rebuild semantics of a vanished QUERY are exercised too)
 DELETE_MOD = 13
 DELETE_REM = 3
+# graph rebuild (r11, #158): the accumulated-delete fraction at which the
+# periodic offline rebuild is exercised. Pinned to 25% — the smallest
+# measured fraction where mark-delete recall VISIBLY degrades vs a rebuild
+# (sf0.01, original quantizers, seeds held identical so the edge set is
+# the only variable): 1/13 and 1/6 purges show zero recall gap; at 1/4 the
+# rebuild restores +0.05 mean recall (0.5833 → 0.6333), at 1/3 +0.04, at
+# 1/2 +0.05 — so the degradation regime starts between 16.7% and 25%,
+# sharpening the r10 graph_delete claim ("no degradation at 7.7%").
+GRAPH_REBUILD_MOD = 4
+GRAPH_REBUILD_REM = 1
 ANN_K1 = 100  # candidates from hash-table term match
 ANN_K2 = 10  # final neighbors after exact re-rank
 # PQ (product quantization): M subspaces × ksub centroids — 64 float64 dims

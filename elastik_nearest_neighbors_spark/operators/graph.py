@@ -507,6 +507,27 @@ def ann_search_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search_graph(emb, queries, graph_edges(spark, sf_dir), model_for(sf_dir))
 
 
+def _pruned_store_search(spark: SparkSession, store: str, corpus: DataFrame, model) -> DataFrame:
+    """The shared serving tail over a persisted edge store: seed with the
+    ORIGINAL serving quantizer over `corpus`, map the seed ids to their
+    buckets, read ONLY those directories for the hop, exact-rerank. The
+    seed-id collect is Q·GRAPH_SEED_K ints — KB-sized, like the IVF probe
+    list. Used by ann_search_graph_store (full corpus), graph_delete and
+    graph_rebuild (surviving corpus over the patched / rebuilt store)."""
+    from ..sources.index_store import GRAPH_EDGE_BUCKETS, load_graph_buckets
+
+    queries = corpus.where(F.col("vec_id") < N_QUERIES)
+    seeds = (
+        ann_search_ivf(corpus, queries, model, nprobe=1, k=GRAPH_SEED_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)  # feeds the bucket collect AND the hop join
+    )
+    seed_ids = sorted({r.neighbor_id for r in seeds.select("neighbor_id").distinct().collect()})
+    buckets = sorted({int(i) % GRAPH_EDGE_BUCKETS for i in seed_ids})
+    edges = load_graph_buckets(spark, store, buckets).where(F.col("vec_a").isin(seed_ids))
+    return _expand_and_rerank(corpus, queries, seeds, edges)
+
+
 def ann_search_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph search through the PERSISTED edge layout: edges written
     partitioned by bucket = vec_a mod 64 (sources/index_store), the query
@@ -514,26 +535,15 @@ def ann_search_graph_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back for the hop — then the same exact rerank. Result-identical to
     ann_search_graph (same oracle), proving the pruned path is lossless.
     This is the 100 TB shape: the graph is built once offline, and each
-    query batch touches ≤ |seed buckets| / 64 of it on disk. The seed-id
-    collect is Q·GRAPH_SEED_K ints — KB-sized, like the IVF probe list."""
-    from ..sources.index_store import GRAPH_EDGE_BUCKETS, load_graph_buckets, save_graph_edges
+    query batch touches ≤ |seed buckets| / 64 of it on disk."""
+    from ..sources.index_store import save_graph_edges
 
     model = model_for(sf_dir)
     emb = _emb(spark, sf_dir)
     out = io.fs_join(io.scratch_dir("graph_store", sf_dir), "data")
     if not io.fs_exists(spark, io.fs_join(out, "_SUCCESS")):
         save_graph_edges(graph_edges(spark, sf_dir), out)
-
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    seeds = (
-        ann_search_ivf(emb, queries, model, nprobe=1, k=GRAPH_SEED_K)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)  # feeds the bucket collect AND the hop join
-    )
-    seed_ids = sorted({r.neighbor_id for r in seeds.select("neighbor_id").distinct().collect()})
-    buckets = sorted({int(i) % GRAPH_EDGE_BUCKETS for i in seed_ids})
-    edges = load_graph_buckets(spark, out, buckets).where(F.col("vec_a").isin(seed_ids))
-    return _expand_and_rerank(emb, queries, seeds, edges)
+    return _pruned_store_search(spark, out, emb, model)
 
 
 def graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,7 +578,7 @@ def graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (query_id, neighbor_id, distance) top-ANN_K2 per surviving
     query."""
     from ..constants import DELETE_MOD, DELETE_REM
-    from ..sources.index_store import GRAPH_EDGE_BUCKETS, load_graph_buckets, save_graph_edges
+    from ..sources.index_store import save_graph_edges
 
     model = model_for(sf_dir)
     emb = _emb(spark, sf_dir)
@@ -581,56 +591,108 @@ def graph_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_b") % DELETE_MOD == DELETE_REM
     )
     if not io.fs_exists(spark, marker):
-        # one column-pruned scan finds the buckets holding any doomed
-        # edge (vec_a-doomed live in the id's own bucket; vec_b-doomed
-        # wherever in-edges land) — the collect is ≤ GRAPH_EDGE_BUCKETS
-        # ints, and only those directories get rewritten
-        touched = sorted(
-            int(r.bucket)
-            for r in spark.read.parquet(store)
-            .where(doomed_edge)
-            .select("bucket")
-            .distinct()
-            .collect()
-        )
-        existing = (
-            spark.read.parquet(store)
-            .where(F.col("bucket").isin(touched))
-            .select("vec_a", "vec_b", "distance", "bucket")
-        )
-        # localCheckpoint BEFORE the overwrite: `patched` reads the path
-        # it is about to rewrite (see ivf_delete / knn.index_delete)
-        patched = existing.where(~doomed_edge).localCheckpoint()
-        live = {int(r.bucket) for r in patched.select("bucket").distinct().collect()}
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                patched.repartition("bucket")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(store)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        for b in touched:
-            if b not in live:
-                io.fs_delete(spark, io.fs_join(store, f"bucket={b}"))
+        _purge_edges(spark, store, doomed_edge)
         io.fs_touch(spark, marker)
 
     # search: surviving corpus + original quantizer seeds + hop over the
     # patched store — the same pruned shape as ann_search_graph_store
     surv = emb.where(F.col("vec_id") % DELETE_MOD != DELETE_REM)
-    queries = surv.where(F.col("vec_id") < N_QUERIES)
-    seeds = (
-        ann_search_ivf(surv, queries, model, nprobe=1, k=GRAPH_SEED_K)
-        .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=True)  # feeds the bucket collect AND the hop join
+    return _pruned_store_search(spark, store, surv, model)
+
+
+def _purge_edges(spark: SparkSession, store: str, doomed_edge) -> None:
+    """Drop every edge matching `doomed_edge` from a persisted edge store,
+    in place: one column-pruned scan finds the buckets holding any doomed
+    edge (vec_a-doomed live in the id's own bucket; vec_b-doomed wherever
+    in-edges land) — the collect is ≤ GRAPH_EDGE_BUCKETS ints, and only
+    those directories get rewritten via pruned dynamic partition
+    overwrite; emptied directories are deleted explicitly (their stale
+    files would otherwise keep matching)."""
+    touched = sorted(
+        int(r.bucket)
+        for r in spark.read.parquet(store)
+        .where(doomed_edge)
+        .select("bucket")
+        .distinct()
+        .collect()
     )
-    seed_ids = sorted({r.neighbor_id for r in seeds.select("neighbor_id").distinct().collect()})
-    buckets = sorted({int(i) % GRAPH_EDGE_BUCKETS for i in seed_ids})
-    edges = load_graph_buckets(spark, store, buckets).where(F.col("vec_a").isin(seed_ids))
-    return _expand_and_rerank(surv, queries, seeds, edges)
+    existing = (
+        spark.read.parquet(store)
+        .where(F.col("bucket").isin(touched))
+        .select("vec_a", "vec_b", "distance", "bucket")
+    )
+    # localCheckpoint BEFORE the overwrite: `patched` reads the path
+    # it is about to rewrite (see ivf_delete / knn.index_delete)
+    patched = existing.where(~doomed_edge).localCheckpoint()
+    live = {int(r.bucket) for r in patched.select("bucket").distinct().collect()}
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            patched.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(store)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for b in touched:
+        if b not in live:
+            io.fs_delete(spark, io.fs_join(store, f"bucket={b}"))
+
+
+def graph_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic offline graph REBUILD (r11, #158) — the recovery operation
+    graph_delete's contract has always pointed at ("recall degrades as
+    deletions accumulate; periodic offline rebuild restores it") but that
+    r10 left unimplemented and unmeasured. The scenario is pinned where
+    mark-delete VISIBLY degrades (constants.GRAPH_REBUILD_MOD: 25% of ids
+    purged — measured +0.05 mean recall restored by rebuild at sf0.01;
+    1/13 and 1/6 fractions show no gap, so 25% is just inside the
+    degradation regime):
+
+    1. the aging store: full-corpus graph persisted, then the accumulated
+       deletes applied EXACTLY as graph_delete applies them (_purge_edges
+       — pruned dynamic overwrite, emptied dirs removed);
+    2. the rebuild: fresh edge CONSTRUCTION over the surviving corpus with
+       the ORIGINAL build quantizer (no refit — the #151-#155 maintenance
+       convention), written as a STATIC overwrite so the patched store is
+       replaced wholesale — a rebuild must not inherit any mark-deleted
+       directory, which the gate would catch if the write went dynamic;
+    3. serving: the same pruned seed-bucket search as every other graph
+       path, over the rebuilt store.
+
+    The gated contract is rebuild-equivalence: searching the rebuilt store
+    equals fresh construction on the survivors (the oracle constructs that
+    graph in SQL) — the replacement-neighbor edges a mark-delete can never
+    discover are exactly what the rebuild restores.
+
+    At 100 TB: construction cost is the linear 2N-row list-local build
+    (build_graph_edges), paid on the survivor set only and amortized over
+    the accumulation window; the alternative — serving the degraded
+    mark-delete graph forever — silently loses recall past ~20% deletes.
+
+    Output: (query_id, neighbor_id, distance) top-ANN_K2 per surviving
+    query."""
+    from ..constants import GRAPH_REBUILD_MOD, GRAPH_REBUILD_REM
+    from ..sources.index_store import save_graph_edges
+
+    model = model_for(sf_dir)
+    emb = _emb(spark, sf_dir)
+    out = io.scratch_dir("graph_rebuild", sf_dir)
+    store = io.fs_join(out, "data")
+    marker = io.fs_join(out, "REBUILT")
+    surv = emb.where(F.col("vec_id") % GRAPH_REBUILD_MOD != GRAPH_REBUILD_REM)
+    if not io.fs_exists(spark, marker):
+        if not io.fs_exists(spark, io.fs_join(store, "_SUCCESS")):
+            save_graph_edges(graph_edges(spark, sf_dir), store)
+        doomed_edge = (F.col("vec_a") % GRAPH_REBUILD_MOD == GRAPH_REBUILD_REM) | (
+            F.col("vec_b") % GRAPH_REBUILD_MOD == GRAPH_REBUILD_REM
+        )
+        _purge_edges(spark, store, doomed_edge)
+        save_graph_edges(build_graph_edges(surv, graph_model_for(sf_dir)), store)
+        io.fs_touch(spark, marker)
+    return _pruned_store_search(spark, store, surv, model)
 
 
 def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

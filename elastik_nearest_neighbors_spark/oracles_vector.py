@@ -956,11 +956,13 @@ def _graph_cent_cte(sf_dir: str) -> str:
     return f"gcent AS ({rows})"
 
 
-def _graph_edges_cte(sf_dir: str) -> str:
+def _graph_edges_cte(sf_dir: str, src: str = "embeddings") -> str:
     """mem (GRAPH_PROBES nearest-list memberships per vector) + edges (top
     GRAPH_DEGREE neighbors within the union of co-memberships) — the exact
     mirror of operators/graph.build_graph_edges. Callers prepend
-    _graph_cent_cte."""
+    _graph_cent_cte. `src` swaps the corpus the graph is CONSTRUCTED over
+    (the rebuild oracle builds on the surviving vectors — fresh
+    construction, original build quantizer)."""
     from .constants import GRAPH_DEGREE, GRAPH_PROBES
 
     return f"""
@@ -968,7 +970,7 @@ mem AS (
   SELECT vec_id, list_id FROM (
     SELECT e.vec_id, c.list_id,
            round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS cd
-    FROM embeddings e CROSS JOIN gcent c
+    FROM {src} e CROSS JOIN gcent c
   ) QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cd, list_id) <= {GRAPH_PROBES}
 ),
 edges AS (
@@ -977,8 +979,8 @@ edges AS (
            round(list_distance(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS distance
     FROM (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
           FROM mem a JOIN mem b ON a.list_id = b.list_id AND a.vec_id <> b.vec_id) p
-    JOIN embeddings ea ON ea.vec_id = p.vec_a
-    JOIN embeddings eb ON eb.vec_id = p.vec_b
+    JOIN {src} ea ON ea.vec_id = p.vec_a
+    JOIN {src} eb ON eb.vec_id = p.vec_b
   ) QUALIFY row_number() OVER (PARTITION BY vec_a ORDER BY distance, vec_b) <= {GRAPH_DEGREE}
 )"""
 
@@ -1019,13 +1021,17 @@ SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY vec_id
 """
 
 
-def _graph_ann_cte(sf_dir: str, src: str = "embeddings", edge_pred: str = "") -> str:
+def _graph_ann_cte(
+    sf_dir: str, src: str = "embeddings", edge_pred: str = "", edges_src: str = "embeddings"
+) -> str:
     """seeds (nprobe=1 list members, top GRAPH_SEED_K) → 1-hop expansion →
     exact rerank: ann AS (query_id, neighbor_id, distance) — the mirror of
     operators/graph.ann_search_graph. `src` swaps the corpus table (the
     delete oracle passes a filtered `memb`); `edge_pred`, when set,
     inserts a live_edges CTE filtering the ORIGINAL full-corpus graph —
-    the edge-patch (mark-delete) contract, NOT a graph rebuild."""
+    the edge-patch (mark-delete) contract, NOT a graph rebuild; the
+    rebuild oracle instead sets `edges_src` so the graph is CONSTRUCTED
+    fresh on the surviving corpus."""
     from .constants import ANN_K2, GRAPH_SEED_K, N_QUERIES
 
     etab = "edges"
@@ -1034,7 +1040,7 @@ def _graph_ann_cte(sf_dir: str, src: str = "embeddings", edge_pred: str = "") ->
         etab = "live_edges"
         live = f"live_edges AS (SELECT * FROM edges WHERE {edge_pred}),\n"
     return f"""
-{_graph_edges_cte(sf_dir)},
+{_graph_edges_cte(sf_dir, src=edges_src)},
 {live}assign AS (
   SELECT vec_id, list_id FROM (
     SELECT e.vec_id, c.list_id,
@@ -1111,6 +1117,30 @@ WITH {_ivf_cent_cte(sf_dir)},
 {_graph_cent_cte(sf_dir)},
 {memb},
 {_graph_ann_cte(sf_dir, src="memb", edge_pred=pred)}
+SELECT query_id, neighbor_id, distance FROM ann
+"""
+
+
+def graph_rebuild(sf_dir: str) -> str:
+    """Periodic offline REBUILD reference (operators/graph.graph_rebuild):
+    after deletes accumulate to GRAPH_REBUILD_MOD's 25% fraction, the
+    recovery is fresh graph CONSTRUCTION on the surviving corpus with the
+    ORIGINAL build quantizer (no refit — the #151-#155 maintenance
+    convention), so the oracle swaps the edges CTE's corpus to the
+    survivors (edges_src) instead of filtering the stale full-corpus graph
+    (graph_delete's edge_pred). Seeds/rerank/queries likewise over the
+    survivors with the original serving quantizer."""
+    from .constants import GRAPH_REBUILD_MOD, GRAPH_REBUILD_REM
+
+    memb = (
+        f"memb AS (SELECT vec_id, embedding FROM embeddings "
+        f"WHERE vec_id % {GRAPH_REBUILD_MOD} <> {GRAPH_REBUILD_REM})"
+    )
+    return f"""
+WITH {_ivf_cent_cte(sf_dir)},
+{_graph_cent_cte(sf_dir)},
+{memb},
+{_graph_ann_cte(sf_dir, src="memb", edges_src="memb")}
 SELECT query_id, neighbor_id, distance FROM ann
 """
 

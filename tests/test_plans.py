@@ -102,7 +102,7 @@ def test_maintenance_search_paths_partition_prune(spark):
     from elastik_nearest_neighbors_spark.operators import graph
     from elastik_nearest_neighbors_spark.operators import pq as pq_ops
 
-    for fn in (pq_ops.ivfpq_delete, pq_ops.ivfpq_upsert, graph.graph_delete):
+    for fn in (pq_ops.ivfpq_delete, pq_ops.ivfpq_upsert, graph.graph_delete, graph.graph_rebuild):
         df = fn(spark, SF_SMALL)
         assert plans.partition_filters(df), (fn.__name__, plans.formatted_plan(df))
 
