@@ -65,6 +65,7 @@ HEADLINE = [
     "ann_recall_ivfpq_refined",
     "ann_search_ivfpq_store",
     "bm25_doc_search",
+    "bm25_doc_search_char",
     "hybrid_search_rrf",
     "phrase_match",
     "range_search",

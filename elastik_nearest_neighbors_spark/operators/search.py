@@ -42,6 +42,7 @@ def bm25_scores(
     k: int = ANN_K2,
     n_queries: int = N_QUERIES,
     max_literal_q: int | None = None,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """Top-k BM25 over `docs` for more-like-this queries (query docs =
     doc_id < `n_queries`, query terms = their distinct tokens, self-match
@@ -78,12 +79,19 @@ def bm25_scores(
     Output: (query_id, doc_id, score) top-k per query, rank order
     (score DESC, doc_id)."""
     from ..constants import BM25_LITERAL_MAX_Q
+    from ..functions.text import tokens
     from .knn import _partial_topk
 
     if max_literal_q is None:
         max_literal_q = BM25_LITERAL_MAX_Q
 
-    toks = F.split(F.col("text"), " ")
+    # r11: tokenization goes through the r7 tokenizer seam — the retrieval
+    # family previously hard-coded the whitespace split, so a CJK-style
+    # corpus could be minhash-deduped but not BM25-searched consistently.
+    # The default (None → ENN_TOKENIZER → "whitespace") emits the exact
+    # F.split(text, " ") expression tree as before: unchanged plan,
+    # unchanged oracle.
+    toks = tokens(F.col("text"), tokenizer)
     # two driver-side scalars (one tiny agg job): corpus size + avg doc len
     # — the alternative crossJoin would shuffle every doc row for no gain
     n_docs, total_tokens = docs.agg(
@@ -233,11 +241,30 @@ def bm25_doc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(_docs(spark, sf_dir))
 
 
+def bm25_doc_search_char(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §2 #159: BM25 over CHARACTER tokens — the tokenizer seam's
+    non-default path through the RETRIEVAL family (the #146
+    minhash_signatures_char pattern: how keyword search runs on a
+    CJK-style corpus with no word delimiters). Implementation IS
+    bm25_scores with the built-in char tokenizer selected explicitly (a
+    parameter, not process-global env mutation): every non-space character
+    is a token, so tf/df/dl/avgdl and the Lucene idf all operate on chars;
+    the scoring pipeline — run-length tf pass, literal query maps,
+    integer-micros sum, pre-top-k — is identical and stays codegen (the
+    char tokenizer is a higher-order filter, not a UDF). The DuckDB oracle
+    mirrors the char split independently (oracles_text
+    .bm25_doc_search_char).
+
+    Output: (query_id, doc_id, score) — same shape as the word twin."""
+    return bm25_scores(_docs(spark, sf_dir), tokenizer="char")
+
+
 def phrase_match_impl(
     spark: SparkSession,
     sf_dir: str,
     n_queries: int = N_QUERIES,
     max_literal_q: int | None = None,
+    tokenizer: str | None = None,
 ) -> DataFrame:
     """ES `match_phrase` parity: exact token-SEQUENCE containment, not
     bag-of-words. Probes are the first PHRASE_LEN tokens of each query doc
@@ -258,17 +285,29 @@ def phrase_match_impl(
 
     Output: (query_id, doc_id) matches, self excluded."""
     from ..constants import PHRASE_LEN, PHRASE_LITERAL_MAX_Q
+    from ..functions.text import active_tokenizer, tokens
 
     if max_literal_q is None:
         max_literal_q = PHRASE_LITERAL_MAX_Q
     docs = _docs(spark, sf_dir)
+    # r11 tokenizer seam: for the whitespace default the raw text IS the
+    # space-joined token sequence (the corpus contract), so the containment
+    # column stays F.col("text") and the plan is unchanged. Any other
+    # tokenizer re-joins its tokens with single spaces first — the padded
+    # substring test then expresses token-SEQUENCE containment for that
+    # tokenizer (e.g. char: contiguous character run), same as Lucene's
+    # positional predicate over those tokens.
+    name = tokenizer if tokenizer is not None else active_tokenizer()
+    if name == "whitespace":
+        toks, seq = F.split(F.col("text"), " "), F.col("text")
+    else:
+        toks = tokens(F.col("text"), name)
+        seq = F.concat_ws(" ", toks)
     probes = (
         docs.where(F.col("doc_id") < n_queries)
         .select(
             "doc_id",
-            F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, PHRASE_LEN)).alias(
-                "phrase"
-            ),
+            F.concat_ws(" ", F.slice(toks, 1, PHRASE_LEN)).alias("phrase"),
         )
         .collect()
     )
@@ -276,7 +315,7 @@ def phrase_match_impl(
         match_any = [
             F.when(
                 F.contains(
-                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                    F.concat(F.lit(" "), seq, F.lit(" ")),
                     F.lit(f" {r.phrase} "),
                 ),
                 F.lit(r.doc_id).cast("bigint"),
@@ -294,7 +333,7 @@ def phrase_match_impl(
         "query_id long, phrase string",
     )
     padded = docs.select(
-        "doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("padded")
+        "doc_id", F.concat(F.lit(" "), seq, F.lit(" ")).alias("padded")
     )
     return (
         padded.join(

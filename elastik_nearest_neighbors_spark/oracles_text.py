@@ -884,17 +884,19 @@ FROM documents GROUP BY 1, 2
 """
 
 
-def bm25_core() -> str:
+def bm25_core(tok_expr: str = "string_split(text, ' ')") -> str:
     """CTE chain ending in `bm(query_id, doc_id, score)` — the top-k BM25
     rank list (operators/search.bm25_scores mirror). Shared by the search
     entry and the hybrid-RRF fusion oracle. Float discipline: idf and
     per-term scores round to 6 before the decimal sum; avgdl is the IEEE
     double division of two exact integers; expression association matches
-    the Spark side term-for-term."""
+    the Spark side term-for-term. `tok_expr` swaps the tokenizer (the char
+    twin passes the non-space character split, mirroring
+    functions/text._TOKENIZERS['char'])."""
     from .constants import ANN_K2, BM25_B, BM25_K1, N_QUERIES
 
     return f"""post AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  SELECT doc_id, unnest({tok_expr}) AS token FROM documents
 ), tfs AS (
   SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM post GROUP BY 1, 2
 ), dl AS (
@@ -932,6 +934,16 @@ def bm25_core() -> str:
 def bm25_doc_search(sf_dir: str) -> str:
     return f"""
 WITH {bm25_core()}
+SELECT query_id, doc_id, score FROM bm
+"""
+
+
+def bm25_doc_search_char(sf_dir: str) -> str:
+    """Char-tokenizer twin (operators/search.bm25_doc_search_char): every
+    non-space character is a token — same split DuckDB expression the
+    minhash char twin uses (SHINGLES_CHAR_CTE), same BM25 chain."""
+    return f"""
+WITH {bm25_core("list_filter(string_split(text, ''), x -> x != ' ')")}
 SELECT query_id, doc_id, score FROM bm
 """
 

@@ -29,102 +29,48 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # and rotates back into the window in later rounds. Goal invariant: every
 # entry's LATEST driver row is ≤1 round old.
 _QUERIES: dict[str, QueryFn] = {
-    # ---- r10 GATE WINDOW: exactly 50 entries above the boundary comment,
+    # ---- r11 GATE WINDOW: exactly 50 entries above the boundary comment,
     # pinned by tests/test_gate_window.py (EXPECTED_GATE_WINDOW).
-    # (1) NEW in r10 (#153): IVFPQ codes-store DELETE-in-place — extends
-    # the #151/#152 purge pattern to the compressed serving layout
-    # (pruned list-dir rewrite, no refit, full-rebuild oracle):
-    "ivfpq_delete": pq.ivfpq_delete,
-    # (1b) NEW in r10 (#154): graph-store DELETE — edge-patch with
-    # explicit MARK-DELETE semantics (HNSW/FAISS invariant: no
-    # replacement-edge discovery without rebuild); oracle = search over
-    # the original graph minus doomed edges on the surviving corpus:
-    "graph_delete": graph.graph_delete,
-    # (1c) NEW in r10 (#155): IVFPQ codes-store UPSERT — completes full
-    # CRUD on the compressed serving layout (new codes + new assignment
-    # from the ORIGINAL quantizers, ≤2·D list dirs rewritten,
-    # full-rebuild oracle, updated queries search with new coordinates):
-    "ivfpq_upsert": pq.ivfpq_upsert,
-    # (1d) NEW in r10 (#156): the reference's actual WIRE protocol — the
-    # three EsAknn endpoints served over a localhost socket (stdlib
-    # http.server), model catalog + parquet-backed index store behind
-    # them; the JSON round-trip gates bit-identical to ann_search_lsh:
-    "aknn_http_search": server.aknn_http_search,
-    # (1e) NEW in r11 (#157): the same wire protocol served from the
+    # (1) NEW in r11 (#157): the EsAknn wire protocol served from the
     # partition-pruned store layout (docs/ by id_bucket, terms/ by
     # (tbl, bucket)) — the r10 verdict's "What's missing" #3; gates
     # bit-identical to the flat-mode twin via the shared oracle:
     "aknn_http_search_store": server.aknn_http_search_store,
-    # (1f) NEW in r11 (#158): periodic offline graph REBUILD — the
+    # (1b) NEW in r11 (#158): periodic offline graph REBUILD — the
     # measured recovery for accumulated mark-deletes (r10 verdict item 4);
     # oracle = fresh construction on the surviving corpus:
     "graph_rebuild": graph.graph_rebuild,
-    # (2) r10-changed code — every streaming entry drains through the
-    # new _drain() (fail-loudly-on-timeout, r9 ADVICE), so the whole
-    # streaming family re-gates:
-    "streaming_sessionize_check": ingest.streaming_sessionize_check,
-    "streaming_sessionize_append": ingest.streaming_sessionize_append,
-    "streaming_sessionize": ingest.streaming_sessionize,
-    "streaming_sliding_window": ingest.streaming_sliding_window,
-    "streaming_dedup_state": ingest.streaming_dedup_state,
-    "streaming_events_hourly": ingest.streaming_events_hourly,
-    "streaming_index": ingest.streaming_index,
-    "streaming_index_store": ingest.streaming_index_store,
-    "streaming_index_compact": ingest.streaming_index_compact,
-    "streaming_ann_search": ingest.streaming_ann_search,
-    "streaming_graph_search": ingest.streaming_graph_search,
-    # (3) the 13 remaining r6-era greens — the stalest driver rows at
-    # r10 start (the other two r6-era keys are the streaming pair above;
-    # after this window no key's latest green is older than r7):
-    "ann_recall_matryoshka": knn.ann_recall_matryoshka,
-    "bitsign_codes": pq.bitsign_codes,
-    "ann_search_bitsign": pq.ann_search_bitsign,
-    "ann_recall_bitsign": pq.ann_recall_bitsign,
-    "dup_spans": dedup.dup_spans,
-    "dup_span_scrub": dedup.dup_span_scrub,
-    "knn_classify": knn.knn_classify,
-    "doc_logprob": textops.doc_logprob,
-    "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
-    "events_rolling_7d": analytics.events_rolling_7d,
-    "knn_join": knn.knn_join,
-    "source_mix": textops.source_mix,
-    "semantic_doc_search": knn.semantic_doc_search,
-    # (4) oldest r7-era greens that fit (22 of 41; store/maintenance and
-    # core-LSH first — the pq.py/graph.py store paths sit in this round's
-    # changed modules):
-    "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
+    # (1c) NEW in r11 (#159): BM25 over character tokens — the tokenizer
+    # seam's non-default path through the retrieval family (the #146
+    # minhash pattern; r10 verdict item 7):
+    "bm25_doc_search_char": search.bm25_doc_search_char,
+    # (2) r11-changed code re-gates: server.py gained the store-backed
+    # mode + id-type pinning (flat twin re-gates alongside),
+    # operators/search.py threads the tokenizer seam through the whole
+    # retrieval family, operators/graph.py refactored the store/delete
+    # paths onto shared _purge_edges/_pruned_store_search helpers:
+    "aknn_http_search": server.aknn_http_search,
+    "bm25_doc_search": search.bm25_doc_search,
+    "hybrid_search_rrf": search.hybrid_search_rrf,
+    "phrase_match": search.phrase_match,
+    "graph_delete": graph.graph_delete,
     "ann_search_graph_store": graph.ann_search_graph_store,
-    "ivf_upsert": ivf.ivf_upsert,
-    "index_upsert": knn.index_upsert,
-    "ann_search_lsh_store": knn.ann_search_lsh_store,
-    "ann_search_ivf_store": ivf.ann_search_ivf_store,
-    "lsh_index": knn.lsh_index,
-    "ann_search_lsh": knn.ann_search_lsh_q,
-    "knn_exact_euclidean": knn.knn_exact_euclidean_q,
-    "knn_exact_cosine": knn.knn_exact_cosine_q,
-    "dup_clusters": dedup.dup_clusters,
-    "aknn_search_api": api.aknn_search_api,
-    "ann_recall_sweep": knn.ann_recall_sweep,
-    "bucketed_join_revenue": analytics.bucketed_join_revenue,
-    "events_anomaly": analytics.events_anomaly,
-    "events_daily_pivot": analytics.events_daily_pivot,
-    "events_funnel": analytics.events_funnel,
-    "events_percentiles": analytics.events_percentiles,
-    "events_props_extract": analytics.events_props_extract,
-    "events_retention": analytics.events_retention,
-    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
-    # entries (measured r3-r9: each CORRECTNESS json holds 50 keys). Keep
-    # new/changed keys ABOVE this line and push an equal number below;
-    # tests/test_gate_window.py enforces the placement.
-    # -- r11 rotation queue, in priority order --
-    # (a) keys whose code changes in r10 after this rotation was written
-    # (b) the 14 r7-era greens below (next stalest at r11 start)
-    # (c) then r8-era, then r9-era (freshest last)
-    # -- r10-era greens (demoted to make room for r11-new keys) --
-    "events_user_ltv": analytics.events_user_ltv,
-    "events_sliding_window": analytics.events_sliding_window,
-    # -- r7-era greens (next in line) --
+    # (3) ADVICE r10 (low): dedup_embedding_cosine and the _recall_of
+    # consumers shipped r10-changed code below the gate (localCheckpoint
+    # added; intersect → broadcast join) — re-gate the family:
+    "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
+    "ann_recall": knn.ann_recall_q,
+    "ann_recall_ivf": ivf.ann_recall_ivf_q,
+    "ann_recall_pq": pq.ann_recall_pq,
+    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
+    "ann_recall_graph": graph.ann_recall_graph_q,
+    "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
+    # (4) the 14 r7-era greens — the stalest driver rows at r11 start
+    # (r10 verdict item 1); after this window no key's latest green is
+    # older than r8:
     "q7_volume_shipping": analytics.q7_volume_shipping,
+    "q8_market_share": analytics.q8_market_share,
+    "q9_product_profit": analytics.q9_product_profit,
     "q10_returned_revenue": analytics.q10_returned_revenue,
     "q12_priority_lateness": analytics.q12_priority_lateness,
     "q13_customer_distribution": analytics.q13_customer_distribution,
@@ -133,12 +79,10 @@ _QUERIES: dict[str, QueryFn] = {
     "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
     "q18_large_orders": analytics.q18_large_orders,
     "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
-    "sales_rollup": analytics.sales_rollup,
-    "q8_market_share": analytics.q8_market_share,
-    "q9_product_profit": analytics.q9_product_profit,
-    "q22_dormant_customers": analytics.q22_dormant_customers,
     "q21_waiting_supplier": analytics.q21_waiting_supplier,
-    # -- r8-era greens --
+    "q22_dormant_customers": analytics.q22_dormant_customers,
+    "sales_rollup": analytics.sales_rollup,
+    # (5) the oldest r8-era greens that fit (20 of 44):
     "ann_recall_families": knn.ann_recall_families,
     "dedup_report": dedup.dedup_report,
     "token_count": textops.token_count,
@@ -159,7 +103,15 @@ _QUERIES: dict[str, QueryFn] = {
     "events_approx_distinct": analytics.events_approx_distinct,
     "events_approx_distinct_check": analytics.events_approx_distinct_check,
     "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
-    "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
+    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
+    # entries (measured r3-r10: each CORRECTNESS json holds 50 keys). Keep
+    # new/changed keys ABOVE this line and push an equal number below;
+    # tests/test_gate_window.py enforces the placement.
+    # -- r12 rotation queue, in priority order --
+    # (a) keys whose code changes in r11 after this rotation was written
+    # (b) the 19 r8-era greens below (next stalest at r12 start)
+    # (c) then r9-era, then r10/r11-era (freshest last)
+    # -- r8-era greens (next in line) --
     "events_asof_join": analytics.events_asof_join,
     "events_topk_users": analytics.events_topk_users,
     "events_hourly": analytics.events_hourly,
@@ -170,9 +122,6 @@ _QUERIES: dict[str, QueryFn] = {
     "q14_promo_revenue": analytics.q14_promo_revenue,
     "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
     "q6_revenue_delta": analytics.q6_revenue_delta,
-    "bm25_doc_search": search.bm25_doc_search,
-    "hybrid_search_rrf": search.hybrid_search_rrf,
-    "phrase_match": search.phrase_match,
     "quality_score": textops.quality_score,
     "corpus_clean": textops.corpus_clean,
     "corpus_curate_full": textops.corpus_curate_full,
@@ -182,17 +131,14 @@ _QUERIES: dict[str, QueryFn] = {
     "lang_confusion": textops.lang_confusion,
     "aknn_model_registry": api.aknn_model_registry,
     "label_centroids": knn.label_centroids_q,
-    "ann_recall": knn.ann_recall_q,
-    # -- r9-era greens (freshest, rotate last) --
+    # -- r9-era greens --
     "ivf_delete": ivf.ivf_delete,
     "index_delete": knn.index_delete,
     "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
     "ivf_index": ivf.ivf_index,
     "ann_search_ivf": ivf.ann_search_ivf_q,
-    "ann_recall_ivf": ivf.ann_recall_ivf_q,
     "dedup_semantic": ivf.dedup_semantic,
     "similarity_join_lsh": knn.similarity_join_lsh_q,
-    "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
     "vector_stats": knn.vector_stats_q,
     "range_search": knn.range_search_q,
     "dedup_exact": dedup.dedup_exact,
@@ -212,26 +158,71 @@ _QUERIES: dict[str, QueryFn] = {
     "source_stats": analytics.source_stats,
     "knn_graph_multiprobe": graph.knn_graph_multiprobe,
     "ann_search_graph": graph.ann_search_graph_q,
-    "ann_recall_graph": graph.ann_recall_graph_q,
     "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
     "embedding_clusters": graph.embedding_clusters,
     "ann_search_graph_beam": graph.ann_search_graph_beam_q,
     "ann_recall_graph_beam": graph.ann_recall_graph_beam_q,
     "ann_search_ivfpq": pq.ann_search_ivfpq,
     "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
-    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
     "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
     "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
     "knn_graph": ivf.knn_graph,
     "pq_codes": pq.pq_codes,
     "ann_search_pq": pq.ann_search_pq,
-    "ann_recall_pq": pq.ann_recall_pq,
     "sq8_quantize": pq.sq8_quantize,
     "ann_search_sq8": pq.ann_search_sq8,
     "ann_recall_sq8": pq.ann_recall_sq8,
     "boilerplate_scrub": textops.boilerplate_scrub,
     "index_stats": ivf.index_stats,
     "ann_search_matryoshka": knn.ann_search_matryoshka,
+    # -- r10/r11-era greens (freshest, rotate last) --
+    "ivfpq_delete": pq.ivfpq_delete,
+    "ivfpq_upsert": pq.ivfpq_upsert,
+    "streaming_sessionize_check": ingest.streaming_sessionize_check,
+    "streaming_sessionize_append": ingest.streaming_sessionize_append,
+    "streaming_sessionize": ingest.streaming_sessionize,
+    "streaming_sliding_window": ingest.streaming_sliding_window,
+    "streaming_dedup_state": ingest.streaming_dedup_state,
+    "streaming_events_hourly": ingest.streaming_events_hourly,
+    "streaming_index": ingest.streaming_index,
+    "streaming_index_store": ingest.streaming_index_store,
+    "streaming_index_compact": ingest.streaming_index_compact,
+    "streaming_ann_search": ingest.streaming_ann_search,
+    "streaming_graph_search": ingest.streaming_graph_search,
+    "ann_recall_matryoshka": knn.ann_recall_matryoshka,
+    "bitsign_codes": pq.bitsign_codes,
+    "ann_search_bitsign": pq.ann_search_bitsign,
+    "ann_recall_bitsign": pq.ann_recall_bitsign,
+    "dup_spans": dedup.dup_spans,
+    "dup_span_scrub": dedup.dup_span_scrub,
+    "knn_classify": knn.knn_classify,
+    "doc_logprob": textops.doc_logprob,
+    "ann_search_lsh_filtered": knn.ann_search_lsh_filtered,
+    "events_rolling_7d": analytics.events_rolling_7d,
+    "knn_join": knn.knn_join,
+    "source_mix": textops.source_mix,
+    "semantic_doc_search": knn.semantic_doc_search,
+    "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
+    "ivf_upsert": ivf.ivf_upsert,
+    "index_upsert": knn.index_upsert,
+    "ann_search_lsh_store": knn.ann_search_lsh_store,
+    "ann_search_ivf_store": ivf.ann_search_ivf_store,
+    "lsh_index": knn.lsh_index,
+    "ann_search_lsh": knn.ann_search_lsh_q,
+    "knn_exact_euclidean": knn.knn_exact_euclidean_q,
+    "knn_exact_cosine": knn.knn_exact_cosine_q,
+    "dup_clusters": dedup.dup_clusters,
+    "aknn_search_api": api.aknn_search_api,
+    "ann_recall_sweep": knn.ann_recall_sweep,
+    "bucketed_join_revenue": analytics.bucketed_join_revenue,
+    "events_anomaly": analytics.events_anomaly,
+    "events_daily_pivot": analytics.events_daily_pivot,
+    "events_funnel": analytics.events_funnel,
+    "events_percentiles": analytics.events_percentiles,
+    "events_props_extract": analytics.events_props_extract,
+    "events_retention": analytics.events_retention,
+    "events_user_ltv": analytics.events_user_ltv,
+    "events_sliding_window": analytics.events_sliding_window,
 }
 
 
@@ -246,6 +237,7 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "ann_search_ivfpq_refined": oracles_vector.ann_search_ivfpq_refined,
     "ann_recall_ivfpq_refined": oracles_vector.ann_recall_ivfpq_refined,
     "bm25_doc_search": oracles_text.bm25_doc_search,
+    "bm25_doc_search_char": oracles_text.bm25_doc_search_char,
     "hybrid_search_rrf": oracles_vector.hybrid_search_rrf,
     "phrase_match": oracles_text.phrase_match,
     "ann_search_lsh_multiprobe": oracles_vector.ann_search_lsh_multiprobe,

@@ -17,63 +17,64 @@ from elastik_nearest_neighbors_spark import registry
 
 GATE_WINDOW_SIZE = 50
 
-# The r10 window, in driver gate order: (1) the four NEW keys: three maintenance
-# ops (#153 ivfpq_delete, #154 graph_delete, #155 ivfpq_upsert — full
-# CRUD across all four store layouts) plus the #156 HTTP wire surface, (2) the 11 streaming entries
-# (r10-changed: every drain now fails loudly on timeout via _drain, r9
-# ADVICE), (3) the 13 remaining r6-era stale greens (r9 verdict's #1
-# ask), (4) the oldest 22 r7-era greens, store/maintenance keys first.
+# The r11 window, in driver gate order: (1) the three NEW keys (#157
+# aknn_http_search_store, #158 graph_rebuild, #159 bm25_doc_search_char),
+# (2) six r11-changed keys (server store mode + id pinning, the tokenizer
+# seam through the retrieval family, the graph store/delete refactor),
+# (3) the ADVICE-r10 re-gate of dedup_embedding_cosine + the _recall_of
+# consumers, (4) the 14 r7-era stale greens (r10 verdict item 1), (5) the
+# oldest 20 r8-era greens.
 EXPECTED_GATE_WINDOW = [
-    "ivfpq_delete",
-    "graph_delete",
-    "ivfpq_upsert",
-    "aknn_http_search",
     "aknn_http_search_store",
     "graph_rebuild",
-    "streaming_sessionize_check",
-    "streaming_sessionize_append",
-    "streaming_sessionize",
-    "streaming_sliding_window",
-    "streaming_dedup_state",
-    "streaming_events_hourly",
-    "streaming_index",
-    "streaming_index_store",
-    "streaming_index_compact",
-    "streaming_ann_search",
-    "streaming_graph_search",
-    "ann_recall_matryoshka",
-    "bitsign_codes",
-    "ann_search_bitsign",
-    "ann_recall_bitsign",
-    "dup_spans",
-    "dup_span_scrub",
-    "knn_classify",
-    "doc_logprob",
-    "ann_search_lsh_filtered",
-    "events_rolling_7d",
-    "knn_join",
-    "source_mix",
-    "semantic_doc_search",
-    "ann_search_ivfpq_store",
+    "bm25_doc_search_char",
+    "aknn_http_search",
+    "bm25_doc_search",
+    "hybrid_search_rrf",
+    "phrase_match",
+    "graph_delete",
     "ann_search_graph_store",
-    "ivf_upsert",
-    "index_upsert",
-    "ann_search_lsh_store",
-    "ann_search_ivf_store",
-    "lsh_index",
-    "ann_search_lsh",
-    "knn_exact_euclidean",
-    "knn_exact_cosine",
-    "dup_clusters",
-    "aknn_search_api",
-    "ann_recall_sweep",
-    "bucketed_join_revenue",
-    "events_anomaly",
-    "events_daily_pivot",
-    "events_funnel",
-    "events_percentiles",
-    "events_props_extract",
-    "events_retention",
+    "dedup_embedding_cosine",
+    "ann_recall",
+    "ann_recall_ivf",
+    "ann_recall_pq",
+    "ann_recall_ivfpq",
+    "ann_recall_graph",
+    "ann_recall_lsh_multiprobe",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q12_priority_lateness",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "sales_rollup",
+    "ann_recall_families",
+    "dedup_report",
+    "token_count",
+    "minhash_signatures",
+    "minhash_signatures_char",
+    "dedup_minhash_lsh",
+    "minhash_est_jaccard",
+    "dedup_incremental",
+    "ngram_jaccard_join",
+    "containment_join",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "knn_exact_mips",
+    "events_dau_wau",
+    "multimodal_audio_stats",
+    "multimodal_featurize",
+    "multimodal_framesample",
+    "events_approx_distinct",
+    "events_approx_distinct_check",
+    "ann_search_lsh_multiprobe",
 ]
 
 
@@ -92,7 +93,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 158 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 159 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 158
-    assert len(set(ks)) == 158
+    assert len(ks) == 159
+    assert len(set(ks)) == 159

@@ -1950,3 +1950,30 @@ def test_graph_rebuild_restores_recall(spark):
     r_mark = mean_recall(g._expand_and_rerank(surv, queries, seeds, mark_edges))
     r_rebuild = mean_recall(g.graph_rebuild(spark, sf))
     assert r_rebuild > r_mark + 0.02, (r_mark, r_rebuild)
+
+
+def test_phrase_match_char_tokenizer(spark):
+    """r11 (#159 family): phrase_match through the tokenizer seam — with
+    char tokens, token-sequence containment is exactly 'the query doc's
+    first PHRASE_LEN non-space chars appear contiguously in the doc's
+    non-space char sequence'; checked against an independent pandas
+    reference over the whole sf0.001 corpus."""
+    from elastik_nearest_neighbors_spark.constants import N_QUERIES, PHRASE_LEN
+    from elastik_nearest_neighbors_spark.operators.search import phrase_match_impl
+
+    got = {
+        (r.query_id, r.doc_id)
+        for r in phrase_match_impl(spark, SF_SMALL, tokenizer="char").collect()
+    }
+    texts = {
+        r.doc_id: r.text.replace(" ", "")
+        for r in io.table(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    }
+    expect = {
+        (q, d)
+        for q in texts
+        if q < N_QUERIES
+        for d in texts
+        if d != q and texts[q][:PHRASE_LEN] in texts[d]
+    }
+    assert got == expect and len(expect) > 0
