@@ -127,23 +127,32 @@ def bm25_scores(
 
     # per-doc (token, tf) entries in ONE sorted run-length pass: run starts
     # are the positions where the sorted array changes value, tf = gap to
-    # the next start. O(len·log len) and single-traversal vs the previous
-    # O(distinct·len) filter-per-distinct-token; downstream consumers
-    # (commutative micros sum, exists) don't depend on entry order, so
-    # sorted order ≡ first-occurrence order
+    # the next start. r11: built by zipping the sorted array against its
+    # 1-shifted self (arrays_zip — one linear traversal), carrying the run
+    # token INSIDE the zipped struct. The previous form probed
+    # element_at(stoks, i) for every i in sequence(1, n) — element_at with
+    # a non-foldable index is an O(len) walk (the word_shingles lesson), so
+    # the pass was O(len²) per doc: invisible at ~40 word tokens, 12.4 s
+    # of the char twin's corpus pass at ~250 char tokens (20× the zip
+    # form). Downstream consumers (commutative micros sum, exists) don't
+    # depend on entry order, so sorted order ≡ first-occurrence order.
     stoks = F.array_sort(toks)
     n_tok = F.size(stoks)
-    starts = F.filter(
-        F.sequence(F.lit(1), n_tok),
-        lambda i: (i == F.lit(1))
-        | (F.element_at(stoks, i) != F.element_at(stoks, i - 1)),
+    shifted = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(stoks, 1, F.greatest(n_tok - 1, F.lit(0))),
     )
+    zipped = F.arrays_zip(
+        stoks.alias("t"), shifted.alias("p"), F.sequence(F.lit(1), n_tok).alias("i")
+    )
+    runs = F.filter(zipped, lambda e: e["p"].isNull() | (e["t"] != e["p"]))
+    starts = F.transform(runs, lambda e: e["i"])
     nexts = F.concat(F.slice(starts, 2, F.size(starts) - 1), F.array(n_tok + 1))
     entries = F.zip_with(
-        starts,
+        runs,
         nexts,
-        lambda s, nx: F.struct(
-            F.element_at(stoks, s).alias("token"), (nx - s).cast("int").alias("tf")
+        lambda r, nx: F.struct(
+            r["t"].alias("token"), (nx - r["i"]).cast("int").alias("tf")
         ),
     )
     kt = F.lit(BM25_K1) * (
