@@ -94,6 +94,7 @@ HEADLINE = [
     "aknn_model_registry",
     "aknn_http_search",
     "aknn_http_search_store",
+    "aknn_http_upsert",
     "sq8_quantize",
     "ann_search_sq8",
     "ann_recall_sq8",
@@ -343,20 +344,26 @@ def main() -> None:
         smap = short_keymap(bench_key_universe(keys))
 
         def _compact(v: float):
-            # encode every timing in ≤4 chars so the worst-case line width
-            # is provable (tests/test_bench_keys.py models 4 chars/value):
-            # sub-second values round to 2 decimals with a 0.01 floor
-            # ("0.218"→"0.22" — the lost ±5 ms is far below the ~10% host
-            # noise band), values ≥1 keep 3 significant digits, integral
-            # values emit as ints ("999" not "999.0"). ADVICE r10: the old
-            # 3-sig-digit cut made 85/145 r10 values 5 chars wide while the
-            # size test modelled 4, so a real run could silently overflow
-            # into the queries_omitted fallback.
+            # encode every timing in ≤4 chars for the realistic range
+            # (v < 9999.5 s — a single key above that means the bench is
+            # broken and the drop-fastest fallback below absorbs it), so
+            # the worst-case line width is provable (tests/test_bench_keys
+            # models 4 chars/value): sub-second values round to 2 decimals
+            # with a 0.01 floor ("0.218"→"0.22" — the lost ±5 ms is far
+            # below the ~10% host noise band), [1, 1000) keeps 3
+            # significant digits, ≥1000 rounds to whole seconds ("1235",
+            # not the old .3g "1.24e+03"→"1240" which was both wider-prone
+            # and less precise). ADVICE r10: the old 3-sig-digit cut made
+            # 85/145 r10 values 5 chars wide while the size test modelled
+            # 4, so a real run could silently overflow into the
+            # queries_omitted fallback.
             if v < 1:
                 g = max(round(v, 2), 0.01)
-            else:
+            elif v < 1000:
                 g = float(f"{v:.3g}")
-            return int(g) if g.is_integer() else g
+            else:
+                g = round(v)
+            return int(g) if isinstance(g, float) and g.is_integer() else g
 
         out = dict(
             full,

@@ -651,14 +651,15 @@ def graph_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/13 and 1/6 fractions show no gap, so 25% is just inside the
     degradation regime):
 
-    1. the aging store: full-corpus graph persisted, then the accumulated
-       deletes applied EXACTLY as graph_delete applies them (_purge_edges
-       — pruned dynamic overwrite, emptied dirs removed);
+    1. the aging store: the full-corpus graph persisted (the state a
+       rebuild arrives at — graph_delete's mark-delete patches between
+       rebuilds are ITS gated entry; re-applying one here would be dead
+       work, since step 2 replaces the store wholesale regardless of how
+       many patches preceded it);
     2. the rebuild: fresh edge CONSTRUCTION over the surviving corpus with
        the ORIGINAL build quantizer (no refit — the #151-#155 maintenance
-       convention), written as a STATIC overwrite so the patched store is
-       replaced wholesale — a rebuild must not inherit any mark-deleted
-       directory, which the gate would catch if the write went dynamic;
+       convention), written as a STATIC overwrite over the populated path
+       so no pre-rebuild directory can survive;
     3. serving: the same pruned seed-bucket search as every other graph
        path, over the rebuilt store.
 
@@ -686,10 +687,6 @@ def graph_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not io.fs_exists(spark, marker):
         if not io.fs_exists(spark, io.fs_join(store, "_SUCCESS")):
             save_graph_edges(graph_edges(spark, sf_dir), store)
-        doomed_edge = (F.col("vec_a") % GRAPH_REBUILD_MOD == GRAPH_REBUILD_REM) | (
-            F.col("vec_b") % GRAPH_REBUILD_MOD == GRAPH_REBUILD_REM
-        )
-        _purge_edges(spark, store, doomed_edge)
         save_graph_edges(build_graph_edges(surv, graph_model_for(sf_dir)), store)
         io.fs_touch(spark, marker)
     return _pruned_store_search(spark, store, surv, model)

@@ -44,6 +44,10 @@ _QUERIES: dict[str, QueryFn] = {
     # seam's non-default path through the retrieval family (the #146
     # minhash pattern; r10 verdict item 7):
     "bm25_doc_search_char": search.bm25_doc_search_char,
+    # (1d) NEW in r11 (#160): ES replace-on-index semantics over the wire —
+    # re-POSTing an _id purges the stored doc before the append; gated by
+    # the index_upsert oracle (wire replace ≡ rebuild on updated table):
+    "aknn_http_upsert": server.aknn_http_upsert,
     # (2) r11-changed code re-gates: server.py gained the store-backed
     # mode + id-type pinning (flat twin re-gates alongside),
     # operators/search.py threads the tokenizer seam through the whole
@@ -100,7 +104,8 @@ _QUERIES: dict[str, QueryFn] = {
     "multimodal_audio_stats": multimodal.multimodal_audio_stats,
     "multimodal_featurize": multimodal.multimodal_featurize,
     "multimodal_framesample": multimodal.multimodal_framesample,
-    "events_approx_distinct": analytics.events_approx_distinct,
+    # (events_approx_distinct, rows-only by design, yields its slot to
+    # #160 — its hash-gated _check twin stays in the window)
     "events_approx_distinct_check": analytics.events_approx_distinct_check,
     "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
@@ -112,6 +117,7 @@ _QUERIES: dict[str, QueryFn] = {
     # (b) the 19 r8-era greens below (next stalest at r12 start)
     # (c) then r9-era, then r10/r11-era (freshest last)
     # -- r8-era greens (next in line) --
+    "events_approx_distinct": analytics.events_approx_distinct,
     "events_asof_join": analytics.events_asof_join,
     "events_topk_users": analytics.events_topk_users,
     "events_hourly": analytics.events_hourly,
@@ -339,6 +345,9 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     "aknn_http_search": oracles_vector.ann_search_lsh,
     # ... and so is the partition-pruned store-backed serving mode
     "aknn_http_search_store": oracles_vector.ann_search_lsh,
+    # wire replace-on-index ≡ a full rebuild on the updated table — the
+    # same contract (and oracle) as the batch index_upsert
+    "aknn_http_upsert": oracles_vector.index_upsert,
     "bitsign_codes": oracles_vector.bitsign_codes,
     "ann_search_bitsign": oracles_vector.ann_search_bitsign,
     "ann_recall_bitsign": oracles_vector.ann_recall_bitsign,

@@ -139,13 +139,17 @@ class AknnHttpServer:
 
     def _stored_id_type(self, index: str) -> str | None:
         """The _id dtype already persisted for this index, or None if the
-        index has no data yet."""
+        index has no data yet. Reads through the docs snapshot cache — a
+        pre-append snapshot has the same schema, and a fresh
+        spark.read.parquet here would re-list the partitioned store on
+        every append batch (the exact cost the caches exist to avoid)."""
         from . import io
 
-        docs_path = self._docs_path(index)
-        if not io.fs_isdir(self.spark, docs_path):
+        if index not in self._docs_cache and not io.fs_isdir(
+            self.spark, self._docs_path(index)
+        ):
             return None
-        return dict(self.spark.read.parquet(docs_path).dtypes)[ID_FIELD]
+        return dict(self._cached_docs(index).dtypes)[ID_FIELD]
 
     def _pin_id_type(self, index: str, docs: DataFrame) -> DataFrame:
         """ADVICE r10: _docs_df infers the _id type PER BATCH (bigint iff
@@ -189,7 +193,14 @@ class AknnHttpServer:
         with self._lock:
             model = self.registry.get(body["model"])
             name = body["_index"]
-            docs = self._pin_id_type(name, self._docs_df(body["docs"]))
+            # ES semantics (the reference host's): indexing an existing _id
+            # REPLACES the stored document, it does not append a duplicate.
+            # Within one batch, the last occurrence of an id wins (ES
+            # applies index ops in order); against the store, already-
+            # present incoming ids are purged before the append.
+            posted = list({d[ID_FIELD]: d for d in body["docs"]}.values())
+            docs = self._pin_id_type(name, self._docs_df(posted))
+            self._purge_ids(name, [d[ID_FIELD] for d in posted], docs)
             hashed = aknn_index(docs, model)
             if self.store_backed:
                 self._append_store(name, hashed)
@@ -198,6 +209,123 @@ class AknnHttpServer:
             self._docs_cache.pop(name, None)  # listing snapshots now stale
             self._terms_cache.pop(name, None)
         return {"acknowledged": True, "_index": body["_index"], "indexed": len(body["docs"])}
+
+    def _purge_ids(self, index: str, ids: list, batch_docs: DataFrame) -> None:
+        """Drop any stored rows whose _id appears in the incoming batch —
+        the delete half of ES's replace-on-index. No-op when nothing
+        overlaps (the common all-new-docs append pays ONE pruned overlap
+        probe). Flat mode rewrites the whole dir (the small-index mode —
+        zero layout overhead cuts both ways); store mode is the
+        index_delete pattern: only the ≤ |batch| id_bucket docs dirs and
+        the doomed ids' ≤ |doomed|·T (tbl, bucket) term dirs are rewritten
+        via pruned dynamic overwrite, emptied dirs removed."""
+        from . import io
+
+        if self._stored_id_type(index) is None:
+            return
+        id_type = dict(batch_docs.dtypes)[ID_FIELD]
+        if id_type == "string":
+            # _pin_id_type may have cast an int batch onto a string-pinned
+            # index; mirror that cast on the raw posted ids
+            ids = [str(i) for i in ids]
+        ids_df = self.spark.createDataFrame(
+            [(i,) for i in ids], f"{ID_FIELD} {id_type}"
+        )
+        if not self.store_backed:
+            existing = self._cached_docs(index)
+            doomed = existing.join(F.broadcast(ids_df), ID_FIELD, "left_semi")
+            if not doomed.limit(1).count():
+                return
+            survivors = existing.join(
+                F.broadcast(ids_df), ID_FIELD, "left_anti"
+            ).localCheckpoint()
+            survivors.write.mode("overwrite").parquet(self._index_path(index))
+            return
+        from .sources.index_store import DEFAULT_HASH_BUCKETS
+
+        n = DEFAULT_HASH_BUCKETS
+        path = self._index_path(index)
+        buckets = [
+            int(r.id_bucket)
+            for r in ids_df.select(
+                F.pmod(F.xxhash64(F.col(ID_FIELD)), F.lit(n)).alias("id_bucket")
+            )
+            .distinct()
+            .collect()
+        ]
+        docs = self._cached_docs(index)
+        pruned = docs.where(F.col("id_bucket").isin(buckets))
+        doomed = pruned.join(F.broadcast(ids_df), ID_FIELD, "left_semi").localCheckpoint()
+        if not doomed.limit(1).count():
+            return
+        # terms side first: the doomed ids' stored hashes name the touched
+        # (tbl, bucket) directories — packed-key PartitionFilter read, drop
+        # doomed, dynamic overwrite (the knn.index_delete shape)
+        from .operators.lsh import explode_hashes
+
+        doomed_terms = explode_hashes(
+            doomed.select(ID_FIELD, "hashes"), ID_FIELD, "vec_id"
+        ).select(
+            "vec_id",
+            F.col("tbl").cast("int").alias("tbl"),
+            F.pmod(F.col("hash"), F.lit(n)).cast("int").alias("bucket"),
+        )
+        parts = [
+            (int(r.tbl), int(r.bucket))
+            for r in doomed_terms.select("tbl", "bucket").distinct().collect()
+        ]
+        packed = [t * 100000 + b for t, b in parts]
+        terms = self._cached_terms(index)
+        touched_terms = terms.where(
+            (F.col("tbl").cast("long") * 100000 + F.col("bucket")).isin(packed)
+        ).select("vec_id", "tbl", "hash", "bucket")
+        live_terms = touched_terms.join(
+            F.broadcast(ids_df.select(F.col(ID_FIELD).alias("vec_id"))),
+            "vec_id",
+            "left_anti",
+        ).localCheckpoint()
+        live_keys = {
+            (int(r.tbl), int(r.bucket))
+            for r in live_terms.select("tbl", "bucket").distinct().collect()
+        }
+        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                live_terms.repartition("tbl", "bucket")
+                .write.mode("overwrite")
+                .partitionBy("tbl", "bucket")
+                .parquet(os.path.join(path, "terms"))
+            )
+            for t, b in parts:
+                if (t, b) not in live_keys:
+                    io.fs_delete(
+                        self.spark, io.fs_join(path, "terms", f"tbl={t}", f"bucket={b}")
+                    )
+            # docs side: same bound, the ≤ |batch| id_bucket directories
+            live_docs = (
+                pruned.join(F.broadcast(ids_df), ID_FIELD, "left_anti")
+                .localCheckpoint()
+            )
+            live_buckets = {
+                int(r.id_bucket)
+                for r in live_docs.select("id_bucket").distinct().collect()
+            }
+            (
+                live_docs.repartition("id_bucket")
+                .write.mode("overwrite")
+                .partitionBy("id_bucket")
+                .parquet(os.path.join(path, "docs"))
+            )
+            for b in buckets:
+                if b not in live_buckets:
+                    io.fs_delete(
+                        self.spark, io.fs_join(path, "docs", f"id_bucket={b}")
+                    )
+        finally:
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        self._docs_cache.pop(index, None)
+        self._terms_cache.pop(index, None)
 
     def _append_store(self, index: str, hashed: DataFrame) -> None:
         """Append one /_aknn_index batch into the partition-pruned layout:
@@ -278,7 +406,14 @@ class AknnHttpServer:
             doc_id = int(doc_id)
         qrows = self._query_doc_df(index, doc_id).collect()
         if not qrows:
-            raise KeyError(f"no such doc in index {index!r}: {doc_id!r}")
+            # wire-protocol parity with flat mode: an unknown doc id is a
+            # 200 with zero hits there (aknn_search over an empty query
+            # set), so the pruned layout must not turn it into a 400
+            return self.spark.createDataFrame(
+                [],
+                f"query_id {id_type}, neighbor_id {id_type}, "
+                "n_match bigint, distance double",
+            )
         q = qrows[0]
         q_exp = self.spark.createDataFrame(
             [(doc_id, t, int(h)) for t, h in enumerate(q["hashes"])],
@@ -394,7 +529,7 @@ def _make_handler(server: AknnHttpServer):
 # server + indexed store, once per (SparkContext, sf_dir, mode) — the
 # facade's create+index phase is index MAINTENANCE; repeat calls measure
 # serving
-_SERVER_CACHE: dict[tuple[str, str, bool], AknnHttpServer] = {}
+_SERVER_CACHE: dict[tuple, AknnHttpServer] = {}
 
 
 def _http_post(port: int, path: str, payload: dict) -> dict:
@@ -445,19 +580,59 @@ def aknn_http_search_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drive_endpoints(spark, sf_dir, store_backed=True)
 
 
-def _drive_endpoints(spark: SparkSession, sf_dir: str, store_backed: bool) -> DataFrame:
+def aknn_http_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (SURVEY §2 #160, r11): the reference's REPLACE
+    semantics over the wire. An ES index op with an existing _id replaces
+    the stored document — so `/_aknn_index` purges incoming ids from the
+    store before appending (pruned dynamic overwrite of the ≤ |batch|
+    docs directories and the doomed ids' term directories in store mode).
+    The drive posts the full table, then RE-POSTS the canonical update set
+    (vec_id % UPSERT_MOD == 0, every component doubled — IEEE-exact, and
+    JSON round-trips doubles exactly) through the same endpoint against
+    the pruned store layout, then searches. Gated by the index_upsert
+    oracle: the wire replace must equal a full index rebuild on the
+    updated table, so a leaked stale row (hash or vector) from the
+    replaced docs fails the hash gate."""
+    from .constants import UPSERT_MOD
+
+    def update(docs: list[dict]) -> list[dict]:
+        return [
+            {
+                ID_FIELD: d[ID_FIELD],
+                "_source": {
+                    VECTOR_FIELD: [2.0 * x for x in d["_source"][VECTOR_FIELD]]
+                },
+            }
+            for d in docs
+            if d[ID_FIELD] % UPSERT_MOD == 0
+        ]
+
+    return _drive_endpoints(
+        spark, sf_dir, store_backed=True, tag="upsert", repost=update
+    )
+
+
+def _drive_endpoints(
+    spark: SparkSession,
+    sf_dir: str,
+    store_backed: bool,
+    tag: str | None = None,
+    repost=None,
+) -> DataFrame:
     from . import io
     from .constants import N_QUERIES
     from .session import configure
 
     configure(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, store_backed)
+    key = (spark.sparkContext.applicationId, sf_dir, store_backed, tag)
     srv = _SERVER_CACHE.get(key)
     if srv is None:
-        scratch = io.scratch_dir(
-            "aknn_http_store" if store_backed else "aknn_http", sf_dir
+        kind = f"aknn_http_{tag}" if tag else (
+            "aknn_http_store" if store_backed else "aknn_http"
         )
-        srv = AknnHttpServer(spark, scratch, store_backed=store_backed).start()
+        srv = AknnHttpServer(
+            spark, io.scratch_dir(kind, sf_dir), store_backed=store_backed
+        ).start()
         _SERVER_CACHE[key] = srv
         emb = io.table(spark, sf_dir, "embeddings", widen=True)
         docs = [
@@ -466,11 +641,14 @@ def _drive_endpoints(spark: SparkSession, sf_dir: str, store_backed: bool) -> Da
         ]
         need = 2 * LSH_TABLES * LSH_BITS
         _http_post(srv.port, "/_aknn_create", {"_id": "default", "docs": docs[:need]})
-        for i in range(0, len(docs), 5000):
+        batches = [docs[i : i + 5000] for i in range(0, len(docs), 5000)]
+        if repost is not None:
+            batches += [b for b in (repost(docs[i : i + 5000]) for i in range(0, len(docs), 5000)) if b]
+        for batch in batches:
             _http_post(
                 srv.port,
                 "/_aknn_index",
-                {"model": "default", "_index": "vectors", "docs": docs[i : i + 5000]},
+                {"model": "default", "_index": "vectors", "docs": batch},
             )
     rows = []
     for qid in range(N_QUERIES):

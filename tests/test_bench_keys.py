@@ -60,18 +60,27 @@ def _compact_ref(v: float):
     # test_compact_encoder_width below exercising the same contract)
     if v < 1:
         g = max(round(v, 2), 0.01)
-    else:
+    elif v < 1000:
         g = float(f"{v:.3g}")
-    return int(g) if g.is_integer() else g
+    else:
+        g = round(v)
+    return int(g) if isinstance(g, float) and g.is_integer() else g
 
 
 def test_compact_encoder_width_le_4_chars():
     # the size-budget proof below models every value as 4 chars; the
-    # encoder must guarantee that for the realistic timing range
-    # (ADVICE r10: the old 3-sig-digit cut emitted 5-char sub-second
-    # values like "0.218" while the model said 4)
-    for v in [0.001, 0.0099, 0.049, 0.1, 0.218, 0.5, 0.95, 0.995, 0.9999,
-              1.0, 1.372, 9.99, 12.34, 99.94, 163.9, 999.4, 1234.5, 9994.0]:
+    # encoder must guarantee that over the whole realistic domain
+    # v < 9999.5 s (ADVICE r10: the old 3-sig-digit cut emitted 5-char
+    # sub-second values like "0.218" while the model said 4; the first
+    # r11 fix still emitted 5 chars for v >= 9995 via "1e+04" -> 10000)
+    import random
+
+    vals = [0.001, 0.0099, 0.049, 0.1, 0.218, 0.5, 0.95, 0.995, 0.9999,
+            1.0, 1.372, 9.99, 12.34, 99.94, 163.9, 999.4, 999.9, 1000.0,
+            1234.5, 9994.0, 9995.0, 9999.4]
+    rng = random.Random(11)
+    vals += [rng.uniform(0.001, 9999.4) for _ in range(2000)]
+    for v in vals:
         enc = json.dumps(_compact_ref(v))
         assert len(enc) <= 4, (v, enc)
 

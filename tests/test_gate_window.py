@@ -28,6 +28,7 @@ EXPECTED_GATE_WINDOW = [
     "aknn_http_search_store",
     "graph_rebuild",
     "bm25_doc_search_char",
+    "aknn_http_upsert",
     "aknn_http_search",
     "bm25_doc_search",
     "hybrid_search_rrf",
@@ -72,7 +73,6 @@ EXPECTED_GATE_WINDOW = [
     "multimodal_audio_stats",
     "multimodal_featurize",
     "multimodal_framesample",
-    "events_approx_distinct",
     "events_approx_distinct_check",
     "ann_search_lsh_multiprobe",
 ]
@@ -93,7 +93,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 159 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 160 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 159
-    assert len(set(ks)) == 159
+    assert len(ks) == 160
+    assert len(set(ks)) == 160

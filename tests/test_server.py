@@ -109,3 +109,45 @@ def test_http_index_id_type_pinned(spark):
             assert res2["hits"]["total"] == 5
         finally:
             srv.stop()
+
+
+def test_http_index_replaces_by_id(spark):
+    """r11 (#160): ES replace-on-index semantics — re-posting an _id must
+    replace the stored doc in BOTH modes, and the result must equal a
+    fresh server indexed with the final state; within a batch the last
+    occurrence wins."""
+    docs = _sample_docs(spark, n=96)
+    moved = [
+        {"_id": d["_id"],
+         "_source": {"_aknn_vector": [2.0 * x for x in d["_source"]["_aknn_vector"]]}}
+        for d in docs[:16]
+    ]
+    final = moved + docs[16:]
+    for store_backed in (False, True):
+        srv = _serve(spark, docs, store_backed=store_backed, batches=2)
+        fresh = _serve(spark, final, store_backed=store_backed, batches=2)
+        try:
+            # re-post the moved docs; also exercise last-wins within batch
+            # (a stale copy of each doc precedes its moved version)
+            _http_post(srv.port, "/_aknn_index",
+                       {"model": "m", "_index": "idx", "docs": docs[:16] + moved})
+            for qid in (docs[0]["_id"], docs[5]["_id"], docs[40]["_id"]):
+                a = _http_get(srv.port, f"/idx/{qid}/_aknn_search?k1=50&k2=5")
+                b = _http_get(fresh.port, f"/idx/{qid}/_aknn_search?k1=50&k2=5")
+                assert a == b, (store_backed, qid, a, b)
+        finally:
+            srv.stop()
+            fresh.stop()
+
+
+def test_http_unknown_doc_is_200_empty_in_both_modes(spark):
+    """r11: an unknown doc id must be a 200 with zero hits in BOTH modes
+    (the pruned layout previously turned it into a 400 KeyError)."""
+    docs = _sample_docs(spark, n=32)
+    for store_backed in (False, True):
+        srv = _serve(spark, docs, store_backed=store_backed)
+        try:
+            res = _http_get(srv.port, "/idx/999999/_aknn_search?k1=50&k2=5")
+            assert res == {"timed_out": False, "hits": {"total": 0, "hits": []}}, res
+        finally:
+            srv.stop()
