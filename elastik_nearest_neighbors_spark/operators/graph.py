@@ -651,16 +651,15 @@ def graph_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     1/13 and 1/6 fractions show no gap, so 25% is just inside the
     degradation regime):
 
-    1. the aging store: the full-corpus graph persisted (the state a
-       rebuild arrives at — graph_delete's mark-delete patches between
-       rebuilds are ITS gated entry; re-applying one here would be dead
-       work, since step 2 replaces the store wholesale regardless of how
-       many patches preceded it);
-    2. the rebuild: fresh edge CONSTRUCTION over the surviving corpus with
+    1. the rebuild: fresh edge CONSTRUCTION over the surviving corpus with
        the ORIGINAL build quantizer (no refit — the #151-#155 maintenance
-       convention), written as a STATIC overwrite over the populated path
-       so no pre-rebuild directory can survive;
-    3. serving: the same pruned seed-bucket search as every other graph
+       convention), written as a STATIC overwrite so no pre-rebuild state
+       can survive. The operator deliberately does NOT first build or
+       patch an "aging" store: a static overwrite clears the destination
+       regardless of its contents, so any prior-state step would be dead
+       work whose output no gated read ever sees (graph_delete owns the
+       patched-state contract between rebuilds);
+    2. serving: the same pruned seed-bucket search as every other graph
        path, over the rebuilt store.
 
     The gated contract is rebuild-equivalence: searching the rebuilt store
@@ -685,8 +684,6 @@ def graph_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = io.fs_join(out, "REBUILT")
     surv = emb.where(F.col("vec_id") % GRAPH_REBUILD_MOD != GRAPH_REBUILD_REM)
     if not io.fs_exists(spark, marker):
-        if not io.fs_exists(spark, io.fs_join(store, "_SUCCESS")):
-            save_graph_edges(graph_edges(spark, sf_dir), store)
         save_graph_edges(build_graph_edges(surv, graph_model_for(sf_dir)), store)
         io.fs_touch(spark, marker)
     return _pruned_store_search(spark, store, surv, model)

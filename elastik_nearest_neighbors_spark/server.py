@@ -200,14 +200,26 @@ class AknnHttpServer:
             # present incoming ids are purged before the append.
             posted = list({d[ID_FIELD]: d for d in body["docs"]}.values())
             docs = self._pin_id_type(name, self._docs_df(posted))
-            self._purge_ids(name, [d[ID_FIELD] for d in posted], docs)
-            hashed = aknn_index(docs, model)
-            if self.store_backed:
-                self._append_store(name, hashed)
-            else:
-                hashed.write.mode("append").parquet(self._index_path(name))
-            self._docs_cache.pop(name, None)  # listing snapshots now stale
-            self._terms_cache.pop(name, None)
+            # materialize the hashed batch BEFORE purging: a replace must
+            # not destroy the stored doc when the incoming one is invalid
+            # (wrong dimension etc. — the hash matmul fails HERE, with the
+            # store untouched). A crash BETWEEN the purge and the append
+            # can still lose the old doc — multi-file parquet has no
+            # transaction log; a production deployment puts a manifest
+            # (Delta/Iceberg-style) under this same seam.
+            hashed = aknn_index(docs, model).localCheckpoint(eager=True)
+            try:
+                self._purge_ids(name, [d[ID_FIELD] for d in posted], docs)
+                if self.store_backed:
+                    self._append_store(name, hashed)
+                else:
+                    hashed.write.mode("append").parquet(self._index_path(name))
+            finally:
+                # in a finally: a failure after the purge rewrote store
+                # files must not leave the snapshot caches pointing at
+                # deleted parquet (that would wedge every later request)
+                self._docs_cache.pop(name, None)
+                self._terms_cache.pop(name, None)
         return {"acknowledged": True, "_index": body["_index"], "indexed": len(body["docs"])}
 
     def _purge_ids(self, index: str, ids: list, batch_docs: DataFrame) -> None:
@@ -402,18 +414,20 @@ class AknnHttpServer:
         n = DEFAULT_HASH_BUCKETS
         docs = self._cached_docs(index)
         id_type = dict(docs.dtypes)[ID_FIELD]
+        empty = f"query_id {id_type}, neighbor_id {id_type}, n_match bigint, distance double"
         if id_type == "bigint":
-            doc_id = int(doc_id)
+            try:
+                doc_id = int(doc_id)
+            except ValueError:
+                # a non-numeric id cannot exist in a bigint-pinned index —
+                # same 200/zero-hits contract as any other unknown doc
+                return self.spark.createDataFrame([], empty)
         qrows = self._query_doc_df(index, doc_id).collect()
         if not qrows:
             # wire-protocol parity with flat mode: an unknown doc id is a
             # 200 with zero hits there (aknn_search over an empty query
             # set), so the pruned layout must not turn it into a 400
-            return self.spark.createDataFrame(
-                [],
-                f"query_id {id_type}, neighbor_id {id_type}, "
-                "n_match bigint, distance double",
-            )
+            return self.spark.createDataFrame([], empty)
         q = qrows[0]
         q_exp = self.spark.createDataFrame(
             [(doc_id, t, int(h)) for t, h in enumerate(q["hashes"])],
@@ -448,14 +462,23 @@ class AknnHttpServer:
 
     def search(self, index: str, doc_id, k1: int = ANN_K1, k2: int = ANN_K2) -> dict:
         with self._lock:
+            rows = []
             if self.store_backed:
                 ranked = self._search_store(index, doc_id, k1, k2)
             else:
                 indexed = self._cached_docs(index)
+                ranked = None
                 if dict(indexed.dtypes)[ID_FIELD] == "bigint":
-                    doc_id = int(doc_id)
-                ranked = aknn_search(indexed, [doc_id], k1, k2)
-            rows = ranked.orderBy(F.asc("distance"), F.asc("neighbor_id")).collect()
+                    try:
+                        doc_id = int(doc_id)
+                    except ValueError:
+                        pass  # can't exist in a bigint index → zero hits
+                    else:
+                        ranked = aknn_search(indexed, [doc_id], k1, k2)
+                else:
+                    ranked = aknn_search(indexed, [doc_id], k1, k2)
+            if ranked is not None:
+                rows = ranked.orderBy(F.asc("distance"), F.asc("neighbor_id")).collect()
         return {
             "timed_out": False,
             "hits": {

@@ -24,14 +24,19 @@ def _sample_docs(spark, n=300):
     ]
 
 
-def _serve(spark, docs, store_backed, batches=1):
+def _serve(spark, docs, store_backed, batches=1, sample=None):
+    """sample: the /_aknn_create fit docs — defaults to docs[:24], but a
+    comparison server indexing MUTATED docs must fit from the SAME sample
+    as its twin, or the two servers hold different LSH models and any
+    result equality is a data coincidence."""
     srv = AknnHttpServer(
         spark, tempfile.mkdtemp(prefix="enn_http_test_"), store_backed=store_backed
     ).start()
     _http_post(
         srv.port,
         "/_aknn_create",
-        {"_id": "m", "nb_tables": 4, "nb_bits_per_table": 3, "docs": docs[:24]},
+        {"_id": "m", "nb_tables": 4, "nb_bits_per_table": 3,
+         "docs": (sample if sample is not None else docs[:24])},
     )
     step = max(1, len(docs) // batches)
     for i in range(0, len(docs), step):
@@ -125,7 +130,11 @@ def test_http_index_replaces_by_id(spark):
     final = moved + docs[16:]
     for store_backed in (False, True):
         srv = _serve(spark, docs, store_backed=store_backed, batches=2)
-        fresh = _serve(spark, final, store_backed=store_backed, batches=2)
+        # the reference server indexes the FINAL state but must fit its
+        # model from the same original sample as srv (review r11: fitting
+        # from `final` gives a different model, and equality would hold
+        # only by data coincidence)
+        fresh = _serve(spark, final, store_backed=store_backed, batches=2, sample=docs[:24])
         try:
             # re-post the moved docs; also exercise last-wins within batch
             # (a stale copy of each doc precedes its moved version)
@@ -148,6 +157,40 @@ def test_http_unknown_doc_is_200_empty_in_both_modes(spark):
         srv = _serve(spark, docs, store_backed=store_backed)
         try:
             res = _http_get(srv.port, "/idx/999999/_aknn_search?k1=50&k2=5")
+            assert res == {"timed_out": False, "hits": {"total": 0, "hits": []}}, res
+        finally:
+            srv.stop()
+
+
+def test_http_failed_repost_preserves_stored_doc(spark):
+    """r11 review: a replace must NOT destroy on failure — a re-post whose
+    vector has the wrong dimension 400s with the store (and the old doc)
+    intact, in both modes."""
+    docs = _sample_docs(spark, n=32)
+    for store_backed in (False, True):
+        srv = _serve(spark, docs, store_backed=store_backed)
+        try:
+            before = _http_get(srv.port, f"/idx/{docs[0]['_id']}/_aknn_search?k1=50&k2=5")
+            bad = [{"_id": docs[0]["_id"], "_source": {"_aknn_vector": [1.0, 2.0]}}]
+            try:
+                _post_raw(srv.port, "/_aknn_index", {"model": "m", "_index": "idx", "docs": bad})
+                raise AssertionError("expected 400 for wrong-dimension vector")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+            after = _http_get(srv.port, f"/idx/{docs[0]['_id']}/_aknn_search?k1=50&k2=5")
+            assert after == before, (store_backed, before, after)
+        finally:
+            srv.stop()
+
+
+def test_http_non_numeric_unknown_id_is_200_empty(spark):
+    """r11 review: a NON-NUMERIC unknown id on a bigint-pinned index must
+    also take the 200/zero-hits path (not a 400 from int())."""
+    docs = _sample_docs(spark, n=32)
+    for store_backed in (False, True):
+        srv = _serve(spark, docs, store_backed=store_backed)
+        try:
+            res = _http_get(srv.port, "/idx/not-a-number/_aknn_search?k1=50&k2=5")
             assert res == {"timed_out": False, "hits": {"total": 0, "hits": []}}, res
         finally:
             srv.stop()
