@@ -114,8 +114,18 @@ _QUERIES: dict[str, QueryFn] = {
     # tests/test_gate_window.py enforces the placement.
     # -- r12 rotation queue, in priority order --
     # (a) keys whose code changes in r11 after this rotation was written
-    # (b) the 19 r8-era greens below (next stalest at r12 start)
+    # (b) the r8-era greens below (next stalest at r12 start; includes
+    #     events_approx_distinct, which yielded its r11 slot to #160)
     # (c) then r9-era, then r10/r11-era (freshest last)
+    # -- r12 queued refactor (r11 review finding, deliberately deferred):
+    # the ~40-line pruned-dynamic-overwrite pattern (touched-keys collect,
+    # packed isin, localCheckpoint-before-overwrite, conf save/restore,
+    # emptied-dir delete) now has 7 hand-synced copies (knn.index_upsert/
+    # index_delete, ivf.ivf_upsert/ivf_delete, pq.ivfpq_upsert/
+    # ivfpq_delete, graph._purge_edges, server._purge_ids). Extract a
+    # shared sources.index_store helper WHEN those keys rotate into the
+    # r12 window — changing them below the gate would repeat the exact
+    # ADVICE-r10 "changed code below the boundary" finding.
     # -- r8-era greens (next in line) --
     "events_approx_distinct": analytics.events_approx_distinct,
     "events_asof_join": analytics.events_asof_join,
