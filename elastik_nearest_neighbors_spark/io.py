@@ -70,9 +70,15 @@ def fs_delete(spark: SparkSession, path: str) -> None:
         fs, hpath = _hadoop_fs(spark, path)
         fs.delete(hpath, True)
         return
-    import shutil
+    if os.path.isdir(path):
+        import shutil
 
-    shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
+        return
+    try:
+        os.remove(path)  # a FILE (e.g. a dirty/torn-write marker)
+    except FileNotFoundError:
+        pass
 
 
 def fs_touch(spark: SparkSession, path: str) -> None:

@@ -605,9 +605,11 @@ def _purge_edges(spark: SparkSession, store: str, doomed_edge) -> None:
     in place: one column-pruned scan finds the buckets holding any doomed
     edge (vec_a-doomed live in the id's own bucket; vec_b-doomed wherever
     in-edges land) — the collect is ≤ GRAPH_EDGE_BUCKETS ints, and only
-    those directories get rewritten via pruned dynamic partition
-    overwrite; emptied directories are deleted explicitly (their stale
-    files would otherwise keep matching)."""
+    those directories get rewritten via index_store.pruned_dynamic_overwrite
+    (emptied directories deleted explicitly — stale files would otherwise
+    keep matching)."""
+    from ..sources.index_store import pruned_dynamic_overwrite
+
     touched = sorted(
         int(r.bucket)
         for r in spark.read.parquet(store)
@@ -621,24 +623,8 @@ def _purge_edges(spark: SparkSession, store: str, doomed_edge) -> None:
         .where(F.col("bucket").isin(touched))
         .select("vec_a", "vec_b", "distance", "bucket")
     )
-    # localCheckpoint BEFORE the overwrite: `patched` reads the path
-    # it is about to rewrite (see ivf_delete / knn.index_delete)
-    patched = existing.where(~doomed_edge).localCheckpoint()
-    live = {int(r.bucket) for r in patched.select("bucket").distinct().collect()}
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            patched.repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(store)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    for b in touched:
-        if b not in live:
-            io.fs_delete(spark, io.fs_join(store, f"bucket={b}"))
+    patched = existing.where(~doomed_edge)
+    pruned_dynamic_overwrite(spark, store, patched, ["bucket"], touched)
 
 
 def graph_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1784,7 +1784,7 @@ def ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (query_id, neighbor_id, list_id, distance)."""
     from ..constants import UPSERT_MOD
-    from ..sources.index_store import save_ivf_index
+    from ..sources.index_store import pruned_dynamic_overwrite, save_ivf_index
     from .knn import _updated_emb
 
     model = model_for(sf_dir)
@@ -1811,28 +1811,10 @@ def ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("list_id").isin(parts))
             .select("vec_id", "list_id", "center_dist")
         )
-        # localCheckpoint BEFORE the overwrite: `patched` reads the path it
-        # is about to rewrite (see knn.index_upsert)
-        patched = (
-            existing.where(F.col("vec_id") % UPSERT_MOD != 0)
-            .unionByName(new_a.select("vec_id", "list_id", "center_dist"))
-            .localCheckpoint()
+        patched = existing.where(F.col("vec_id") % UPSERT_MOD != 0).unionByName(
+            new_a.select("vec_id", "list_id", "center_dist")
         )
-        live = {int(r.list_id) for r in patched.select("list_id").distinct().collect()}
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                patched.repartition("list_id")
-                .write.mode("overwrite")
-                .partitionBy("list_id")
-                .parquet(store)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        for lid in parts:
-            if lid not in live:
-                io.fs_delete(spark, io.fs_join(store, f"list_id={lid}"))
+        pruned_dynamic_overwrite(spark, store, patched, ["list_id"], parts)
         io.fs_touch(spark, marker)
     return _search_ivf_store(spark, store, model, memb)
 
@@ -1858,7 +1840,7 @@ def ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (query_id, neighbor_id, list_id, distance)."""
     from ..constants import DELETE_MOD, DELETE_REM
-    from ..sources.index_store import save_ivf_index
+    from ..sources.index_store import pruned_dynamic_overwrite, save_ivf_index
 
     model = model_for(sf_dir)
     emb = _emb(spark, sf_dir)
@@ -1876,23 +1858,7 @@ def ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("list_id").isin(parts))
             .select("vec_id", "list_id", "center_dist")
         )
-        # localCheckpoint BEFORE the overwrite: `patched` reads the path
-        # it is about to rewrite (see ivf_upsert / knn.index_upsert)
-        patched = existing.where(~doomed_pred).localCheckpoint()
-        live = {int(r.list_id) for r in patched.select("list_id").distinct().collect()}
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                patched.repartition("list_id")
-                .write.mode("overwrite")
-                .partitionBy("list_id")
-                .parquet(store)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        for lid in parts:
-            if lid not in live:
-                io.fs_delete(spark, io.fs_join(store, f"list_id={lid}"))
+        patched = existing.where(~doomed_pred)
+        pruned_dynamic_overwrite(spark, store, patched, ["list_id"], parts)
         io.fs_touch(spark, marker)
     return _search_ivf_store(spark, store, model, emb.where(~doomed_pred))

@@ -740,7 +740,12 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is the daily reality of an index: a delta of D changed
     vectors touches ≤ D·T directories of the T·n_buckets total."""
-    from ..sources.index_store import DEFAULT_HASH_BUCKETS, save_lsh_index
+    from ..sources.index_store import (
+        DEFAULT_HASH_BUCKETS,
+        partition_key_filter,
+        pruned_dynamic_overwrite,
+        save_lsh_index,
+    )
     from ..constants import UPSERT_MOD
 
     emb = _emb(spark, sf_dir)
@@ -776,52 +781,17 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .collect()
         ]
-        # one packed-key IN over the partition columns: stays a PartitionFilter
-        # (expression over partition cols only) without the O(dirs)-deep
-        # OR-tree that load_lsh_partitions' literal list would build here —
-        # a ~6% delta × T tables touches most buckets at this scale
-        packed = [int(t) * 100000 + int(b) for t, b in parts]
+        # packed-key IN over the partition columns (partition_key_filter):
+        # stays a PartitionFilter without the O(dirs)-deep OR-tree that
+        # load_lsh_partitions' literal list would build here — a ~6% delta
+        # × T tables touches most buckets at this scale
         existing = (
             spark.read.parquet(store)
-            .where(
-                (F.col("tbl").cast("long") * 100000 + F.col("bucket")).isin(packed)
-            )
+            .where(partition_key_filter(["tbl", "bucket"], parts))
             .select("vec_id", "tbl", "hash", "bucket")
         )
-        # localCheckpoint BEFORE the overwrite: `patched` reads the same
-        # parquet path it is about to rewrite — materializing it first (the
-        # delta's ≤ D·T directories of rows, not the whole store) makes the
-        # read-then-overwrite safe instead of racing the scan against the
-        # truncation
-        patched = (
-            existing.where(F.col("vec_id") % UPSERT_MOD != 0)
-            .unionByName(new_b)
-            .localCheckpoint()
-        )
-        # dynamic partition overwrite only rewrites partitions that receive
-        # rows: a touched (tbl, bucket) whose every row was a changed vector
-        # and that gains no re-hashed row has NO rows in `patched`, so its
-        # stale files would silently survive — find those and delete them
-        # explicitly (same ≤ D·T bound as `parts`)
-        live = {
-            (r.tbl, r.bucket)
-            for r in patched.select("tbl", "bucket").distinct().collect()
-        }
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                patched.repartition("tbl", "bucket")
-                .write.mode("overwrite")
-                .partitionBy("tbl", "bucket")
-                .parquet(store)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        live_keys = {(int(x), int(y)) for x, y in live}
-        for t, b in parts:
-            if (int(t), int(b)) not in live_keys:
-                io.fs_delete(spark, io.fs_join(store, f"tbl={t}", f"bucket={b}"))
+        patched = existing.where(F.col("vec_id") % UPSERT_MOD != 0).unionByName(new_b)
+        pruned_dynamic_overwrite(spark, store, patched, ["tbl", "bucket"], parts)
         io.fs_touch(spark, marker)
     return search_lsh_store(spark, sf_dir, store, emb=memb)
 
@@ -846,7 +816,12 @@ def index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (query_id, neighbor_id, n_match, distance)."""
     from ..constants import DELETE_MOD, DELETE_REM
-    from ..sources.index_store import DEFAULT_HASH_BUCKETS, save_lsh_index
+    from ..sources.index_store import (
+        DEFAULT_HASH_BUCKETS,
+        partition_key_filter,
+        pruned_dynamic_overwrite,
+        save_lsh_index,
+    )
 
     emb = _emb(spark, sf_dir)
     model = _model_for(emb, sf_dir)
@@ -867,36 +842,13 @@ def index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts = [
             (r.tbl, r.bucket) for r in doomed.select("tbl", "bucket").distinct().collect()
         ]
-        packed = [int(t) * 100000 + int(b) for t, b in parts]
         existing = (
             spark.read.parquet(store)
-            .where(
-                (F.col("tbl").cast("long") * 100000 + F.col("bucket")).isin(packed)
-            )
+            .where(partition_key_filter(["tbl", "bucket"], parts))
             .select("vec_id", "tbl", "hash", "bucket")
         )
-        # localCheckpoint BEFORE the overwrite: `patched` reads the path it
-        # is about to rewrite (see index_upsert)
-        patched = existing.where(~doomed_pred).localCheckpoint()
-        live = {
-            (r.tbl, r.bucket)
-            for r in patched.select("tbl", "bucket").distinct().collect()
-        }
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                patched.repartition("tbl", "bucket")
-                .write.mode("overwrite")
-                .partitionBy("tbl", "bucket")
-                .parquet(store)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        live_keys = {(int(x), int(y)) for x, y in live}
-        for t, b in parts:
-            if (int(t), int(b)) not in live_keys:
-                io.fs_delete(spark, io.fs_join(store, f"tbl={t}", f"bucket={b}"))
+        patched = existing.where(~doomed_pred)
+        pruned_dynamic_overwrite(spark, store, patched, ["tbl", "bucket"], parts)
         io.fs_touch(spark, marker)
     return search_lsh_store(spark, sf_dir, store, emb=emb.where(~doomed_pred))
 

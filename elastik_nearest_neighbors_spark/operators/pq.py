@@ -353,7 +353,11 @@ def ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (query_id, neighbor_id, adc_dist) top-ANN_K2 per query."""
     from ..constants import DEC, UPSERT_MOD
-    from ..sources.index_store import load_ivf_lists, save_ivf_index
+    from ..sources.index_store import (
+        load_ivf_lists,
+        pruned_dynamic_overwrite,
+        save_ivf_index,
+    )
     from .ivf import build_ivf_index, list_assignments
     from .ivf import model_for as ivf_model_for
     from .ivf import probe_pairs
@@ -393,28 +397,10 @@ def ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("list_id").isin(parts))
             .select("vec_id", "m", "code", "list_id")
         )
-        # localCheckpoint BEFORE the overwrite: `patched` reads the path
-        # it is about to rewrite (see ivf_upsert / ivfpq_delete)
-        patched = (
-            existing.where(~changed)
-            .unionByName(new_rows.select("vec_id", "m", "code", "list_id"))
-            .localCheckpoint()
+        patched = existing.where(~changed).unionByName(
+            new_rows.select("vec_id", "m", "code", "list_id")
         )
-        live = {int(r.list_id) for r in patched.select("list_id").distinct().collect()}
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                patched.repartition("list_id")
-                .write.mode("overwrite")
-                .partitionBy("list_id")
-                .parquet(store)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        for lid in parts:
-            if lid not in live:
-                io.fs_delete(spark, io.fs_join(store, f"list_id={lid}"))
+        pruned_dynamic_overwrite(spark, store, patched, ["list_id"], parts)
         io.fs_touch(spark, marker)
 
     # search the patched store with the UPDATED queries (dist table and
@@ -463,7 +449,11 @@ def ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (query_id, neighbor_id, adc_dist) top-ANN_K2 per surviving
     query."""
     from ..constants import DEC, DELETE_MOD, DELETE_REM
-    from ..sources.index_store import load_ivf_lists, save_ivf_index
+    from ..sources.index_store import (
+        load_ivf_lists,
+        pruned_dynamic_overwrite,
+        save_ivf_index,
+    )
     from .ivf import list_assignments
     from .ivf import model_for as ivf_model_for
     from .ivf import probe_pairs
@@ -492,24 +482,8 @@ def ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("list_id").isin(parts))
             .select("vec_id", "m", "code", "list_id")
         )
-        # localCheckpoint BEFORE the overwrite: `patched` reads the path
-        # it is about to rewrite (see ivf_delete / knn.index_delete)
-        patched = existing.where(~doomed_pred).localCheckpoint()
-        live = {int(r.list_id) for r in patched.select("list_id").distinct().collect()}
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                patched.repartition("list_id")
-                .write.mode("overwrite")
-                .partitionBy("list_id")
-                .parquet(store)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        for lid in parts:
-            if lid not in live:
-                io.fs_delete(spark, io.fs_join(store, f"list_id={lid}"))
+        patched = existing.where(~doomed_pred)
+        pruned_dynamic_overwrite(spark, store, patched, ["list_id"], parts)
         io.fs_touch(spark, marker)
 
     # search the patched store: identical plan to ann_search_ivfpq_store,

@@ -29,104 +29,31 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # and rotates back into the window in later rounds. Goal invariant: every
 # entry's LATEST driver row is ≤1 round old.
 _QUERIES: dict[str, QueryFn] = {
-    # ---- r11 GATE WINDOW: exactly 50 entries above the boundary comment,
+    # ---- r12 GATE WINDOW: exactly 50 entries above the boundary comment,
     # pinned by tests/test_gate_window.py (EXPECTED_GATE_WINDOW).
-    # (1) NEW in r11 (#157): the EsAknn wire protocol served from the
-    # partition-pruned store layout (docs/ by id_bucket, terms/ by
-    # (tbl, bucket)) — the r10 verdict's "What's missing" #3; gates
-    # bit-identical to the flat-mode twin via the shared oracle:
-    "aknn_http_search_store": server.aknn_http_search_store,
-    # (1b) NEW in r11 (#158): periodic offline graph REBUILD — the
-    # measured recovery for accumulated mark-deletes (r10 verdict item 4);
-    # oracle = fresh construction on the surviving corpus:
-    "graph_rebuild": graph.graph_rebuild,
-    # (1c) NEW in r11 (#159): BM25 over character tokens — the tokenizer
-    # seam's non-default path through the retrieval family (the #146
-    # minhash pattern; r10 verdict item 7):
-    "bm25_doc_search_char": search.bm25_doc_search_char,
-    # (1d) NEW in r11 (#160): ES replace-on-index semantics over the wire —
-    # re-POSTing an _id purges the stored doc before the append; gated by
-    # the index_upsert oracle (wire replace ≡ rebuild on updated table):
-    "aknn_http_upsert": server.aknn_http_upsert,
-    # (2) r11-changed code re-gates: server.py gained the store-backed
-    # mode + id-type pinning (flat twin re-gates alongside),
-    # operators/search.py threads the tokenizer seam through the whole
-    # retrieval family, operators/graph.py refactored the store/delete
-    # paths onto shared _purge_edges/_pruned_store_search helpers:
-    "aknn_http_search": server.aknn_http_search,
-    "bm25_doc_search": search.bm25_doc_search,
-    "hybrid_search_rrf": search.hybrid_search_rrf,
-    "phrase_match": search.phrase_match,
+    # (1) NEW in r12 (#161): ES document-DELETE parity over the wire —
+    # the r11 verdict's "What's missing" #1; gated by the shared
+    # index_delete oracle (wire purge ≡ rebuild on filtered corpus):
+    "aknn_http_delete": server.aknn_http_delete,
+    # (2) r12-changed code re-gates: the seven index-maintenance ops now
+    # run on the shared sources/index_store.pruned_dynamic_overwrite
+    # helper (the extraction queued since the r11 review), and server.py
+    # gained fused replace, the torn-write marker, and the DELETE
+    # endpoints — so every consumer of either re-gates:
+    "index_upsert": knn.index_upsert,
+    "index_delete": knn.index_delete,
+    "ivf_upsert": ivf.ivf_upsert,
+    "ivf_delete": ivf.ivf_delete,
+    "ivfpq_upsert": pq.ivfpq_upsert,
+    "ivfpq_delete": pq.ivfpq_delete,
     "graph_delete": graph.graph_delete,
-    "ann_search_graph_store": graph.ann_search_graph_store,
-    # (3) ADVICE r10 (low): dedup_embedding_cosine and the _recall_of
-    # consumers shipped r10-changed code below the gate (localCheckpoint
-    # added; intersect → broadcast join) — re-gate the family:
-    "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
-    "ann_recall": knn.ann_recall_q,
-    "ann_recall_ivf": ivf.ann_recall_ivf_q,
-    "ann_recall_pq": pq.ann_recall_pq,
-    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
-    "ann_recall_graph": graph.ann_recall_graph_q,
-    "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
-    # (4) the 14 r7-era greens — the stalest driver rows at r11 start
-    # (r10 verdict item 1); after this window no key's latest green is
-    # older than r8:
-    "q7_volume_shipping": analytics.q7_volume_shipping,
-    "q8_market_share": analytics.q8_market_share,
-    "q9_product_profit": analytics.q9_product_profit,
-    "q10_returned_revenue": analytics.q10_returned_revenue,
-    "q12_priority_lateness": analytics.q12_priority_lateness,
-    "q13_customer_distribution": analytics.q13_customer_distribution,
-    "q15_top_supplier": analytics.q15_top_supplier,
-    "q16_supplier_count": analytics.q16_supplier_count,
-    "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
-    "q18_large_orders": analytics.q18_large_orders,
-    "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
-    "q21_waiting_supplier": analytics.q21_waiting_supplier,
-    "q22_dormant_customers": analytics.q22_dormant_customers,
-    "sales_rollup": analytics.sales_rollup,
-    # (5) the oldest r8-era greens that fit (20 of 44):
-    "ann_recall_families": knn.ann_recall_families,
-    "dedup_report": dedup.dedup_report,
-    "token_count": textops.token_count,
-    "minhash_signatures": dedup.minhash_signatures,
-    "minhash_signatures_char": dedup.minhash_signatures_char,
-    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-    "minhash_est_jaccard": dedup.minhash_est_jaccard,
-    "dedup_incremental": dedup.dedup_incremental,
-    "ngram_jaccard_join": dedup.ngram_jaccard_join,
-    "containment_join": dedup.containment_join,
-    "q11_important_stock": analytics.q11_important_stock,
-    "q20_potential_promotion": analytics.q20_potential_promotion,
-    "knn_exact_mips": knn.knn_exact_mips_q,
-    "events_dau_wau": analytics.events_dau_wau,
-    "multimodal_audio_stats": multimodal.multimodal_audio_stats,
-    "multimodal_featurize": multimodal.multimodal_featurize,
-    "multimodal_framesample": multimodal.multimodal_framesample,
-    # (events_approx_distinct, rows-only by design, yields its slot to
-    # #160 — its hash-gated _check twin stays in the window)
-    "events_approx_distinct_check": analytics.events_approx_distinct_check,
-    "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
-    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
-    # entries (measured r3-r10: each CORRECTNESS json holds 50 keys). Keep
-    # new/changed keys ABOVE this line and push an equal number below;
-    # tests/test_gate_window.py enforces the placement.
-    # -- r12 rotation queue, in priority order --
-    # (a) keys whose code changes in r11 after this rotation was written
-    # (b) the r8-era greens below (next stalest at r12 start; includes
-    #     events_approx_distinct, which yielded its r11 slot to #160)
-    # (c) then r9-era, then r10/r11-era (freshest last)
-    # -- r12 queued refactor (r11 review finding, deliberately deferred):
-    # the ~40-line pruned-dynamic-overwrite pattern (touched-keys collect,
-    # packed isin, localCheckpoint-before-overwrite, conf save/restore,
-    # emptied-dir delete) now has 7 hand-synced copies (knn.index_upsert/
-    # index_delete, ivf.ivf_upsert/ivf_delete, pq.ivfpq_upsert/
-    # ivfpq_delete, graph._purge_edges, server._purge_ids). Extract a
-    # shared sources.index_store helper WHEN those keys rotate into the
-    # r12 window — changing them below the gate would repeat the exact
-    # ADVICE-r10 "changed code below the boundary" finding.
-    # -- r8-era greens (next in line) --
+    "graph_rebuild": graph.graph_rebuild,
+    "aknn_http_upsert": server.aknn_http_upsert,
+    "aknn_http_search": server.aknn_http_search,
+    "aknn_http_search_store": server.aknn_http_search_store,
+    # (3) the 20 r8-era greens — the stalest driver rows at r12 start
+    # (r11 verdict item 2); after this window no key's latest green is
+    # older than r9:
     "events_approx_distinct": analytics.events_approx_distinct,
     "events_asof_join": analytics.events_asof_join,
     "events_topk_users": analytics.events_topk_users,
@@ -147,9 +74,7 @@ _QUERIES: dict[str, QueryFn] = {
     "lang_confusion": textops.lang_confusion,
     "aknn_model_registry": api.aknn_model_registry,
     "label_centroids": knn.label_centroids_q,
-    # -- r9-era greens --
-    "ivf_delete": ivf.ivf_delete,
-    "index_delete": knn.index_delete,
+    # (4) the oldest r9-era greens that fit (18):
     "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
     "ivf_index": ivf.ivf_index,
     "ann_search_ivf": ivf.ann_search_ivf_q,
@@ -168,6 +93,15 @@ _QUERIES: dict[str, QueryFn] = {
     "token_histogram": textops.token_histogram,
     "doc_repetition": textops.doc_repetition,
     "decontaminate": textops.decontaminate,
+    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
+    # entries (measured r3-r11: each CORRECTNESS json holds 50 keys). Keep
+    # new/changed keys ABOVE this line and push an equal number below;
+    # tests/test_gate_window.py enforces the placement.
+    # -- r13 rotation queue, in priority order --
+    # (a) keys whose code changes in r12 after this rotation was written
+    # (b) the remaining r9-era greens below (next stalest at r13 start)
+    # (c) then r10-era, then r11/r12-era (freshest last)
+    # -- remaining r9-era greens (next in line) --
     "seq_pack": textops.seq_pack,
     "source_cap": textops.source_cap,
     "stratified_sample": textops.stratified_sample,
@@ -191,9 +125,6 @@ _QUERIES: dict[str, QueryFn] = {
     "boilerplate_scrub": textops.boilerplate_scrub,
     "index_stats": ivf.index_stats,
     "ann_search_matryoshka": knn.ann_search_matryoshka,
-    # -- r10/r11-era greens (freshest, rotate last) --
-    "ivfpq_delete": pq.ivfpq_delete,
-    "ivfpq_upsert": pq.ivfpq_upsert,
     "streaming_sessionize_check": ingest.streaming_sessionize_check,
     "streaming_sessionize_append": ingest.streaming_sessionize_append,
     "streaming_sessionize": ingest.streaming_sessionize,
@@ -219,8 +150,6 @@ _QUERIES: dict[str, QueryFn] = {
     "source_mix": textops.source_mix,
     "semantic_doc_search": knn.semantic_doc_search,
     "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
-    "ivf_upsert": ivf.ivf_upsert,
-    "index_upsert": knn.index_upsert,
     "ann_search_lsh_store": knn.ann_search_lsh_store,
     "ann_search_ivf_store": ivf.ann_search_ivf_store,
     "lsh_index": knn.lsh_index,
@@ -239,6 +168,52 @@ _QUERIES: dict[str, QueryFn] = {
     "events_retention": analytics.events_retention,
     "events_user_ltv": analytics.events_user_ltv,
     "events_sliding_window": analytics.events_sliding_window,
+    # -- r11-gated greens demoted by the r12 rotation (freshest, rotate last) --
+    "bm25_doc_search_char": search.bm25_doc_search_char,
+    "bm25_doc_search": search.bm25_doc_search,
+    "hybrid_search_rrf": search.hybrid_search_rrf,
+    "phrase_match": search.phrase_match,
+    "ann_search_graph_store": graph.ann_search_graph_store,
+    "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
+    "ann_recall": knn.ann_recall_q,
+    "ann_recall_ivf": ivf.ann_recall_ivf_q,
+    "ann_recall_pq": pq.ann_recall_pq,
+    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
+    "ann_recall_graph": graph.ann_recall_graph_q,
+    "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
+    "q7_volume_shipping": analytics.q7_volume_shipping,
+    "q8_market_share": analytics.q8_market_share,
+    "q9_product_profit": analytics.q9_product_profit,
+    "q10_returned_revenue": analytics.q10_returned_revenue,
+    "q12_priority_lateness": analytics.q12_priority_lateness,
+    "q13_customer_distribution": analytics.q13_customer_distribution,
+    "q15_top_supplier": analytics.q15_top_supplier,
+    "q16_supplier_count": analytics.q16_supplier_count,
+    "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
+    "q18_large_orders": analytics.q18_large_orders,
+    "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
+    "q21_waiting_supplier": analytics.q21_waiting_supplier,
+    "q22_dormant_customers": analytics.q22_dormant_customers,
+    "sales_rollup": analytics.sales_rollup,
+    "ann_recall_families": knn.ann_recall_families,
+    "dedup_report": dedup.dedup_report,
+    "token_count": textops.token_count,
+    "minhash_signatures": dedup.minhash_signatures,
+    "minhash_signatures_char": dedup.minhash_signatures_char,
+    "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+    "minhash_est_jaccard": dedup.minhash_est_jaccard,
+    "dedup_incremental": dedup.dedup_incremental,
+    "ngram_jaccard_join": dedup.ngram_jaccard_join,
+    "containment_join": dedup.containment_join,
+    "q11_important_stock": analytics.q11_important_stock,
+    "q20_potential_promotion": analytics.q20_potential_promotion,
+    "knn_exact_mips": knn.knn_exact_mips_q,
+    "events_dau_wau": analytics.events_dau_wau,
+    "multimodal_audio_stats": multimodal.multimodal_audio_stats,
+    "multimodal_featurize": multimodal.multimodal_featurize,
+    "multimodal_framesample": multimodal.multimodal_framesample,
+    "events_approx_distinct_check": analytics.events_approx_distinct_check,
+    "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
 }
 
 
@@ -358,6 +333,9 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     # wire replace-on-index ≡ a full rebuild on the updated table — the
     # same contract (and oracle) as the batch index_upsert
     "aknn_http_upsert": oracles_vector.index_upsert,
+    # wire purge ≡ rebuild on the filtered corpus — the batch index_delete
+    # contract (and oracle), served over POST /_aknn_delete
+    "aknn_http_delete": oracles_vector.index_delete,
     "bitsign_codes": oracles_vector.bitsign_codes,
     "ann_search_bitsign": oracles_vector.ann_search_bitsign,
     "ann_recall_bitsign": oracles_vector.ann_recall_bitsign,

@@ -30,6 +30,22 @@ parameter names and document field names, using only the Python stdlib
 
   GET /_aknn_models → {"models": [...]} (catalog listing).
 
+  DELETE /{index}/{id} (r12) → remove one stored document (200
+      "deleted" / 404 "not_found" — ES delete-by-id parity); bulk form
+      POST /_aknn_delete {"_index": ..., "ids": [...]} → {"deleted": n}.
+      Store mode patches only the doomed ids' term/docs directories
+      (knn.index_delete's pruned-dynamic-overwrite pattern).
+
+  DELETE /{index} (r12) → drop the whole index (ES delete-index), and
+      the recovery path for a torn index (see below).
+
+Every mutation runs under a per-index dirty marker: parquet has no
+transaction log, so a crash mid-commit could leave a half-overwritten
+flat dir or mutually-inconsistent docs/ and terms/ — the marker turns
+that into a DETECTED state (search and further mutations answer 503
+TornIndexError; DELETE /{index} + re-index recovers) instead of silent
+recall loss.
+
 Deployment shape: the server is a DRIVER-side facade — each request plans
 a Spark job over the parquet-backed index (candidate generation is the
 broadcast hash join; the corpus never shuffles per query). Two store
@@ -75,6 +91,13 @@ from .api import (
 from .constants import ANN_K1, ANN_K2, LSH_BITS, LSH_TABLES
 
 
+class TornIndexError(RuntimeError):
+    """A mutation crashed mid-commit and the on-disk index may be torn
+    (multi-file parquet has no transaction log). Raised instead of serving
+    possibly-inconsistent results; mapped to HTTP 503. Recovery: drop the
+    index (DELETE /{index}) and re-index."""
+
+
 class AknnHttpServer:
     """Three-endpoint EsAknn server over a SparkSession.
 
@@ -102,6 +125,10 @@ class AknnHttpServer:
         # the entries.
         self._docs_cache: dict[str, DataFrame] = {}
         self._terms_cache: dict[str, DataFrame] = {}
+        # indexes with a mutation in flight (all ops serialize under the
+        # lock): their own dirty marker must not trip _check_clean when a
+        # snapshot cache misses mid-mutation
+        self._mutating: set[str] = set()
         self._lock = threading.RLock()
         self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(self))
         self.port = self._httpd.server_address[1]
@@ -190,73 +217,257 @@ class AknnHttpServer:
         }
 
     def index(self, body: dict) -> dict:
+        from .sources.index_store import DEFAULT_HASH_BUCKETS
+
         with self._lock:
             model = self.registry.get(body["model"])
             name = body["_index"]
             # ES semantics (the reference host's): indexing an existing _id
             # REPLACES the stored document, it does not append a duplicate.
             # Within one batch, the last occurrence of an id wins (ES
-            # applies index ops in order); against the store, already-
-            # present incoming ids are purged before the append.
+            # applies index ops in order); against the store, replaced ids'
+            # rows are dropped in the SAME write that lands the new ones.
             posted = list({d[ID_FIELD]: d for d in body["docs"]}.values())
             docs = self._pin_id_type(name, self._docs_df(posted))
-            # materialize the hashed batch BEFORE purging: a replace must
+            # hash + materialize BEFORE touching the store: a replace must
             # not destroy the stored doc when the incoming one is invalid
             # (wrong dimension etc. — the hash matmul fails HERE, with the
-            # store untouched). A crash BETWEEN the purge and the append
-            # can still lose the old doc — multi-file parquet has no
-            # transaction log; a production deployment puts a manifest
-            # (Delta/Iceberg-style) under this same seam.
-            hashed = aknn_index(docs, model).localCheckpoint(eager=True)
-            try:
-                self._purge_ids(name, [d[ID_FIELD] for d in posted], docs)
-                if self.store_backed:
-                    self._append_store(name, hashed)
-                else:
-                    hashed.write.mode("append").parquet(self._index_path(name))
-            finally:
-                # in a finally: a failure after the purge rewrote store
-                # files must not leave the snapshot caches pointing at
-                # deleted parquet (that would wedge every later request)
-                self._docs_cache.pop(name, None)
-                self._terms_cache.pop(name, None)
+            # store untouched and the dirty marker unset)
+            hashed = aknn_index(docs, model)
+            if self.store_backed:
+                hashed = hashed.withColumn(
+                    "id_bucket",
+                    F.pmod(F.xxhash64(F.col(ID_FIELD)), F.lit(DEFAULT_HASH_BUCKETS)),
+                )
+            hashed = hashed.localCheckpoint(eager=True)
+            ids = [d[ID_FIELD] for d in posted]
+            if dict(docs.dtypes)[ID_FIELD] == "string":
+                # _pin_id_type may have cast an int batch onto a string-
+                # pinned index; mirror that cast on the raw posted ids
+                ids = [str(i) for i in ids]
+            self._mutate(
+                name,
+                self._replace_store if self.store_backed else self._replace_flat,
+                name,
+                ids,
+                hashed,
+            )
         return {"acknowledged": True, "_index": body["_index"], "indexed": len(body["docs"])}
 
-    def _purge_ids(self, index: str, ids: list, batch_docs: DataFrame) -> None:
-        """Drop any stored rows whose _id appears in the incoming batch —
-        the delete half of ES's replace-on-index. No-op when nothing
-        overlaps (the common all-new-docs append pays ONE pruned overlap
-        probe). Flat mode rewrites the whole dir (the small-index mode —
-        zero layout overhead cuts both ways); store mode is the
-        index_delete pattern: only the ≤ |batch| id_bucket docs dirs and
-        the doomed ids' ≤ |doomed|·T (tbl, bucket) term dirs are rewritten
-        via pruned dynamic overwrite, emptied dirs removed."""
+    # ---- torn-write detection (ADVICE r11): parquet has no transaction
+    # log, so a crash mid-mutation can leave a half-overwritten flat dir or
+    # mutually-inconsistent docs/ and terms/. Every mutation runs under a
+    # marker; a surviving marker turns silent recall loss into a refused,
+    # diagnosable state. ----
+
+    def _dirty_marker(self, index: str) -> str:
+        # '#' is outside the legal index-name alphabet (_index_path), so
+        # the marker can never collide with another index's data directory
+        return os.path.join(self.root, "indexes", f"{index}#dirty")
+
+    def _check_clean(self, index: str) -> None:
         from . import io
 
+        if index in self._mutating:
+            return
+        if io.fs_exists(self.spark, self._dirty_marker(index)):
+            raise TornIndexError(
+                f"index {index!r} has a torn write (a mutation crashed "
+                "mid-commit); refusing to serve possibly-inconsistent "
+                f"results — drop it (DELETE /{index}) and re-index"
+            )
+
+    def _mutate(self, index: str, fn, *args):
+        """Run a store mutation under the torn-write marker: set it, run,
+        clear it only on success. The marker sits OUTSIDE the data dir (a
+        flat-mode overwrite deletes the whole index dir first — a marker
+        inside it would vanish with the files it guards). Snapshot caches
+        are dropped in all cases: a failure after files were rewritten
+        must not leave them pointing at deleted parquet."""
+        from . import io
+
+        self._check_clean(index)
+        marker = self._dirty_marker(index)
+        io.fs_touch(self.spark, marker)
+        self._mutating.add(index)
+        try:
+            out = fn(*args)
+        finally:
+            self._mutating.discard(index)
+            self._docs_cache.pop(index, None)
+            self._terms_cache.pop(index, None)
+        io.fs_delete(self.spark, marker)
+        return out
+
+    def _ids_df(self, ids: list, id_type: str) -> DataFrame:
+        return self.spark.createDataFrame([(i,) for i in ids], f"{ID_FIELD} {id_type}")
+
+    def _replace_flat(self, index: str, ids: list, hashed: DataFrame) -> None:
+        """Flat-mode replace-on-index, FUSED (r12): one overwrite writes
+        survivors ∪ new batch, so the stored doc has no absent window
+        between a purge and an append (r11 purged then appended — two
+        writes and a crash between them lost the old doc for good; now a
+        crash leaves either the old dir or a detected-dirty one). An
+        all-new batch stays a plain append."""
+        path = self._index_path(index)
         if self._stored_id_type(index) is None:
+            hashed.write.mode("append").parquet(path)
             return
-        id_type = dict(batch_docs.dtypes)[ID_FIELD]
-        if id_type == "string":
-            # _pin_id_type may have cast an int batch onto a string-pinned
-            # index; mirror that cast on the raw posted ids
-            ids = [str(i) for i in ids]
-        ids_df = self.spark.createDataFrame(
-            [(i,) for i in ids], f"{ID_FIELD} {id_type}"
+        ids_df = self._ids_df(ids, dict(hashed.dtypes)[ID_FIELD])
+        existing = self._cached_docs(index)
+        doomed = existing.join(F.broadcast(ids_df), ID_FIELD, "left_semi")
+        if not doomed.limit(1).count():
+            hashed.write.mode("append").parquet(path)
+            return
+        patched = (
+            existing.join(F.broadcast(ids_df), ID_FIELD, "left_anti")
+            .unionByName(hashed)
+            .localCheckpoint()
         )
-        if not self.store_backed:
-            existing = self._cached_docs(index)
-            doomed = existing.join(F.broadcast(ids_df), ID_FIELD, "left_semi")
-            if not doomed.limit(1).count():
-                return
-            survivors = existing.join(
-                F.broadcast(ids_df), ID_FIELD, "left_anti"
-            ).localCheckpoint()
-            survivors.write.mode("overwrite").parquet(self._index_path(index))
-            return
-        from .sources.index_store import DEFAULT_HASH_BUCKETS
+        patched.write.mode("overwrite").parquet(path)
+
+    def _replace_store(self, index: str, ids: list, hashed: DataFrame) -> None:
+        """Store-mode replace-on-index, FUSED purge+append (r12): each
+        side (terms/, docs/) transitions old→new in ONE pruned dynamic
+        overwrite carrying survivors ∪ new rows, instead of r11's purge
+        overwrite followed by an append — fewer Spark jobs per request
+        (the serving keys' cost is per-request driver overhead, r11
+        verdict) and no window where a replaced doc is absent. Bounds
+        unchanged: ≤ |batch| id_bucket docs dirs, ≤ |batch|·T (tbl,
+        bucket) term dirs (old ∪ new hashes), everything else untouched."""
+        from .operators.lsh import explode_hashes
+        from .sources.index_store import (
+            DEFAULT_HASH_BUCKETS,
+            partition_key_filter,
+            pruned_dynamic_overwrite,
+        )
 
         n = DEFAULT_HASH_BUCKETS
         path = self._index_path(index)
+        if self._stored_id_type(index) is None:
+            self._append_store(index, hashed)
+            return
+        # ONE collect over the checkpointed batch gives the pruning all it
+        # needs driver-side: the ids' docs buckets and the NEW hashes'
+        # term directories (≤ |batch|·T ints — no vectors)
+        brows = hashed.select("id_bucket", "hashes").collect()
+        buckets = sorted({int(r.id_bucket) for r in brows})
+        new_parts = {(t, int(h) % n) for r in brows for t, h in enumerate(r.hashes)}
+        ids_df = self._ids_df(ids, dict(hashed.dtypes)[ID_FIELD])
+        docs = self._cached_docs(index)
+        pruned = docs.where(F.col("id_bucket").isin(buckets))
+        # the overlap probe doubles as doomed-terms discovery: the stored
+        # hashes of the replaced ids name the term dirs to patch (fused
+        # from r11's three jobs — doomed checkpoint, limit-count, parts
+        # collect)
+        doomed_rows = (
+            pruned.join(F.broadcast(ids_df), ID_FIELD, "left_semi")
+            .select("hashes")
+            .collect()
+        )
+        if not doomed_rows:
+            self._append_store(index, hashed)
+            return
+        doomed_parts = {
+            (t, int(h) % n) for r in doomed_rows for t, h in enumerate(r.hashes)
+        }
+        touched = sorted(doomed_parts | new_parts)
+        # terms side: survivors of EVERY touched dir ∪ the new batch's
+        # terms — a new-only dir must fold its existing rows in too, or
+        # the dynamic overwrite would drop them
+        terms = self._cached_terms(index)
+        tdt = dict(terms.dtypes)
+        new_terms = explode_hashes(
+            hashed.select(ID_FIELD, "hashes"), ID_FIELD, "vec_id"
+        ).select(
+            "vec_id",
+            F.col("tbl").cast(tdt["tbl"]).alias("tbl"),
+            "hash",
+            F.pmod(F.col("hash"), F.lit(n)).cast(tdt["bucket"]).alias("bucket"),
+        )
+        live_terms = (
+            terms.where(partition_key_filter(["tbl", "bucket"], touched))
+            .select("vec_id", "tbl", "hash", "bucket")
+            .join(
+                F.broadcast(ids_df.select(F.col(ID_FIELD).alias("vec_id"))),
+                "vec_id",
+                "left_anti",
+            )
+            .unionByName(new_terms)
+        )
+        pruned_dynamic_overwrite(
+            self.spark, os.path.join(path, "terms"), live_terms, ["tbl", "bucket"], touched
+        )
+        # docs side: the new rows land in exactly the probed buckets
+        # (id_bucket is a function of _id), so one overwrite covers purge
+        # and append and no touched directory can empty
+        live_docs = pruned.join(F.broadcast(ids_df), ID_FIELD, "left_anti").unionByName(
+            hashed.withColumn(
+                "id_bucket", F.col("id_bucket").cast(dict(docs.dtypes)["id_bucket"])
+            )
+        )
+        pruned_dynamic_overwrite(
+            self.spark, os.path.join(path, "docs"), live_docs, ["id_bucket"], buckets
+        )
+
+    def delete_ids(self, index: str, raw_ids: list) -> int:
+        """Bulk document delete — ES DELETE-parity (r11 verdict item 1):
+        the purge half of replace-on-index with no append, shared by the
+        single-doc DELETE /{index}/{id} endpoint and the bulk POST
+        /_aknn_delete. Ids are coerced to the index's pinned _id type (a
+        non-numeric id cannot exist in a bigint-pinned index — it counts
+        as not-found, like any unknown doc). Returns the number of stored
+        docs actually removed (0 → HTTP 404 at the wire)."""
+        with self._lock:
+            pinned = self._stored_id_type(index)
+            if pinned is None:
+                return 0
+            ids = []
+            for i in raw_ids:
+                if pinned == "string":
+                    ids.append(str(i))
+                else:
+                    try:
+                        ids.append(int(i))
+                    except (TypeError, ValueError):
+                        pass
+            if not ids:
+                return 0
+            return self._mutate(
+                index,
+                self._delete_store if self.store_backed else self._delete_flat,
+                index,
+                ids,
+                pinned,
+            )
+
+    def _delete_flat(self, index: str, ids: list, id_type: str) -> int:
+        existing = self._cached_docs(index)
+        ids_df = self._ids_df(ids, id_type)
+        n_doomed = existing.join(F.broadcast(ids_df), ID_FIELD, "left_semi").count()
+        if not n_doomed:
+            return 0
+        survivors = existing.join(
+            F.broadcast(ids_df), ID_FIELD, "left_anti"
+        ).localCheckpoint()
+        # deleting the last doc leaves a legal empty (schema-only) dir
+        survivors.write.mode("overwrite").parquet(self._index_path(index))
+        return n_doomed
+
+    def _delete_store(self, index: str, ids: list, id_type: str) -> int:
+        """knn.index_delete's pattern behind the wire: the doomed ids'
+        stored hashes name the term dirs, their id_buckets the docs dirs;
+        both sides are patched via pruned dynamic overwrite and a
+        directory emptied by the purge is removed (index_store helper)."""
+        from .sources.index_store import (
+            DEFAULT_HASH_BUCKETS,
+            partition_key_filter,
+            pruned_dynamic_overwrite,
+        )
+
+        n = DEFAULT_HASH_BUCKETS
+        path = self._index_path(index)
+        ids_df = self._ids_df(ids, id_type)
         buckets = [
             int(r.id_bucket)
             for r in ids_df.select(
@@ -267,103 +478,76 @@ class AknnHttpServer:
         ]
         docs = self._cached_docs(index)
         pruned = docs.where(F.col("id_bucket").isin(buckets))
-        doomed = pruned.join(F.broadcast(ids_df), ID_FIELD, "left_semi").localCheckpoint()
-        if not doomed.limit(1).count():
-            return
-        # terms side first: the doomed ids' stored hashes name the touched
-        # (tbl, bucket) directories — packed-key PartitionFilter read, drop
-        # doomed, dynamic overwrite (the knn.index_delete shape)
-        from .operators.lsh import explode_hashes
-
-        doomed_terms = explode_hashes(
-            doomed.select(ID_FIELD, "hashes"), ID_FIELD, "vec_id"
-        ).select(
-            "vec_id",
-            F.col("tbl").cast("int").alias("tbl"),
-            F.pmod(F.col("hash"), F.lit(n)).cast("int").alias("bucket"),
+        doomed_rows = (
+            pruned.join(F.broadcast(ids_df), ID_FIELD, "left_semi")
+            .select("hashes", "id_bucket")
+            .collect()
         )
-        parts = [
-            (int(r.tbl), int(r.bucket))
-            for r in doomed_terms.select("tbl", "bucket").distinct().collect()
-        ]
-        packed = [t * 100000 + b for t, b in parts]
-        terms = self._cached_terms(index)
-        touched_terms = terms.where(
-            (F.col("tbl").cast("long") * 100000 + F.col("bucket")).isin(packed)
-        ).select("vec_id", "tbl", "hash", "bucket")
-        live_terms = touched_terms.join(
-            F.broadcast(ids_df.select(F.col(ID_FIELD).alias("vec_id"))),
-            "vec_id",
-            "left_anti",
-        ).localCheckpoint()
-        live_keys = {
-            (int(r.tbl), int(r.bucket))
-            for r in live_terms.select("tbl", "bucket").distinct().collect()
-        }
-        prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                live_terms.repartition("tbl", "bucket")
-                .write.mode("overwrite")
-                .partitionBy("tbl", "bucket")
-                .parquet(os.path.join(path, "terms"))
+        if not doomed_rows:
+            return 0
+        doomed_parts = sorted(
+            {(t, int(h) % n) for r in doomed_rows for t, h in enumerate(r.hashes)}
+        )
+        doomed_buckets = sorted({int(r.id_bucket) for r in doomed_rows})
+        live_terms = (
+            self._cached_terms(index)
+            .where(partition_key_filter(["tbl", "bucket"], doomed_parts))
+            .select("vec_id", "tbl", "hash", "bucket")
+            .join(
+                F.broadcast(ids_df.select(F.col(ID_FIELD).alias("vec_id"))),
+                "vec_id",
+                "left_anti",
             )
-            for t, b in parts:
-                if (t, b) not in live_keys:
-                    io.fs_delete(
-                        self.spark, io.fs_join(path, "terms", f"tbl={t}", f"bucket={b}")
-                    )
-            # docs side: same bound, the ≤ |batch| id_bucket directories
-            live_docs = (
-                pruned.join(F.broadcast(ids_df), ID_FIELD, "left_anti")
-                .localCheckpoint()
-            )
-            live_buckets = {
-                int(r.id_bucket)
-                for r in live_docs.select("id_bucket").distinct().collect()
-            }
-            (
-                live_docs.repartition("id_bucket")
-                .write.mode("overwrite")
-                .partitionBy("id_bucket")
-                .parquet(os.path.join(path, "docs"))
-            )
-            for b in buckets:
-                if b not in live_buckets:
-                    io.fs_delete(
-                        self.spark, io.fs_join(path, "docs", f"id_bucket={b}")
-                    )
-        finally:
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        self._docs_cache.pop(index, None)
-        self._terms_cache.pop(index, None)
+        )
+        pruned_dynamic_overwrite(
+            self.spark, os.path.join(path, "terms"), live_terms, ["tbl", "bucket"], doomed_parts
+        )
+        live_docs = docs.where(F.col("id_bucket").isin(doomed_buckets)).join(
+            F.broadcast(ids_df), ID_FIELD, "left_anti"
+        )
+        pruned_dynamic_overwrite(
+            self.spark, os.path.join(path, "docs"), live_docs, ["id_bucket"], doomed_buckets
+        )
+        return len(doomed_rows)
+
+    def drop_index(self, index: str) -> bool:
+        """DELETE /{index} — ES's delete-index, and the documented recovery
+        path for a torn index: data dir and dirty marker both go (so this
+        must NOT itself refuse on dirty)."""
+        from . import io
+
+        with self._lock:
+            path = self._index_path(index)
+            existed = io.fs_isdir(self.spark, path)
+            io.fs_delete(self.spark, path)
+            io.fs_delete(self.spark, self._dirty_marker(index))
+            self._docs_cache.pop(index, None)
+            self._terms_cache.pop(index, None)
+        return existed
 
     def _append_store(self, index: str, hashed: DataFrame) -> None:
-        """Append one /_aknn_index batch into the partition-pruned layout:
-        docs/ partitioned by id_bucket (doc-by-id lookup = one directory),
-        terms/ partitioned by (tbl, bucket) — sources.index_store's exact
-        LSH layout (id column stored under its vec_id name so
-        load_lsh_partitions reads it back verbatim). Per-batch appends
-        accumulate one file per touched directory per batch — the
-        compaction story is streaming_index_compact's, unchanged."""
+        """Append one all-new /_aknn_index batch into the partition-pruned
+        layout: docs/ partitioned by id_bucket (doc-by-id lookup = one
+        directory), terms/ partitioned by (tbl, bucket) —
+        sources.index_store's exact LSH layout (id column stored under its
+        vec_id name so load_lsh_partitions reads it back verbatim).
+        `hashed` arrives with id_bucket already computed (index() adds it
+        before the checkpoint). Per-batch appends accumulate one file per
+        touched directory per batch — the compaction story is
+        streaming_index_compact's, unchanged."""
         from .operators.lsh import explode_hashes
         from .sources.index_store import DEFAULT_HASH_BUCKETS
 
         path = self._index_path(index)
-        n = DEFAULT_HASH_BUCKETS
-        docs = hashed.withColumn(
-            "id_bucket", F.pmod(F.xxhash64(F.col(ID_FIELD)), F.lit(n))
-        )
         (
-            docs.repartition("id_bucket")
+            hashed.repartition("id_bucket")
             .write.mode("append")
             .partitionBy("id_bucket")
             .parquet(os.path.join(path, "docs"))
         )
         terms = explode_hashes(
             hashed.select(ID_FIELD, "hashes"), ID_FIELD, "vec_id"
-        ).withColumn("bucket", F.pmod(F.col("hash"), F.lit(n)))
+        ).withColumn("bucket", F.pmod(F.col("hash"), F.lit(DEFAULT_HASH_BUCKETS)))
         (
             terms.repartition("tbl", "bucket")
             .write.mode("append")
@@ -374,6 +558,10 @@ class AknnHttpServer:
     def _cached_docs(self, index: str) -> DataFrame:
         df = self._docs_cache.get(index)
         if df is None:
+            # cache miss is the one per-mutation re-entry point (every
+            # mutation pops the caches), so the torn-write check here
+            # covers all serving paths at zero cost to cached requests
+            self._check_clean(index)
             df = self.spark.read.parquet(self._docs_path(index))
             self._docs_cache[index] = df
         return df
@@ -381,6 +569,7 @@ class AknnHttpServer:
     def _cached_terms(self, index: str) -> DataFrame:
         df = self._terms_cache.get(index)
         if df is None:
+            self._check_clean(index)
             df = self.spark.read.parquet(os.path.join(self._index_path(index), "terms"))
             self._terms_cache[index] = df
         return df
@@ -517,8 +706,14 @@ def _make_handler(server: AknnHttpServer):
                     self._reply(200, server.create(self._body()))
                 elif self.path == "/_aknn_index":
                     self._reply(200, server.index(self._body()))
+                elif self.path == "/_aknn_delete":
+                    body = self._body()
+                    n = server.delete_ids(body["_index"], body["ids"])
+                    self._reply(200, {"_index": body["_index"], "deleted": n})
                 else:
                     self._reply(404, {"error": f"no such endpoint: {self.path}"})
+            except TornIndexError as exc:
+                self._reply(503, {"error": f"{type(exc).__name__}: {exc}"})
             except Exception as exc:  # noqa: BLE001 — wire boundary
                 self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
 
@@ -543,6 +738,34 @@ def _make_handler(server: AknnHttpServer):
                     )
                 else:
                     self._reply(404, {"error": f"no such endpoint: {self.path}"})
+            except TornIndexError as exc:
+                self._reply(503, {"error": f"{type(exc).__name__}: {exc}"})
+            except Exception as exc:  # noqa: BLE001 — wire boundary
+                self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+        def do_DELETE(self) -> None:
+            # ES wire parity: DELETE /{index} drops the index (also the
+            # torn-write recovery path); DELETE /{index}/{id} deletes one
+            # document with 200 deleted / 404 not_found semantics
+            try:
+                parts = [p for p in self.path.split("/") if p]
+                if len(parts) == 1:
+                    found = server.drop_index(parts[0])
+                    self._reply(200 if found else 404, {"acknowledged": found})
+                elif len(parts) == 2:
+                    n = server.delete_ids(parts[0], [parts[1]])
+                    self._reply(
+                        200 if n else 404,
+                        {
+                            "_index": parts[0],
+                            "_id": parts[1],
+                            "result": "deleted" if n else "not_found",
+                        },
+                    )
+                else:
+                    self._reply(404, {"error": f"no such endpoint: {self.path}"})
+            except TornIndexError as exc:
+                self._reply(503, {"error": f"{type(exc).__name__}: {exc}"})
             except Exception as exc:  # noqa: BLE001 — wire boundary
                 self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
 
@@ -635,12 +858,41 @@ def aknn_http_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def aknn_http_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (SURVEY §2 #161, r12): ES document-DELETE parity —
+    the last wire CRUD gap (r11 verdict item 1; ES serves DELETE
+    /{index}/{id} natively, and a GDPR purge hits it immediately). The
+    drive posts the full table into the pruned store layout, bulk-deletes
+    the canonical purge set (vec_id % DELETE_MOD == DELETE_REM) over the
+    wire via POST /_aknn_delete — the single-doc DELETE /{index}/{id}
+    endpoint runs the same delete_ids path with 200 deleted / 404
+    not_found semantics, unit-tested both modes — then searches every
+    canonical query id. Gated by the shared index_delete oracle: the wire
+    purge must equal a full rebuild on the filtered corpus; a purged QUERY
+    id returns zero hits (unknown-id semantics) and so contributes no rows
+    — exactly rebuild semantics."""
+    from .constants import DELETE_MOD, DELETE_REM
+
+    def purge(port: int, docs: list[dict]) -> None:
+        doomed = [
+            d[ID_FIELD] for d in docs if d[ID_FIELD] % DELETE_MOD == DELETE_REM
+        ]
+        out = _http_post(port, "/_aknn_delete", {"_index": "vectors", "ids": doomed})
+        if out["deleted"] != len(doomed):
+            raise RuntimeError(
+                f"wire delete removed {out['deleted']} of {len(doomed)} docs"
+            )
+
+    return _drive_endpoints(spark, sf_dir, store_backed=True, tag="delete", mutate=purge)
+
+
 def _drive_endpoints(
     spark: SparkSession,
     sf_dir: str,
     store_backed: bool,
     tag: str | None = None,
     repost=None,
+    mutate=None,
 ) -> DataFrame:
     from . import io
     from .constants import N_QUERIES
@@ -656,23 +908,32 @@ def _drive_endpoints(
         srv = AknnHttpServer(
             spark, io.scratch_dir(kind, sf_dir), store_backed=store_backed
         ).start()
+        try:
+            emb = io.table(spark, sf_dir, "embeddings", widen=True)
+            docs = [
+                {ID_FIELD: int(r.vec_id), "_source": {VECTOR_FIELD: list(r.embedding)}}
+                for r in emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+            ]
+            need = 2 * LSH_TABLES * LSH_BITS
+            _http_post(srv.port, "/_aknn_create", {"_id": "default", "docs": docs[:need]})
+            batches = [docs[i : i + 5000] for i in range(0, len(docs), 5000)]
+            if repost is not None:
+                batches += [b for b in (repost(docs[i : i + 5000]) for i in range(0, len(docs), 5000)) if b]
+            for batch in batches:
+                _http_post(
+                    srv.port,
+                    "/_aknn_index",
+                    {"model": "default", "_index": "vectors", "docs": batch},
+                )
+            if mutate is not None:
+                mutate(srv.port, docs)
+        except BaseException:
+            # ADVICE r11: never cache a partially-built server — a same-
+            # session retry would skip indexing and gate against a partial
+            # store with a confusing oracle mismatch instead of this error
+            srv.stop()
+            raise
         _SERVER_CACHE[key] = srv
-        emb = io.table(spark, sf_dir, "embeddings", widen=True)
-        docs = [
-            {ID_FIELD: int(r.vec_id), "_source": {VECTOR_FIELD: list(r.embedding)}}
-            for r in emb.select("vec_id", "embedding").orderBy("vec_id").collect()
-        ]
-        need = 2 * LSH_TABLES * LSH_BITS
-        _http_post(srv.port, "/_aknn_create", {"_id": "default", "docs": docs[:need]})
-        batches = [docs[i : i + 5000] for i in range(0, len(docs), 5000)]
-        if repost is not None:
-            batches += [b for b in (repost(docs[i : i + 5000]) for i in range(0, len(docs), 5000)) if b]
-        for batch in batches:
-            _http_post(
-                srv.port,
-                "/_aknn_index",
-                {"model": "default", "_index": "vectors", "docs": batch},
-            )
     rows = []
     for qid in range(N_QUERIES):
         res = _http_get(srv.port, f"/vectors/{qid}/_aknn_search?k1={ANN_K1}&k2={ANN_K2}")

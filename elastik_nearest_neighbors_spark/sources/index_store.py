@@ -30,6 +30,95 @@ from pyspark.sql import functions as F
 
 DEFAULT_HASH_BUCKETS = 64
 
+# Radix for packing a multi-column partition key into one long so a
+# touched-directory filter is a single `isin` over one expression (stays a
+# PartitionFilter) instead of an O(|keys|)-deep OR tree. Safe because every
+# trailing key column here is a *directory-count cap* (DEFAULT_HASH_BUCKETS /
+# GRAPH_EDGE_BUCKETS / nlist), orders of magnitude below the radix.
+PACKED_KEY_RADIX = 100_000
+
+
+def _norm_keys(keys) -> list[tuple[int, ...]]:
+    return [
+        tuple(int(x) for x in (k if isinstance(k, (tuple, list)) else (k,)))
+        for k in keys
+    ]
+
+
+def partition_key_filter(part_cols: list[str], keys):
+    """Single-expression predicate over partition columns ONLY, selecting
+    exactly the directories named by `keys` (ints for one partition column,
+    tuples for several). Catalyst keeps it in the scan's PartitionFilters;
+    multi-column keys are packed (see PACKED_KEY_RADIX)."""
+    ks = _norm_keys(keys)
+    if len(part_cols) == 1:
+        return F.col(part_cols[0]).isin([k[0] for k in ks])
+    expr = F.col(part_cols[0]).cast("long")
+    for c in part_cols[1:]:
+        expr = expr * PACKED_KEY_RADIX + F.col(c)
+    packed = []
+    for k in ks:
+        v = k[0]
+        for x in k[1:]:
+            v = v * PACKED_KEY_RADIX + x
+        packed.append(v)
+    return expr.isin(packed)
+
+
+def pruned_dynamic_overwrite(
+    spark: SparkSession,
+    path: str,
+    patched: DataFrame,
+    part_cols: list[str],
+    touched,
+) -> None:
+    """The shared patch-in-place tail used by every index-maintenance op
+    (knn.index_upsert/index_delete, ivf.ivf_upsert/ivf_delete,
+    pq.ivfpq_upsert/ivfpq_delete, graph._purge_edges, server._purge_ids —
+    seven hand-synced copies before r12; this is the single implementation).
+
+    `patched` holds the surviving/replacement rows of ONLY the `touched`
+    directories (each key an int or tuple matching `part_cols`). Steps, each
+    load-bearing:
+
+    1. localCheckpoint BEFORE the overwrite — `patched` reads the same
+       parquet path it is about to rewrite; materializing it first (the
+       delta's ≤ |touched| directories of rows, not the whole store) makes
+       read-then-overwrite safe instead of racing the scan against the
+       truncation.
+    2. Dynamic partition overwrite, clustered by the partition keys (one
+       file per rewritten directory), with the session's
+       partitionOverwriteMode saved/restored around the write.
+    3. Explicit delete of touched directories that received NO surviving
+       rows — dynamic overwrite skips empty partitions, so their stale
+       files would silently survive and keep matching searches.
+
+    At 100 TB the cost is O(touched directories), never O(store)."""
+    from .. import io
+
+    patched = patched.localCheckpoint()
+    live = {
+        tuple(int(r[c]) for c in part_cols)
+        for r in patched.select(*part_cols).distinct().collect()
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            patched.repartition(*part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    for k in _norm_keys(touched):
+        if k not in live:
+            io.fs_delete(
+                spark,
+                io.fs_join(path, *[f"{c}={v}" for c, v in zip(part_cols, k)]),
+            )
+
 
 def save_lsh_index(exploded: DataFrame, path: str, n_buckets: int = DEFAULT_HASH_BUCKETS) -> None:
     """Persist an exploded LSH index (vec_id, tbl, hash) partitioned by

@@ -17,64 +17,64 @@ from elastik_nearest_neighbors_spark import registry
 
 GATE_WINDOW_SIZE = 50
 
-# The r11 window, in driver gate order: (1) the three NEW keys (#157
-# aknn_http_search_store, #158 graph_rebuild, #159 bm25_doc_search_char),
-# (2) six r11-changed keys (server store mode + id pinning, the tokenizer
-# seam through the retrieval family, the graph store/delete refactor),
-# (3) the ADVICE-r10 re-gate of dedup_embedding_cosine + the _recall_of
-# consumers, (4) the 14 r7-era stale greens (r10 verdict item 1), (5) the
-# oldest 20 r8-era greens.
+# The r12 window, in driver gate order: (1) the NEW key (#161
+# aknn_http_delete — wire DELETE parity), (2) eleven r12-changed keys (the
+# seven index-maintenance ops refactored onto the shared
+# index_store.pruned_dynamic_overwrite helper, plus the server rewrite's
+# consumers: fused replace, torn-write marker, DELETE endpoints), (3) the
+# 20 r8-era stale greens (r11 verdict item 2), (4) the oldest 18 r9-era
+# greens.
 EXPECTED_GATE_WINDOW = [
-    "aknn_http_search_store",
+    "aknn_http_delete",
+    "index_upsert",
+    "index_delete",
+    "ivf_upsert",
+    "ivf_delete",
+    "ivfpq_upsert",
+    "ivfpq_delete",
+    "graph_delete",
     "graph_rebuild",
-    "bm25_doc_search_char",
     "aknn_http_upsert",
     "aknn_http_search",
-    "bm25_doc_search",
-    "hybrid_search_rrf",
-    "phrase_match",
-    "graph_delete",
-    "ann_search_graph_store",
-    "dedup_embedding_cosine",
-    "ann_recall",
-    "ann_recall_ivf",
-    "ann_recall_pq",
-    "ann_recall_ivfpq",
-    "ann_recall_graph",
-    "ann_recall_lsh_multiprobe",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q12_priority_lateness",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_revenue",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "sales_rollup",
-    "ann_recall_families",
-    "dedup_report",
-    "token_count",
-    "minhash_signatures",
-    "minhash_signatures_char",
-    "dedup_minhash_lsh",
-    "minhash_est_jaccard",
-    "dedup_incremental",
-    "ngram_jaccard_join",
-    "containment_join",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    "knn_exact_mips",
-    "events_dau_wau",
-    "multimodal_audio_stats",
-    "multimodal_featurize",
-    "multimodal_framesample",
-    "events_approx_distinct_check",
-    "ann_search_lsh_multiprobe",
+    "aknn_http_search_store",
+    "events_approx_distinct",
+    "events_asof_join",
+    "events_topk_users",
+    "events_hourly",
+    "events_sessionize",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q5_local_supplier_volume",
+    "q6_revenue_delta",
+    "quality_score",
+    "corpus_clean",
+    "corpus_curate_full",
+    "quality_quantile",
+    "corpus_to_sequences",
+    "lang_id",
+    "lang_confusion",
+    "aknn_model_registry",
+    "label_centroids",
+    "q2_min_cost_supplier",
+    "ivf_index",
+    "ann_search_ivf",
+    "dedup_semantic",
+    "similarity_join_lsh",
+    "vector_stats",
+    "range_search",
+    "dedup_exact",
+    "dedup_minhash_canonical",
+    "dedup_simhash",
+    "doc_fingerprint",
+    "doc_chunk",
+    "idf_scores",
+    "pii_scrub",
+    "corpus_sample",
+    "token_histogram",
+    "doc_repetition",
+    "decontaminate",
 ]
 
 
@@ -93,7 +93,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 160 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 161 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 160
-    assert len(set(ks)) == 160
+    assert len(ks) == 161
+    assert len(set(ks)) == 161

@@ -194,3 +194,122 @@ def test_http_non_numeric_unknown_id_is_200_empty(spark):
             assert res == {"timed_out": False, "hits": {"total": 0, "hits": []}}, res
         finally:
             srv.stop()
+
+
+def _delete_raw(port, path):
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}", method="DELETE")
+    return urllib.request.urlopen(req)
+
+
+def test_http_delete_doc_200_404_and_matches_fresh(spark):
+    """r12 (#161): DELETE /{index}/{id} removes the stored doc (200
+    result:deleted), a repeat or unknown id is a 404 result:not_found, and
+    post-delete searches equal a fresh server indexed without the doc —
+    in BOTH modes."""
+    docs = _sample_docs(spark, n=96)
+    victim = docs[3]["_id"]
+    for store_backed in (False, True):
+        srv = _serve(spark, docs, store_backed=store_backed, batches=2)
+        fresh = _serve(
+            spark,
+            [d for d in docs if d["_id"] != victim],
+            store_backed=store_backed,
+            sample=docs[:24],
+        )
+        try:
+            res = _json.loads(_delete_raw(srv.port, f"/idx/{victim}").read())
+            assert res["result"] == "deleted", res
+            for bad in (victim, 999999, "not-a-number"):
+                try:
+                    _delete_raw(srv.port, f"/idx/{bad}")
+                    raise AssertionError(f"expected 404 deleting {bad!r}")
+                except urllib.error.HTTPError as e:
+                    assert e.code == 404
+                    assert _json.loads(e.read())["result"] == "not_found"
+            # deleted doc searches as unknown: 200 with zero hits
+            res = _http_get(srv.port, f"/idx/{victim}/_aknn_search?k1=50&k2=5")
+            assert res["hits"]["total"] == 0, res
+            # remaining corpus serves exactly like a never-indexed-it twin
+            for qid in (docs[0]["_id"], docs[40]["_id"]):
+                a = _http_get(srv.port, f"/idx/{qid}/_aknn_search?k1=50&k2=5")
+                b = _http_get(fresh.port, f"/idx/{qid}/_aknn_search?k1=50&k2=5")
+                assert a == b, (store_backed, qid, a, b)
+        finally:
+            srv.stop()
+            fresh.stop()
+
+
+def test_http_bulk_delete_empties_directories(spark):
+    """r12: POST /_aknn_delete purges a whole id set in one request and
+    reports the count; in store mode a docs id_bucket directory emptied by
+    the purge is physically removed (the index_store helper's emptied-dir
+    contract) while surviving buckets keep serving."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    docs = _sample_docs(spark, n=64)
+    srv = _serve(spark, docs, store_backed=True, batches=2)
+    try:
+        stored = srv._cached_docs("idx").select("_id", "id_bucket").collect()
+        by_bucket: dict[int, list] = {}
+        for r in stored:
+            by_bucket.setdefault(int(r.id_bucket), []).append(r._id)
+        # kill every doc of one bucket (plus one from another: the bulk
+        # request spans buckets) -> that directory must vanish
+        doomed_bucket = min(by_bucket)
+        other_bucket = max(by_bucket)
+        assert doomed_bucket != other_bucket
+        doomed = by_bucket[doomed_bucket] + by_bucket[other_bucket][:1]
+        out = _http_post(srv.port, "/_aknn_delete", {"_index": "idx", "ids": doomed})
+        assert out["deleted"] == len(doomed), (out, len(doomed))
+        ddir = _os.path.join(srv._docs_path("idx"), f"id_bucket={doomed_bucket}")
+        assert not _os.path.isdir(ddir), "emptied id_bucket dir must be removed"
+        survivor = next(i for i in by_bucket[other_bucket] if i not in doomed)
+        res = _http_get(srv.port, f"/idx/{survivor}/_aknn_search?k1=50&k2=5")
+        assert res["hits"]["total"] == 5
+        # no purged id may reappear as a neighbor
+        assert not set(h["_id"] for h in res["hits"]["hits"]) & set(doomed)
+        # idempotent: the same bulk request now deletes nothing
+        assert _http_post(srv.port, "/_aknn_delete", {"_index": "idx", "ids": doomed})["deleted"] == 0
+    finally:
+        srv.stop()
+
+
+def test_http_torn_marker_503_and_drop_recovers(spark):
+    """r12 (ADVICE r11): a surviving dirty marker (crash mid-mutation) must
+    turn every serving and mutating request into a DETECTED 503, not
+    silently-served recall loss; DELETE /{index} is the recovery path —
+    it drops data + marker and a re-index serves again. Both modes."""
+    docs = _sample_docs(spark, n=32)
+    for store_backed in (False, True):
+        srv = _serve(spark, docs, store_backed=store_backed)
+        try:
+            qid = docs[0]["_id"]
+            assert _http_get(srv.port, f"/idx/{qid}/_aknn_search?k1=50&k2=5")["hits"]["total"] == 5
+            # simulate the crash: marker on disk, snapshot caches gone
+            # (every real mutation pops them before the marker could stay)
+            open(srv._dirty_marker("idx"), "w").close()
+            srv._docs_cache.clear()
+            srv._terms_cache.clear()
+            for req in (
+                lambda: _http_get(srv.port, f"/idx/{qid}/_aknn_search?k1=50&k2=5"),
+                lambda: _post_raw(srv.port, "/_aknn_index", {"model": "m", "_index": "idx", "docs": docs[:4]}),
+                lambda: _delete_raw(srv.port, f"/idx/{qid}"),
+            ):
+                try:
+                    req()
+                    raise AssertionError("expected 503 on a torn index")
+                except urllib.error.HTTPError as e:
+                    assert e.code == 503, e.code
+                    assert "TornIndexError" in _json.loads(e.read())["error"]
+            # recovery: drop the index (works WHILE torn), then re-index
+            assert _json.loads(_delete_raw(srv.port, "/idx").read())["acknowledged"]
+            _http_post(srv.port, "/_aknn_index", {"model": "m", "_index": "idx", "docs": docs})
+            assert _http_get(srv.port, f"/idx/{qid}/_aknn_search?k1=50&k2=5")["hits"]["total"] == 5
+            # a successful mutation leaves no marker behind
+            import os as _os
+
+            assert not _os.path.exists(srv._dirty_marker("idx"))
+        finally:
+            srv.stop()
