@@ -96,6 +96,7 @@ HEADLINE = [
     "aknn_http_search_store",
     "aknn_http_upsert",
     "aknn_http_delete",
+    "aknn_http_bulk_ingest",
     "sq8_quantize",
     "ann_search_sq8",
     "ann_recall_sq8",

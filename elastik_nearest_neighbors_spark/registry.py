@@ -51,6 +51,9 @@ _QUERIES: dict[str, QueryFn] = {
     "aknn_http_upsert": server.aknn_http_upsert,
     "aknn_http_search": server.aknn_http_search,
     "aknn_http_search_store": server.aknn_http_search_store,
+    # (2b) NEW mid-r12 (#162): refresh=false staging + /_aknn_refresh —
+    # the wire bulk-load path (r11 verdict stretch 7):
+    "aknn_http_bulk_ingest": server.aknn_http_bulk_ingest,
     # (3) the 20 r8-era greens — the stalest driver rows at r12 start
     # (r11 verdict item 2); after this window no key's latest green is
     # older than r9:
@@ -92,7 +95,6 @@ _QUERIES: dict[str, QueryFn] = {
     "corpus_sample": textops.corpus_sample,
     "token_histogram": textops.token_histogram,
     "doc_repetition": textops.doc_repetition,
-    "decontaminate": textops.decontaminate,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
     # entries (measured r3-r11: each CORRECTNESS json holds 50 keys). Keep
     # new/changed keys ABOVE this line and push an equal number below;
@@ -102,6 +104,9 @@ _QUERIES: dict[str, QueryFn] = {
     # (b) the remaining r9-era greens below (next stalest at r13 start)
     # (c) then r10-era, then r11/r12-era (freshest last)
     # -- remaining r9-era greens (next in line) --
+    # (decontaminate was demoted mid-r12 to make room for the new
+    # aknn_http_bulk_ingest; its r9 green is the stalest casualty)
+    "decontaminate": textops.decontaminate,
     "seq_pack": textops.seq_pack,
     "source_cap": textops.source_cap,
     "stratified_sample": textops.stratified_sample,
@@ -336,6 +341,9 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     # wire purge ≡ rebuild on the filtered corpus — the batch index_delete
     # contract (and oracle), served over POST /_aknn_delete
     "aknn_http_delete": oracles_vector.index_delete,
+    # stage → refresh bulk load must serve bit-identically to the
+    # in-memory search (same contract as the other serving keys)
+    "aknn_http_bulk_ingest": oracles_vector.ann_search_lsh,
     "bitsign_codes": oracles_vector.bitsign_codes,
     "ann_search_bitsign": oracles_vector.ann_search_bitsign,
     "ann_recall_bitsign": oracles_vector.ann_recall_bitsign,

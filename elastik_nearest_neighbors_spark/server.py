@@ -39,6 +39,16 @@ parameter names and document field names, using only the Python stdlib
   DELETE /{index} (r12) → drop the whole index (ES delete-index), and
       the recovery path for a torn index (see below).
 
+  POST /_aknn_index with "refresh": false (r12) + POST /_aknn_refresh
+      {"_index": ...} → ES near-real-time semantics: a refresh=false
+      batch is HASHED and staged (one narrow append, no store jobs) but
+      not searchable; /_aknn_refresh merges everything staged into the
+      live store in ONE replace-on-index pass (last staged occurrence of
+      an id wins, exactly ES op order). This is the wire BULK-LOAD path:
+      per-request cost drops from ~8 store jobs to one append, and the
+      merge pays the batch store builder's clustered writes once
+      (measured on the 200k-vector step-up — BASELINE.md r12).
+
 Every mutation runs under a per-index dirty marker: parquet has no
 transaction log, so a crash mid-commit could leave a half-overwritten
 flat dir or mutually-inconsistent docs/ and terms/ — the marker turns
@@ -125,6 +135,10 @@ class AknnHttpServer:
         # the entries.
         self._docs_cache: dict[str, DataFrame] = {}
         self._terms_cache: dict[str, DataFrame] = {}
+        # next batch_seq per index for refresh=false staging; a cache miss
+        # re-derives it from the staged parquet (max+1), so staged batches
+        # survive a server restart with their order intact
+        self._staging_seq: dict[str, int] = {}
         # indexes with a mutation in flight (all ops serialize under the
         # lock): their own dirty marker must not trip _check_clean when a
         # snapshot cache misses mid-mutation
@@ -169,7 +183,9 @@ class AknnHttpServer:
         index has no data yet. Reads through the docs snapshot cache — a
         pre-append snapshot has the same schema, and a fresh
         spark.read.parquet here would re-list the partitioned store on
-        every append batch (the exact cost the caches exist to avoid)."""
+        every append batch (the exact cost the caches exist to avoid).
+        LIVE store only — staged (unrefreshed) batches don't count; use
+        _pinned_id_type where they must."""
         from . import io
 
         if index not in self._docs_cache and not io.fs_isdir(
@@ -177,6 +193,21 @@ class AknnHttpServer:
         ):
             return None
         return dict(self._cached_docs(index).dtypes)[ID_FIELD]
+
+    def _pinned_id_type(self, index: str) -> str | None:
+        """The _id dtype the index is committed to: the live store's, or —
+        for an index that so far exists only as refresh=false staging —
+        the staging schema's (the FIRST staged batch pins, like the first
+        indexed batch does, or the merge would hit a schema split)."""
+        from . import io
+
+        t = self._stored_id_type(index)
+        if t is not None:
+            return t
+        sp = self._staging_path(index)
+        if io.fs_isdir(self.spark, sp):
+            return dict(self.spark.read.parquet(sp).dtypes)[ID_FIELD]
+        return None
 
     def _pin_id_type(self, index: str, docs: DataFrame) -> DataFrame:
         """ADVICE r10: _docs_df infers the _id type PER BATCH (bigint iff
@@ -186,7 +217,7 @@ class AknnHttpServer:
         later int-id batches against a string-pinned index are cast
         (lossless), a string-id batch against a bigint-pinned index is
         rejected with a 400 (the caller's ids don't round-trip)."""
-        pinned = self._stored_id_type(index)
+        pinned = self._pinned_id_type(index)
         batch = dict(docs.dtypes)[ID_FIELD]
         if pinned is None or pinned == batch:
             return docs
@@ -239,6 +270,17 @@ class AknnHttpServer:
                     "id_bucket",
                     F.pmod(F.xxhash64(F.col(ID_FIELD)), F.lit(DEFAULT_HASH_BUCKETS)),
                 )
+            if body.get("refresh", True) is False:
+                # bulk-load path: hash + ONE narrow staging append, no
+                # store jobs; /_aknn_refresh merges. No checkpoint needed —
+                # the append itself materializes (and validates) the batch,
+                # and a failed append commits nothing (parquet job commit)
+                self._stage(name, hashed)
+                return {
+                    "acknowledged": True,
+                    "_index": name,
+                    "staged": len(body["docs"]),
+                }
             hashed = hashed.localCheckpoint(eager=True)
             ids = [d[ID_FIELD] for d in posted]
             if dict(docs.dtypes)[ID_FIELD] == "string":
@@ -410,6 +452,66 @@ class AknnHttpServer:
             self.spark, os.path.join(path, "docs"), live_docs, ["id_bucket"], buckets
         )
 
+    # ---- refresh=false staging + /_aknn_refresh (r12, ES NRT parity):
+    # staged batches are hashed but NOT searchable/deletable until refresh
+    # — exactly ES's near-real-time contract. Staging lives OUTSIDE the
+    # data dir ('#' is outside the legal index-name alphabet, like the
+    # dirty marker) so flat-mode reads and overwrites never see it. ----
+
+    def _staging_path(self, index: str) -> str:
+        return os.path.join(self.root, "indexes", f"{index}#staging")
+
+    def _stage(self, index: str, hashed: DataFrame) -> None:
+        from . import io
+
+        self._check_clean(index)
+        path = self._staging_path(index)
+        seq = self._staging_seq.get(index)
+        if seq is None:
+            seq = 0
+            if io.fs_isdir(self.spark, path):
+                row = self.spark.read.parquet(path).agg(F.max("batch_seq")).first()
+                seq = int(row[0] or 0) + 1
+        hashed.withColumn("batch_seq", F.lit(seq).cast("long")).write.mode(
+            "append"
+        ).parquet(path)
+        self._staging_seq[index] = seq + 1
+
+    def refresh(self, index: str) -> dict:
+        """POST /_aknn_refresh — merge everything staged into the live
+        store in one replace-on-index pass. The last staged occurrence of
+        an id wins (batch_seq rank — ES applies index ops in order); the
+        merge runs under the dirty marker like any mutation, and staging
+        is deleted only after both sides commit, so a crash either leaves
+        the staged batches intact (re-refresh) or a detected-torn index
+        (drop + re-index — drop_index clears staging too)."""
+        from . import io
+        from pyspark.sql import Window
+
+        with self._lock:
+            path = self._staging_path(index)
+            if not io.fs_isdir(self.spark, path):
+                return {"_index": index, "refreshed": True, "merged": 0}
+            staged = self.spark.read.parquet(path)
+            w = Window.partitionBy(ID_FIELD).orderBy(F.desc("batch_seq"))
+            latest = (
+                staged.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn", "batch_seq")
+                .localCheckpoint(eager=True)
+            )
+            ids = [r[0] for r in latest.select(ID_FIELD).collect()]
+
+            def _merge() -> None:
+                (self._replace_store if self.store_backed else self._replace_flat)(
+                    index, ids, latest
+                )
+                io.fs_delete(self.spark, path)
+
+            self._mutate(index, _merge)
+            self._staging_seq.pop(index, None)
+            return {"_index": index, "refreshed": True, "merged": len(ids)}
+
     def delete_ids(self, index: str, raw_ids: list) -> int:
         """Bulk document delete — ES DELETE-parity (r11 verdict item 1):
         the purge half of replace-on-index with no append, shared by the
@@ -521,6 +623,8 @@ class AknnHttpServer:
             existed = io.fs_isdir(self.spark, path)
             io.fs_delete(self.spark, path)
             io.fs_delete(self.spark, self._dirty_marker(index))
+            io.fs_delete(self.spark, self._staging_path(index))
+            self._staging_seq.pop(index, None)
             self._docs_cache.pop(index, None)
             self._terms_cache.pop(index, None)
         return existed
@@ -710,6 +814,8 @@ def _make_handler(server: AknnHttpServer):
                     body = self._body()
                     n = server.delete_ids(body["_index"], body["ids"])
                     self._reply(200, {"_index": body["_index"], "deleted": n})
+                elif self.path == "/_aknn_refresh":
+                    self._reply(200, server.refresh(self._body()["_index"]))
                 else:
                     self._reply(404, {"error": f"no such endpoint: {self.path}"})
             except TornIndexError as exc:
@@ -886,6 +992,21 @@ def aknn_http_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drive_endpoints(spark, sf_dir, store_backed=True, tag="delete", mutate=purge)
 
 
+def aknn_http_bulk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (SURVEY §2 #162, r12): ES refresh-semantics bulk
+    loading over the wire — the answer to r11's honest 749 s / 200k wire
+    ingest number. Every /_aknn_index batch is posted with
+    "refresh": false (hash + ONE narrow staging append per request — no
+    probe/purge/partitioned-write jobs), then a single POST /_aknn_refresh
+    merges the staged batches into the pruned store layout through the
+    batch builder's clustered writes, with last-occurrence-of-an-id-wins
+    across batches (ES op order). Gated by the shared ann_search_lsh
+    oracle like the other serving keys: searches over the bulk-loaded
+    store must be bit-identical to the in-memory search path, so a doc
+    lost (or duplicated) anywhere in stage → merge fails the hash gate."""
+    return _drive_endpoints(spark, sf_dir, store_backed=True, tag="bulk", bulk=True)
+
+
 def _drive_endpoints(
     spark: SparkSession,
     sf_dir: str,
@@ -893,6 +1014,7 @@ def _drive_endpoints(
     tag: str | None = None,
     repost=None,
     mutate=None,
+    bulk: bool = False,
 ) -> DataFrame:
     from . import io
     from .constants import N_QUERIES
@@ -920,11 +1042,12 @@ def _drive_endpoints(
             if repost is not None:
                 batches += [b for b in (repost(docs[i : i + 5000]) for i in range(0, len(docs), 5000)) if b]
             for batch in batches:
-                _http_post(
-                    srv.port,
-                    "/_aknn_index",
-                    {"model": "default", "_index": "vectors", "docs": batch},
-                )
+                payload = {"model": "default", "_index": "vectors", "docs": batch}
+                if bulk:
+                    payload["refresh"] = False
+                _http_post(srv.port, "/_aknn_index", payload)
+            if bulk:
+                _http_post(srv.port, "/_aknn_refresh", {"_index": "vectors"})
             if mutate is not None:
                 mutate(srv.port, docs)
         except BaseException:

@@ -18,7 +18,9 @@ from elastik_nearest_neighbors_spark import registry
 GATE_WINDOW_SIZE = 50
 
 # The r12 window, in driver gate order: (1) the NEW key (#161
-# aknn_http_delete — wire DELETE parity), (2) eleven r12-changed keys (the
+# aknn_http_delete — wire DELETE parity, plus mid-r12 #162
+# aknn_http_bulk_ingest — refresh=false staging + /_aknn_refresh, which
+# demoted decontaminate to the r13 queue), (2) eleven r12-changed keys (the
 # seven index-maintenance ops refactored onto the shared
 # index_store.pruned_dynamic_overwrite helper, plus the server rewrite's
 # consumers: fused replace, torn-write marker, DELETE endpoints), (3) the
@@ -37,6 +39,7 @@ EXPECTED_GATE_WINDOW = [
     "aknn_http_upsert",
     "aknn_http_search",
     "aknn_http_search_store",
+    "aknn_http_bulk_ingest",
     "events_approx_distinct",
     "events_asof_join",
     "events_topk_users",
@@ -74,7 +77,6 @@ EXPECTED_GATE_WINDOW = [
     "corpus_sample",
     "token_histogram",
     "doc_repetition",
-    "decontaminate",
 ]
 
 
@@ -93,7 +95,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 161 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 162 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 161
-    assert len(set(ks)) == 161
+    assert len(ks) == 162
+    assert len(set(ks)) == 162

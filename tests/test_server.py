@@ -313,3 +313,176 @@ def test_http_torn_marker_503_and_drop_recovers(spark):
             assert not _os.path.exists(srv._dirty_marker("idx"))
         finally:
             srv.stop()
+
+
+def test_http_bulk_ingest_stage_refresh(spark):
+    """r12 (#162): refresh=false stages without touching the live store
+    (searches keep serving the pre-stage state — ES NRT), /_aknn_refresh
+    merges with last-staged-occurrence-of-an-id-wins across batches, the
+    merged server equals a fresh immediate-mode twin indexed with the
+    final state, and an empty refresh is a no-op. Both modes."""
+    docs = _sample_docs(spark, n=96)
+    moved = [
+        {"_id": d["_id"],
+         "_source": {"_aknn_vector": [2.0 * x for x in d["_source"]["_aknn_vector"]]}}
+        for d in docs[:16]
+    ]
+    stale = [
+        {"_id": d["_id"],
+         "_source": {"_aknn_vector": [3.0 * x for x in d["_source"]["_aknn_vector"]]}}
+        for d in docs[:8]
+    ]
+    final = moved + docs[16:]
+    for store_backed in (False, True):
+        srv = _serve(spark, docs, store_backed=store_backed, batches=2)
+        fresh = _serve(spark, final, store_backed=store_backed, batches=2, sample=docs[:24])
+        try:
+            qid = docs[0]["_id"]
+            before = _http_get(srv.port, f"/idx/{qid}/_aknn_search?k1=50&k2=5")
+            # stage two batches: the stale versions first, the real moved
+            # versions second — refresh must apply the LATER batch
+            for batch in (stale, moved):
+                out = _http_post(
+                    srv.port,
+                    "/_aknn_index",
+                    {"model": "m", "_index": "idx", "docs": batch, "refresh": False},
+                )
+                assert out["staged"] == len(batch), out
+            # staged batches are invisible until refresh (ES NRT)
+            assert _http_get(srv.port, f"/idx/{qid}/_aknn_search?k1=50&k2=5") == before
+            out = _http_post(srv.port, "/_aknn_refresh", {"_index": "idx"})
+            assert out["merged"] == len(moved), out
+            for q in (docs[0]["_id"], docs[5]["_id"], docs[40]["_id"]):
+                a = _http_get(srv.port, f"/idx/{q}/_aknn_search?k1=50&k2=5")
+                b = _http_get(fresh.port, f"/idx/{q}/_aknn_search?k1=50&k2=5")
+                assert a == b, (store_backed, q, a, b)
+            # nothing staged -> refresh is a cheap no-op
+            assert _http_post(srv.port, "/_aknn_refresh", {"_index": "idx"})["merged"] == 0
+        finally:
+            srv.stop()
+            fresh.stop()
+
+
+def test_http_bulk_staging_survives_restart_and_drop_clears_it(spark):
+    """r12 (#162): staged batches live on disk with their batch_seq, so a
+    NEW server over the same root re-derives the sequence (later staged
+    batches still win) and can refresh work staged before the restart;
+    DELETE /{index} clears staging too. Also: an index that exists ONLY
+    as staging pins the _id type for later staged batches."""
+    import tempfile as _tempfile
+
+    docs = _sample_docs(spark, n=48)
+    moved = [
+        {"_id": d["_id"],
+         "_source": {"_aknn_vector": [2.0 * x for x in d["_source"]["_aknn_vector"]]}}
+        for d in docs[:8]
+    ]
+    root = _tempfile.mkdtemp(prefix="enn_http_test_")
+    srv = AknnHttpServer(spark, root, store_backed=True).start()
+    try:
+        _http_post(srv.port, "/_aknn_create",
+                   {"_id": "m", "nb_tables": 4, "nb_bits_per_table": 3, "docs": docs[:24]})
+        _http_post(srv.port, "/_aknn_index",
+                   {"model": "m", "_index": "idx", "docs": docs, "refresh": False})
+        # staged-only index pins the id type: a string-id staged batch 400s
+        try:
+            _post_raw(srv.port, "/_aknn_index",
+                      {"model": "m", "_index": "idx", "refresh": False,
+                       "docs": [{"_id": "s-0", "_source": docs[0]["_source"]}]})
+            raise AssertionError("expected 400 for string ids on bigint-staged index")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
+    srv2 = AknnHttpServer(spark, root, store_backed=True).start()
+    fresh = _serve(spark, moved + docs[8:], store_backed=True, sample=docs[:24])
+    try:
+        # staged AFTER the restart, must still sort after the first batch
+        _http_post(srv2.port, "/_aknn_index",
+                   {"model": "m", "_index": "idx", "docs": moved, "refresh": False})
+        assert _http_post(srv2.port, "/_aknn_refresh", {"_index": "idx"})["merged"] == len(docs)
+        for q in (docs[0]["_id"], docs[20]["_id"]):
+            a = _http_get(srv2.port, f"/idx/{q}/_aknn_search?k1=50&k2=5")
+            b = _http_get(fresh.port, f"/idx/{q}/_aknn_search?k1=50&k2=5")
+            assert a == b, (q, a, b)
+        # drop clears staging alongside data + marker
+        _http_post(srv2.port, "/_aknn_index",
+                   {"model": "m", "_index": "idx", "docs": docs[:4], "refresh": False})
+        assert _json.loads(_delete_raw(srv2.port, "/idx").read())["acknowledged"]
+        assert _http_post(srv2.port, "/_aknn_refresh", {"_index": "idx"})["merged"] == 0
+    finally:
+        srv2.stop()
+        fresh.stop()
+
+
+def test_http_concurrent_searches_during_mutations(spark):
+    """r12 (r11 verdict stretch 8): the ThreadingHTTPServer + shared
+    SparkSession serving claim under an actual race — search GETs fired
+    continuously from several threads WHILE the main thread replaces and
+    deletes docs. Every response must be a well-formed 200 equal to either
+    the pre- or post-mutation state (the RLock serializes Spark work), and
+    the store must end exactly at the post-state."""
+    import threading as _threading
+
+    docs = _sample_docs(spark, n=64)
+    moved = [
+        {"_id": d["_id"],
+         "_source": {"_aknn_vector": [2.0 * x for x in d["_source"]["_aknn_vector"]]}}
+        for d in docs[:8]
+    ]
+    srv = _serve(spark, docs, store_backed=True, batches=2)
+    # twins for the two post-mutation states, built up front so every
+    # racing response can be checked against a LINEARIZABLE state:
+    # s1 = initial, s2 = after the replace, s3 = after the delete
+    mid = _serve(spark, moved + docs[8:], store_backed=True, sample=docs[:24])
+    post = _serve(
+        spark,
+        [d for d in (moved + docs[8:]) if d["_id"] != docs[9]["_id"]],
+        store_backed=True,
+        sample=docs[:24],
+    )
+    try:
+        qid = docs[40]["_id"]
+        states = [_http_get(srv.port, f"/idx/{qid}/_aknn_search?k1=50&k2=5")]
+        for twin in (mid, post):
+            s = _http_get(twin.port, f"/idx/{qid}/_aknn_search?k1=50&k2=5")
+            if s not in states:
+                states.append(s)
+        results: list = []
+        errors: list = []
+        stop = _threading.Event()
+
+        def hammer():
+            while not stop.is_set():
+                try:
+                    results.append(
+                        _http_get(srv.port, f"/idx/{qid}/_aknn_search?k1=50&k2=5")
+                    )
+                except Exception as exc:  # noqa: BLE001 — collected for assert
+                    errors.append(exc)
+
+        threads = [_threading.Thread(target=hammer) for _ in range(4)]
+        for t in threads:
+            t.start()
+        try:
+            _http_post(srv.port, "/_aknn_index",
+                       {"model": "m", "_index": "idx", "docs": moved})
+            _http_post(srv.port, "/_aknn_delete",
+                       {"_index": "idx", "ids": [docs[9]["_id"]]})
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(timeout=120)
+        assert not errors, errors[:3]
+        assert results, "no concurrent search completed"
+        bad = [r for r in results if r not in states]
+        assert not bad, ("racing search returned a non-linearizable state", bad[:2])
+        # the store settles at exactly the post-state twin
+        for q in (docs[0]["_id"], docs[40]["_id"]):
+            a = _http_get(srv.port, f"/idx/{q}/_aknn_search?k1=50&k2=5")
+            b = _http_get(post.port, f"/idx/{q}/_aknn_search?k1=50&k2=5")
+            assert a == b, (q, a, b)
+    finally:
+        srv.stop()
+        mid.stop()
+        post.stop()
