@@ -139,6 +139,23 @@ class AknnHttpServer:
         # re-derives it from the staged parquet (max+1), so staged batches
         # survive a server restart with their order intact
         self._staging_seq: dict[str, int] = {}
+        # pinned _id dtype per index (r12): the type is IMMUTABLE once the
+        # first batch lands (that's the pinning rule), so unlike the
+        # snapshot caches it survives mutations — without it every point
+        # update re-listed the whole docs store just to re-learn a fact
+        # that cannot change. Cleared only by drop_index.
+        self._id_type_cache: dict[str, str] = {}
+        # staged-only twin (an index that exists only as refresh=false
+        # staging pins from its first STAGED batch); cleared on refresh
+        # (the live store takes over) and on drop_index
+        self._staged_id_type: dict[str, str] = {}
+        # doc-by-id lookup cache (r12): a store-mode search is two Spark
+        # jobs — fetch the stored query doc, then rank its candidates; a
+        # repeated GET of the same doc (the ES hot-query reality) need not
+        # re-run the fetch. Invalidated per-index on every mutation,
+        # exactly like the snapshot caches; FIFO-capped so a scan over
+        # many distinct ids can't grow it unboundedly.
+        self._doc_cache: dict[tuple, list] = {}
         # indexes with a mutation in flight (all ops serialize under the
         # lock): their own dirty marker must not trip _check_clean when a
         # snapshot cache misses mid-mutation
@@ -188,11 +205,16 @@ class AknnHttpServer:
         _pinned_id_type where they must."""
         from . import io
 
+        t = self._id_type_cache.get(index)
+        if t is not None:
+            return t
         if index not in self._docs_cache and not io.fs_isdir(
             self.spark, self._docs_path(index)
         ):
             return None
-        return dict(self._cached_docs(index).dtypes)[ID_FIELD]
+        t = dict(self._cached_docs(index).dtypes)[ID_FIELD]
+        self._id_type_cache[index] = t
+        return t
 
     def _pinned_id_type(self, index: str) -> str | None:
         """The _id dtype the index is committed to: the live store's, or —
@@ -204,10 +226,14 @@ class AknnHttpServer:
         t = self._stored_id_type(index)
         if t is not None:
             return t
+        t = self._staged_id_type.get(index)
+        if t is not None:
+            return t
         sp = self._staging_path(index)
         if io.fs_isdir(self.spark, sp):
-            return dict(self.spark.read.parquet(sp).dtypes)[ID_FIELD]
-        return None
+            t = dict(self.spark.read.parquet(sp).dtypes)[ID_FIELD]
+            self._staged_id_type[index] = t
+        return t
 
     def _pin_id_type(self, index: str, docs: DataFrame) -> DataFrame:
         """ADVICE r10: _docs_df infers the _id type PER BATCH (bigint iff
@@ -338,11 +364,35 @@ class AknnHttpServer:
             self._mutating.discard(index)
             self._docs_cache.pop(index, None)
             self._terms_cache.pop(index, None)
+            for k in [k for k in self._doc_cache if k[0] == index]:
+                del self._doc_cache[k]
         io.fs_delete(self.spark, marker)
         return out
 
     def _ids_df(self, ids: list, id_type: str) -> DataFrame:
         return self.spark.createDataFrame([(i,) for i in ids], f"{ID_FIELD} {id_type}")
+
+    def _pruned_dirs_df(self, base: str, part_cols: list[str], keys) -> DataFrame | None:
+        """Rows of exactly the named partition directories, read via
+        EXPLICIT paths + basePath (r12): a mutation previously re-read the
+        store through a fresh full snapshot (its FileIndex lists ALL
+        T·n_buckets + n_buckets directories) because the previous mutation
+        dropped the caches — the listing, not the data, dominated the
+        point-update latency. Directories that don't exist are skipped
+        (manifest-level probe); None = none of them do. The snapshot
+        caches stay what they are good at: amortizing ONE listing over
+        many searches."""
+        from . import io
+
+        dirs = []
+        for k in keys:
+            k = k if isinstance(k, (tuple, list)) else (k,)
+            d = io.fs_join(base, *[f"{c}={int(v)}" for c, v in zip(part_cols, k)])
+            if io.fs_isdir(self.spark, d):
+                dirs.append(d)
+        if not dirs:
+            return None
+        return self.spark.read.option("basePath", base).parquet(*dirs)
 
     def _replace_flat(self, index: str, ids: list, hashed: DataFrame) -> None:
         """Flat-mode replace-on-index, FUSED (r12): one overwrite writes
@@ -396,8 +446,15 @@ class AknnHttpServer:
         buckets = sorted({int(r.id_bucket) for r in brows})
         new_parts = {(t, int(h) % n) for r in brows for t, h in enumerate(r.hashes)}
         ids_df = self._ids_df(ids, dict(hashed.dtypes)[ID_FIELD])
-        docs = self._cached_docs(index)
-        pruned = docs.where(F.col("id_bucket").isin(buckets))
+        # r12: the batch's ids can only live in its own id_bucket dirs —
+        # read exactly those via explicit paths (no store-wide listing;
+        # see _pruned_dirs_df)
+        pruned = self._pruned_dirs_df(
+            os.path.join(path, "docs"), ["id_bucket"], buckets
+        )
+        if pruned is None:
+            self._append_store(index, hashed)
+            return
         # the overlap probe doubles as doomed-terms discovery: the stored
         # hashes of the replaced ids name the term dirs to patch (fused
         # from r11's three jobs — doomed checkpoint, limit-count, parts
@@ -416,40 +473,61 @@ class AknnHttpServer:
         touched = sorted(doomed_parts | new_parts)
         # terms side: survivors of EVERY touched dir ∪ the new batch's
         # terms — a new-only dir must fold its existing rows in too, or
-        # the dynamic overwrite would drop them
-        terms = self._cached_terms(index)
-        tdt = dict(terms.dtypes)
+        # the dynamic overwrite would drop them. Explicit-dir read of the
+        # touched dirs only (the partition_key_filter predicate stays on
+        # top as the correctness guard, same as load_lsh_partitions).
+        terms = self._pruned_dirs_df(os.path.join(path, "terms"), ["tbl", "bucket"], touched)
         new_terms = explode_hashes(
             hashed.select(ID_FIELD, "hashes"), ID_FIELD, "vec_id"
         ).select(
             "vec_id",
-            F.col("tbl").cast(tdt["tbl"]).alias("tbl"),
+            F.col("tbl").cast("int").alias("tbl"),
             "hash",
-            F.pmod(F.col("hash"), F.lit(n)).cast(tdt["bucket"]).alias("bucket"),
+            F.pmod(F.col("hash"), F.lit(n)).cast("int").alias("bucket"),
         )
-        live_terms = (
-            terms.where(partition_key_filter(["tbl", "bucket"], touched))
-            .select("vec_id", "tbl", "hash", "bucket")
-            .join(
-                F.broadcast(ids_df.select(F.col(ID_FIELD).alias("vec_id"))),
-                "vec_id",
-                "left_anti",
+        live_terms = new_terms
+        if terms is not None:
+            live_terms = (
+                terms.where(partition_key_filter(["tbl", "bucket"], touched))
+                .select(
+                    "vec_id",
+                    F.col("tbl").cast("int").alias("tbl"),
+                    "hash",
+                    F.col("bucket").cast("int").alias("bucket"),
+                )
+                .join(
+                    F.broadcast(ids_df.select(F.col(ID_FIELD).alias("vec_id"))),
+                    "vec_id",
+                    "left_anti",
+                )
+                .unionByName(new_terms)
             )
-            .unionByName(new_terms)
-        )
+        # a doomed-only term dir (old hash no new doc shares) can empty, so
+        # the emptied-dir sweep stays ON unless the new parts cover it
         pruned_dynamic_overwrite(
-            self.spark, os.path.join(path, "terms"), live_terms, ["tbl", "bucket"], touched
+            self.spark,
+            os.path.join(path, "terms"),
+            live_terms,
+            ["tbl", "bucket"],
+            touched,
+            assume_live=doomed_parts <= new_parts,
         )
         # docs side: the new rows land in exactly the probed buckets
         # (id_bucket is a function of _id), so one overwrite covers purge
-        # and append and no touched directory can empty
+        # and append, no touched directory can empty (assume_live), and
+        # the emptied-dir job is skipped
         live_docs = pruned.join(F.broadcast(ids_df), ID_FIELD, "left_anti").unionByName(
             hashed.withColumn(
-                "id_bucket", F.col("id_bucket").cast(dict(docs.dtypes)["id_bucket"])
+                "id_bucket", F.col("id_bucket").cast(dict(pruned.dtypes)["id_bucket"])
             )
         )
         pruned_dynamic_overwrite(
-            self.spark, os.path.join(path, "docs"), live_docs, ["id_bucket"], buckets
+            self.spark,
+            os.path.join(path, "docs"),
+            live_docs,
+            ["id_bucket"],
+            buckets,
+            assume_live=True,
         )
 
     # ---- refresh=false staging + /_aknn_refresh (r12, ES NRT parity):
@@ -476,6 +554,7 @@ class AknnHttpServer:
             "append"
         ).parquet(path)
         self._staging_seq[index] = seq + 1
+        self._staged_id_type.setdefault(index, dict(hashed.dtypes)[ID_FIELD])
 
     def refresh(self, index: str) -> dict:
         """POST /_aknn_refresh — merge everything staged into the live
@@ -510,6 +589,7 @@ class AknnHttpServer:
 
             self._mutate(index, _merge)
             self._staging_seq.pop(index, None)
+            self._staged_id_type.pop(index, None)
             return {"_index": index, "refreshed": True, "merged": len(ids)}
 
     def delete_ids(self, index: str, raw_ids: list) -> int:
@@ -578,8 +658,14 @@ class AknnHttpServer:
             .distinct()
             .collect()
         ]
-        docs = self._cached_docs(index)
-        pruned = docs.where(F.col("id_bucket").isin(buckets))
+        # explicit-dir reads throughout (r12, see _pruned_dirs_df): the
+        # doomed ids can only live in their own id_bucket dirs, and the
+        # doomed terms only in the stored hashes' (tbl, bucket) dirs
+        pruned = self._pruned_dirs_df(
+            os.path.join(path, "docs"), ["id_bucket"], buckets
+        )
+        if pruned is None:
+            return 0
         doomed_rows = (
             pruned.join(F.broadcast(ids_df), ID_FIELD, "left_semi")
             .select("hashes", "id_bucket")
@@ -591,20 +677,23 @@ class AknnHttpServer:
             {(t, int(h) % n) for r in doomed_rows for t, h in enumerate(r.hashes)}
         )
         doomed_buckets = sorted({int(r.id_bucket) for r in doomed_rows})
-        live_terms = (
-            self._cached_terms(index)
-            .where(partition_key_filter(["tbl", "bucket"], doomed_parts))
-            .select("vec_id", "tbl", "hash", "bucket")
-            .join(
-                F.broadcast(ids_df.select(F.col(ID_FIELD).alias("vec_id"))),
-                "vec_id",
-                "left_anti",
+        terms = self._pruned_dirs_df(
+            os.path.join(path, "terms"), ["tbl", "bucket"], doomed_parts
+        )
+        if terms is not None:
+            live_terms = (
+                terms.where(partition_key_filter(["tbl", "bucket"], doomed_parts))
+                .select("vec_id", "tbl", "hash", "bucket")
+                .join(
+                    F.broadcast(ids_df.select(F.col(ID_FIELD).alias("vec_id"))),
+                    "vec_id",
+                    "left_anti",
+                )
             )
-        )
-        pruned_dynamic_overwrite(
-            self.spark, os.path.join(path, "terms"), live_terms, ["tbl", "bucket"], doomed_parts
-        )
-        live_docs = docs.where(F.col("id_bucket").isin(doomed_buckets)).join(
+            pruned_dynamic_overwrite(
+                self.spark, os.path.join(path, "terms"), live_terms, ["tbl", "bucket"], doomed_parts
+            )
+        live_docs = pruned.where(F.col("id_bucket").isin(doomed_buckets)).join(
             F.broadcast(ids_df), ID_FIELD, "left_anti"
         )
         pruned_dynamic_overwrite(
@@ -625,8 +714,12 @@ class AknnHttpServer:
             io.fs_delete(self.spark, self._dirty_marker(index))
             io.fs_delete(self.spark, self._staging_path(index))
             self._staging_seq.pop(index, None)
+            self._staged_id_type.pop(index, None)
+            self._id_type_cache.pop(index, None)
             self._docs_cache.pop(index, None)
             self._terms_cache.pop(index, None)
+            for k in [k for k in self._doc_cache if k[0] == index]:
+                del self._doc_cache[k]
         return existed
 
     def _append_store(self, index: str, hashed: DataFrame) -> None:
@@ -715,7 +808,13 @@ class AknnHttpServer:
                 # a non-numeric id cannot exist in a bigint-pinned index —
                 # same 200/zero-hits contract as any other unknown doc
                 return self.spark.createDataFrame([], empty)
-        qrows = self._query_doc_df(index, doc_id).collect()
+        ck = (index, doc_id)
+        qrows = self._doc_cache.get(ck)
+        if qrows is None:
+            qrows = self._query_doc_df(index, doc_id).collect()
+            if len(self._doc_cache) >= 4096:  # FIFO cap
+                self._doc_cache.pop(next(iter(self._doc_cache)))
+            self._doc_cache[ck] = qrows
         if not qrows:
             # wire-protocol parity with flat mode: an unknown doc id is a
             # 200 with zero hits there (aknn_search over an empty query

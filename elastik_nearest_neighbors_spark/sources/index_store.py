@@ -71,6 +71,7 @@ def pruned_dynamic_overwrite(
     patched: DataFrame,
     part_cols: list[str],
     touched,
+    assume_live: bool = False,
 ) -> None:
     """The shared patch-in-place tail used by every index-maintenance op
     (knn.index_upsert/index_delete, ivf.ivf_upsert/ivf_delete,
@@ -91,16 +92,22 @@ def pruned_dynamic_overwrite(
        partitionOverwriteMode saved/restored around the write.
     3. Explicit delete of touched directories that received NO surviving
        rows — dynamic overwrite skips empty partitions, so their stale
-       files would silently survive and keep matching searches.
+       files would silently survive and keep matching searches. Callers
+       that KNOW every touched directory receives rows (a replace whose
+       new batch lands in exactly the touched dirs) pass assume_live=True
+       and skip the live-set job + the directory sweep — one fewer Spark
+       job on the point-update serving path (r12).
 
     At 100 TB the cost is O(touched directories), never O(store)."""
     from .. import io
 
     patched = patched.localCheckpoint()
-    live = {
-        tuple(int(r[c]) for c in part_cols)
-        for r in patched.select(*part_cols).distinct().collect()
-    }
+    live = None
+    if not assume_live:
+        live = {
+            tuple(int(r[c]) for c in part_cols)
+            for r in patched.select(*part_cols).distinct().collect()
+        }
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -112,6 +119,8 @@ def pruned_dynamic_overwrite(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if assume_live:
+        return
     for k in _norm_keys(touched):
         if k not in live:
             io.fs_delete(

@@ -52,12 +52,16 @@ def main() -> None:
     need = 2 * LSH_TABLES * LSH_BITS
     t0 = time.perf_counter()
     _http_post(srv.port, "/_aknn_create", {"_id": "m", "docs": docs[:need]})
+    # build via the r12 bulk path (stage + one refresh): 5.4× the immediate
+    # mode at this SF and bit-equal (tools/wire_bulk_stepup.py) — the build
+    # is setup here, the measurement is the per-doc replace below
     for i in range(0, len(docs), 5000):
         _http_post(
             srv.port,
             "/_aknn_index",
-            {"model": "m", "_index": "v", "docs": docs[i : i + 5000]},
+            {"model": "m", "_index": "v", "docs": docs[i : i + 5000], "refresh": False},
         )
+    _http_post(srv.port, "/_aknn_refresh", {"_index": "v"})
     build_s = time.perf_counter() - t0
 
     # point updates: replace one doc at a time, new coordinates each round
