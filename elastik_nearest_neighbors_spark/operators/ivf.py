@@ -640,26 +640,35 @@ def assign_sharded(
     closure: vectors carry only the broadcast-sized upper hierarchy
     (~L/HIER_BRANCH centroids) through a pandas_udf that picks their
     IVF_COARSE_PROBES nearest level-0 groups; the fine level arrives as a
-    DataFrame keyed by group_id and the (vector, group) pairs join it —
-    a shuffle join co-partitioned on group_id, NOT a broadcast — before a
-    numpy distance pass and a (dist, list_id) window argmin.
+    DataFrame keyed by group_id and meets the (vector, group) pairs in a
+    COGROUPED applyInPandas — co-partitioned on group_id, NOT a broadcast
+    — where one numpy distance matrix per group emits each vector's
+    per-group best; a (dist, list_id) window argmin finishes globally.
 
     Bit-equal to the driver-side descent (asserted in tests): the group
-    selection runs the same _descend_rows code, and the per-pair distance
-    uses the same numpy ops on the same float64 — ((v-c)^2).sum over the
-    dim axis is numpy pairwise summation in BOTH paths, so the rounded
-    doubles are identical and the (dist, list_id) winner matches the
-    lexsort rule. Cost: one extra exchange of ~probes·N rows versus the
-    closure path — the price of unbounded L; below the broadcast ceiling
-    the closure path stays the default.
+    selection runs the same _descend_rows code, and the distances come
+    from the same _chunked_sq_dists float ops on the same float64, so the
+    rounded doubles are identical and the (dist, list_id) winner matches
+    the lexsort rule. Cost: one extra exchange of ~probes·N rows versus
+    the closure path — the price of unbounded L; below the broadcast
+    ceiling the closure path stays the default.
 
     Output: (vec_id, list_id, center_dist) — one row per input vector."""
     scored = _sharded_scores(df, model, fine, vec_col, id_col)
-    w = Window.partitionBy("vec_id").orderBy(F.asc("center_dist"), F.asc("list_id"))
+    # global argmin as a struct-min AGGREGATION, not a rank window (r12):
+    # min over (center_dist, list_id) structs is the identical
+    # (dist, list_id) tie rule, but it partial-aggregates map-side —
+    # probes·N candidate rows combine before the exchange instead of
+    # being shuffled and sorted whole, the difference between a window
+    # and an agg at 100 TB
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("center_dist", "list_id")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.list_id").alias("list_id"),
+            F.col("m.center_dist").alias("center_dist"),
+        )
     )
 
 
@@ -680,7 +689,7 @@ def probe_sharded(
 
     Output: (query_id, list_id) — ≤ nprobe rows per query, the exploded
     shape ann_search_ivf's candidate join consumes directly."""
-    scored = _sharded_scores(query_df, model, fine, vec_col, id_col)
+    scored = _sharded_scores(query_df, model, fine, vec_col, id_col, per_group_k=nprobe)
     w = Window.partitionBy("vec_id").orderBy(F.asc("center_dist"), F.asc("list_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -695,6 +704,7 @@ def _sharded_scores(
     fine: DataFrame | None,
     vec_col: str,
     id_col: str,
+    per_group_k: int = 1,
 ) -> DataFrame:
     """(vec_id, list_id, center_dist) over each vector's selected level-0
     groups' fine members — the shared candidate-scoring pipeline under
@@ -703,7 +713,7 @@ def _sharded_scores(
         raise ValueError("sharded assignment needs a hierarchical model")
     if fine is None:
         fine = fine_level_table(df.sparkSession, model)
-    return _sharded_scores_levels(df, model.levels, fine, vec_col, id_col)
+    return _sharded_scores_levels(df, model.levels, fine, vec_col, id_col, per_group_k)
 
 
 def _sharded_scores_levels(
@@ -712,18 +722,35 @@ def _sharded_scores_levels(
     fine: DataFrame,
     vec_col: str,
     id_col: str,
+    per_group_k: int = 1,
 ) -> DataFrame:
     """_sharded_scores against explicit (upper levels, fine DataFrame) —
     the form the r8 sharded FIT uses mid-iteration, when no IvfModel object
     exists yet (the fine level never materializes driver-side). Only
     upper[0][0] (the level-0 group centroids) and upper[1:] are read for
     group selection; level-0 members live in `fine` (group_id, list_id,
-    centroid)."""
+    centroid).
+
+    Shape (r12 rewrite): COGROUPED per-group scoring. The r6 form joined
+    the exploded (vector, group) pairs row-against-row with the fine table
+    and shipped every (v, centroid) pair through Arrow — probes·N·branch
+    rows ≈ 512 GB at N=2M, L=8000 (measured: the sharded assign ran >10×
+    the closure path, purely on transfer). Cogrouping moves BLOCKS: each
+    group's vectors cross Arrow once and its fine members once, the
+    distance matrix is one numpy op, and only the per-group TOP-k
+    (k = 1 for assign, nprobe for probe) candidates come back —
+    probes·N·k small rows. Bit-equal winners: the per-group rank uses the
+    same rounded distances and the same (dist, list_id) tie rule (stable
+    argsort over ascending-list_id columns) as the global window that
+    consumes this, and the global top-k is always a subset of the union
+    of per-group top-ks. _chunked_sq_dists sums the same float64s in the
+    same index order as the old per-pair sum (numpy pairwise summation
+    either way), so the rounded doubles are identical — asserted by the
+    closure-equality tests."""
+    from ..constants import IVF_COARSE_PROBES
 
     @pandas_udf("array<int>")
     def _groups(vecs: pd.Series) -> pd.Series:
-        from ..constants import IVF_COARSE_PROBES
-
         v = np.array(vecs.tolist(), dtype=np.float64)
         rows, gids = _select_level0_groups(v, upper, IVF_COARSE_PROBES)
         starts = np.unique(rows, return_index=True)[1] if len(rows) else np.array([], dtype=np.int64)
@@ -737,20 +764,33 @@ def _sharded_scores_levels(
         as_double(F.col(vec_col)).alias("v"),
         F.explode(_groups(F.col(vec_col))).alias("group_id"),
     )
-    joined = pairs.repartition("group_id").join(fine, "group_id")
+    k = per_group_k
 
-    def _dist(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.array(pdf["v"].tolist(), dtype=np.float64)
-            c = np.array(pdf["centroid"].tolist(), dtype=np.float64)
-            d = np.round(np.sqrt(((v - c) ** 2).sum(axis=1)), DIST_ROUND)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "list_id": pdf["list_id"], "center_dist": d}
-            )
+    def _topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left) or not len(right):
+            return pd.DataFrame({"vec_id": [], "list_id": [], "center_dist": []})
+        right = right.sort_values("list_id")  # column order IS the tie order
+        lids = right["list_id"].to_numpy()
+        c = np.array(right["centroid"].tolist(), dtype=np.float64)
+        v = np.array(left["v"].tolist(), dtype=np.float64)
+        d = np.round(np.sqrt(_chunked_sq_dists(v, c)), DIST_ROUND)
+        order = np.argsort(d, axis=1, kind="stable")[:, : min(k, d.shape[1])]
+        kk = order.shape[1]
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(left["vec_id"].to_numpy(), kk),
+                "list_id": lids[order].ravel().astype(np.int32),
+                "center_dist": np.take_along_axis(d, order, axis=1).ravel(),
+            }
+        )
 
-    return joined.mapInPandas(_dist, "vec_id long, list_id int, center_dist double")
+    return (
+        pairs.groupby("group_id")
+        .cogroup(fine.groupby("group_id"))
+        .applyInPandas(
+            lambda l, r: _topk(l, r), "vec_id long, list_id int, center_dist double"
+        )
+    )
 
 
 def sharded_model_bytes_threshold() -> int:

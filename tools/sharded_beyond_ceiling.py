@@ -118,11 +118,21 @@ def main() -> None:
 
     # assign_sharded's tail over the explicit (levels, fine) pair
     scored = _sharded_scores_levels(corpus, levels, fine_served, "embedding", "vec_id")
-    w = Window.partitionBy("vec_id").orderBy(F.asc("center_dist"), F.asc("list_id"))
-    assign = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("center_dist", "list_id")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.list_id").alias("list_id"),
+            F.col("m.center_dist").alias("center_dist"),
+        )
+    )
     report["t_assign_sharded"] = round(_timed_write(assign, f"{OUT}/assign"), 1)
 
-    qscored = _sharded_scores_levels(queries, levels, fine_served, "embedding", "vec_id")
+    w = Window.partitionBy("vec_id").orderBy(F.asc("center_dist"), F.asc("list_id"))
+    qscored = _sharded_scores_levels(
+        queries, levels, fine_served, "embedding", "vec_id", per_group_k=IVF_NPROBE
+    )
     probe = (
         qscored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= IVF_NPROBE)
