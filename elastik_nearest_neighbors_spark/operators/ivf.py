@@ -880,6 +880,12 @@ def _sample_df(spark: SparkSession, sf_dir: str, sample_n: int) -> tuple[DataFra
             "idx", (F.row_number().over(Window.orderBy("frn")) - 1).cast("long")
         )
         .select("idx", "v")
+        # the global window above leaves ONE partition — without this every
+        # downstream pandas_udf of the sharded fit runs in a single task
+        # (r12, found at the L=1.5M step-up: one worker pegged for the
+        # whole fit). Results are partitioning-independent: assignment is
+        # per-row, updates sort by idx inside each group.
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint()
     )
     return xdf, xdf.count()
@@ -971,7 +977,15 @@ def _coarse_members_df(
     rounded-argmin group (same round/tie rule), empty groups dropped in
     ascending group order (matching the driver's `keep` list), membership
     returned as the fine_level_table shape (group_id, list_id, centroid)
-    instead of driver-side index lists."""
+    instead of driver-side index lists.
+
+    Known ceiling (r12, measured at the L=1.5M serving step-up): the
+    exact-argmin contract makes this pass O(L · L/HIER_BRANCH · D) —
+    fine at every measured fit L (≤16k; the r8/r9 crossover sweeps),
+    ~4.5 PFLOP at L=1.5M. Past that, membership needs a log-depth
+    assignment with an exactness-preserving refinement (r13 queue);
+    tools/sharded_beyond_ceiling.py shows the serving side running on a
+    hierarchically-assigned membership today."""
     spark = cdf.sparkSession
 
     @pandas_udf("int")
@@ -979,8 +993,18 @@ def _coarse_members_df(
         v = np.array(vecs.tolist(), dtype=np.float64)
         if len(v) == 0:
             return pd.Series([], dtype="int32")
-        d = np.round(np.sqrt(_chunked_sq_dists(v, sub)), DIST_ROUND)
-        return pd.Series(d.argmin(axis=1).astype(np.int32))
+        # row-chunked so the (rows × |sub|) ROUNDED matrix stays bounded —
+        # _chunked_sq_dists bounds its (n, k, d) intermediate but still
+        # RETURNS the full n×k result; at k≈47k groups a 10k-row Arrow
+        # batch would materialize two ~3.75 GB copies per worker and 32
+        # workers OOM the box (r12, found at the L=1.5M step-up). argmin
+        # is per-row, so chunking is bit-equal.
+        out = np.empty(len(v), dtype=np.int32)
+        step = max(1, int(2e7) // max(len(sub), 1))
+        for s in range(0, len(v), step):
+            d = np.round(np.sqrt(_chunked_sq_dists(v[s : s + step], sub)), DIST_ROUND)
+            out[s : s + step] = d.argmin(axis=1).astype(np.int32)
+        return pd.Series(out)
 
     f2c = cdf.select("list_id", "centroid", _g(F.col("centroid")).alias("g")).localCheckpoint()
     present = sorted(r.g for r in f2c.select("g").distinct().collect())

@@ -54,7 +54,6 @@ from elastik_nearest_neighbors_spark.constants import (
 )
 from elastik_nearest_neighbors_spark.operators.ivf import (
     IvfModel,
-    _coarse_members_df,
     _fit_centroids_df,
     _lloyd_hier_df,
     _sample_df,
@@ -87,9 +86,16 @@ def main() -> None:
     report["fine_rows"] = min(L, n)
     report["t_fine_table"] = round(time.time() - t0, 1)
 
-    # level-0 sub-fit + membership — the same pieces _lloyd_hier_df runs
-    # per iteration (ivf.py:1000-1004), i.e. the upper hierarchy a sharded
-    # fit would have produced for this fine table
+    # level-0 sub-fit + membership. The sub-fit is the production piece
+    # (_fit_centroids_df, hierarchical assignment inside); the MEMBERSHIP
+    # pass is where the production _coarse_members_df keeps the exact
+    # rounded-full-argmin contract of its driver twin — an O(L · L/32 · D)
+    # pass that is fine at every measured fit L (≤16k) but ~4.5 PFLOP at
+    # L=1.5M (hours; the honest remaining fit ceiling, see BASELINE r12).
+    # A SERVING demo needs *a* valid quantizer structure, not the Lloyd
+    # one (the model is iters=0 anyway), so membership here is assigned
+    # hierarchically (log-depth descent, the same code serving uses) and
+    # the closure-equality check below runs on the SAME structure.
     t0 = time.time()
     k = min(L, n)
     k_next = max(2, math.ceil(k / HIER_BRANCH))
@@ -97,7 +103,21 @@ def main() -> None:
         F.col("list_id").cast("long").alias("idx"), F.col("centroid").alias("v")
     )
     sub = _fit_centroids_df(pts, k, k_next, 2)
-    sub_kept, fine = _coarse_members_df(cdf, sub)
+    from elastik_nearest_neighbors_spark.operators.ivf import (
+        _build_levels,
+        _hier_assign_udf,
+    )
+
+    g_assign = _hier_assign_udf(sub, _build_levels(sub))
+    f2c = cdf.select(
+        "list_id", "centroid", g_assign(F.col("centroid")).alias("g")
+    ).localCheckpoint()
+    present = sorted(r.g for r in f2c.select("g").distinct().collect())
+    remap_df = spark.createDataFrame(
+        [(int(g), i) for i, g in enumerate(present)], "g int, group_id int"
+    )
+    fine = f2c.join(F.broadcast(remap_df), "g").select("group_id", "list_id", "centroid")
+    sub_kept = sub[present]
     levels = [(sub_kept, [])] + _upper_levels_from(sub_kept)
     report["t_upper_fit"] = round(time.time() - t0, 1)
     report["upper_closure_bytes"] = int(sum(c.nbytes for c, _m in levels))
