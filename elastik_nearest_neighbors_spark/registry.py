@@ -100,7 +100,14 @@ _QUERIES: dict[str, QueryFn] = {
     # new/changed keys ABOVE this line and push an equal number below;
     # tests/test_gate_window.py enforces the placement.
     # -- r13 rotation queue, in priority order --
-    # (a) keys whose code changes in r12 after this rotation was written
+    # (a) keys whose code changed mid-r12 BELOW the boundary: the sharded
+    #     IVF rewrite (cogroup top-k scoring, struct-min assign argmin,
+    #     _sample_df repartition, _coarse_members_df chunked argmin)
+    #     touches code paths of ann_recall_ivf, ann_search_ivf_filtered,
+    #     ann_search_ivf_store, knn_graph, index_stats, and the pq family
+    #     via probe_pairs — all INACTIVE at gate SFs (use_sharded routes
+    #     closure below the 512 MB ceiling / fit crossover) and all
+    #     locally re-verified green post-change, but rotate them first
     # (b) the remaining r9-era greens below (next stalest at r13 start)
     # (c) then r10-era, then r11/r12-era (freshest last)
     # -- remaining r9-era greens (next in line) --
