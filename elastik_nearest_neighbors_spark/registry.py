@@ -29,90 +29,50 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # and rotates back into the window in later rounds. Goal invariant: every
 # entry's LATEST driver row is ≤1 round old.
 _QUERIES: dict[str, QueryFn] = {
-    # ---- r12 GATE WINDOW: exactly 50 entries above the boundary comment,
+    # ---- r13 GATE WINDOW: exactly 50 entries above the boundary comment,
     # pinned by tests/test_gate_window.py (EXPECTED_GATE_WINDOW).
-    # (1) NEW in r12 (#161): ES document-DELETE parity over the wire —
-    # the r11 verdict's "What's missing" #1; gated by the shared
-    # index_delete oracle (wire purge ≡ rebuild on filtered corpus):
-    "aknn_http_delete": server.aknn_http_delete,
-    # (2) r12-changed code re-gates: the seven index-maintenance ops now
-    # run on the shared sources/index_store.pruned_dynamic_overwrite
-    # helper (the extraction queued since the r11 review), and server.py
-    # gained fused replace, the torn-write marker, and the DELETE
-    # endpoints — so every consumer of either re-gates:
-    "index_upsert": knn.index_upsert,
-    "index_delete": knn.index_delete,
-    "ivf_upsert": ivf.ivf_upsert,
-    "ivf_delete": ivf.ivf_delete,
-    "ivfpq_upsert": pq.ivfpq_upsert,
-    "ivfpq_delete": pq.ivfpq_delete,
-    "graph_delete": graph.graph_delete,
-    "graph_rebuild": graph.graph_rebuild,
-    "aknn_http_upsert": server.aknn_http_upsert,
-    "aknn_http_search": server.aknn_http_search,
-    "aknn_http_search_store": server.aknn_http_search_store,
-    # (2b) NEW mid-r12 (#162): refresh=false staging + /_aknn_refresh —
-    # the wire bulk-load path (r11 verdict stretch 7):
-    "aknn_http_bulk_ingest": server.aknn_http_bulk_ingest,
-    # (3) the 20 r8-era greens — the stalest driver rows at r12 start
-    # (r11 verdict item 2); after this window no key's latest green is
-    # older than r9:
-    "events_approx_distinct": analytics.events_approx_distinct,
-    "events_asof_join": analytics.events_asof_join,
-    "events_topk_users": analytics.events_topk_users,
-    "events_hourly": analytics.events_hourly,
-    "events_sessionize": analytics.events_sessionize,
-    "q1_pricing_summary": analytics.q1_pricing_summary,
-    "q3_shipping_priority": analytics.q3_shipping_priority,
-    "q4_order_priority": analytics.q4_order_priority,
-    "q14_promo_revenue": analytics.q14_promo_revenue,
-    "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
-    "q6_revenue_delta": analytics.q6_revenue_delta,
-    "quality_score": textops.quality_score,
-    "corpus_clean": textops.corpus_clean,
-    "corpus_curate_full": textops.corpus_curate_full,
-    "quality_quantile": textops.quality_quantile,
-    "corpus_to_sequences": textops.corpus_to_sequences,
-    "lang_id": textops.lang_id,
-    "lang_confusion": textops.lang_confusion,
-    "aknn_model_registry": api.aknn_model_registry,
-    "label_centroids": knn.label_centroids_q,
-    # (4) the oldest r9-era greens that fit (18):
-    "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
+    # (1) the sharded-IVF-rewrite consumers that changed BELOW the gate
+    # mid-r12 (cogroup top-k scoring, struct-min assign argmin, _sample_df
+    # repartition, _coarse_members_df chunked argmin) PLUS the r13
+    # log-depth coarse-membership fit — the whole ivf.py surface re-gates:
     "ivf_index": ivf.ivf_index,
     "ann_search_ivf": ivf.ann_search_ivf_q,
+    "ann_recall_ivf": ivf.ann_recall_ivf_q,
+    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
+    "ann_search_ivf_store": ivf.ann_search_ivf_store,
     "dedup_semantic": ivf.dedup_semantic,
-    "similarity_join_lsh": knn.similarity_join_lsh_q,
-    "vector_stats": knn.vector_stats_q,
-    "range_search": knn.range_search_q,
-    "dedup_exact": dedup.dedup_exact,
-    "dedup_minhash_canonical": dedup.dedup_minhash_canonical,
-    "dedup_simhash": dedup.dedup_simhash,
-    "doc_fingerprint": textops.doc_fingerprint,
-    "doc_chunk": textops.doc_chunk,
-    "idf_scores": textops.idf_scores,
-    "pii_scrub": textops.pii_scrub,
-    "corpus_sample": textops.corpus_sample,
-    "token_histogram": textops.token_histogram,
-    "doc_repetition": textops.doc_repetition,
-    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
-    # entries (measured r3-r11: each CORRECTNESS json holds 50 keys). Keep
-    # new/changed keys ABOVE this line and push an equal number below;
-    # tests/test_gate_window.py enforces the placement.
-    # -- r13 rotation queue, in priority order --
-    # (a) keys whose code changed mid-r12 BELOW the boundary: the sharded
-    #     IVF rewrite (cogroup top-k scoring, struct-min assign argmin,
-    #     _sample_df repartition, _coarse_members_df chunked argmin)
-    #     touches code paths of ann_recall_ivf, ann_search_ivf_filtered,
-    #     ann_search_ivf_store, knn_graph, index_stats, and the pq family
-    #     via probe_pairs — all INACTIVE at gate SFs (use_sharded routes
-    #     closure below the 512 MB ceiling / fit crossover) and all
-    #     locally re-verified green post-change, but rotate them first
-    # (b) the remaining r9-era greens below (next stalest at r13 start)
-    # (c) then r10-era, then r11/r12-era (freshest last)
-    # -- remaining r9-era greens (next in line) --
-    # (decontaminate was demoted mid-r12 to make room for the new
-    # aknn_http_bulk_ingest; its r9 green is the stalest casualty)
+    "knn_graph": ivf.knn_graph,
+    "index_stats": ivf.index_stats,
+    "ivf_upsert": ivf.ivf_upsert,
+    "ivf_delete": ivf.ivf_delete,
+    # (2) the pq family: every probe_pairs / list_assignments consumer
+    # rides the same ivf.py code paths (plus pq keys stale since r9):
+    "pq_codes": pq.pq_codes,
+    "ann_search_pq": pq.ann_search_pq,
+    "ann_recall_pq": pq.ann_recall_pq,
+    "ann_search_ivfpq": pq.ann_search_ivfpq,
+    "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
+    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
+    "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
+    "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
+    "ivfpq_upsert": pq.ivfpq_upsert,
+    "ivfpq_delete": pq.ivfpq_delete,
+    # (3) r13-changed serving keys: search() job-count work, wire
+    # compaction (POST /_aknn_compact reusing compact_lsh_store), and the
+    # distributed refresh merge — every server.py consumer re-gates;
+    # streaming_index_compact re-gates for the shared compaction helper:
+    "aknn_http_search_store": server.aknn_http_search_store,
+    "aknn_http_upsert": server.aknn_http_upsert,
+    "aknn_http_delete": server.aknn_http_delete,
+    "aknn_http_bulk_ingest": server.aknn_http_bulk_ingest,
+    "aknn_http_search": server.aknn_http_search,
+    "streaming_index_compact": ingest.streaming_index_compact,
+    # (4) the remaining r9-era greens (stalest driver rows at r13 start):
+    "sq8_quantize": pq.sq8_quantize,
+    "ann_search_sq8": pq.ann_search_sq8,
+    "ann_recall_sq8": pq.ann_recall_sq8,
+    "boilerplate_scrub": textops.boilerplate_scrub,
+    "ann_search_matryoshka": knn.ann_search_matryoshka,
     "decontaminate": textops.decontaminate,
     "seq_pack": textops.seq_pack,
     "source_cap": textops.source_cap,
@@ -124,19 +84,7 @@ _QUERIES: dict[str, QueryFn] = {
     "embedding_clusters": graph.embedding_clusters,
     "ann_search_graph_beam": graph.ann_search_graph_beam_q,
     "ann_recall_graph_beam": graph.ann_recall_graph_beam_q,
-    "ann_search_ivfpq": pq.ann_search_ivfpq,
-    "ann_search_ivfpq_refined": pq.ann_search_ivfpq_refined,
-    "ann_recall_ivfpq_refined": pq.ann_recall_ivfpq_refined,
-    "ann_search_ivf_filtered": ivf.ann_search_ivf_filtered,
-    "knn_graph": ivf.knn_graph,
-    "pq_codes": pq.pq_codes,
-    "ann_search_pq": pq.ann_search_pq,
-    "sq8_quantize": pq.sq8_quantize,
-    "ann_search_sq8": pq.ann_search_sq8,
-    "ann_recall_sq8": pq.ann_recall_sq8,
-    "boilerplate_scrub": textops.boilerplate_scrub,
-    "index_stats": ivf.index_stats,
-    "ann_search_matryoshka": knn.ann_search_matryoshka,
+    # (5) the stalest r10-era greens that fit: the streaming family:
     "streaming_sessionize_check": ingest.streaming_sessionize_check,
     "streaming_sessionize_append": ingest.streaming_sessionize_append,
     "streaming_sessionize": ingest.streaming_sessionize,
@@ -145,7 +93,14 @@ _QUERIES: dict[str, QueryFn] = {
     "streaming_events_hourly": ingest.streaming_events_hourly,
     "streaming_index": ingest.streaming_index,
     "streaming_index_store": ingest.streaming_index_store,
-    "streaming_index_compact": ingest.streaming_index_compact,
+    # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
+    # entries (measured r3-r12: each CORRECTNESS json holds 50 keys). Keep
+    # new/changed keys ABOVE this line and push an equal number below;
+    # tests/test_gate_window.py enforces the placement.
+    # -- r14 rotation queue, stalest latest-green first (r10, then r11,
+    # then r12-era; within a tier, registry order). Promote any key whose
+    # code changes mid-round ahead of this queue. --
+    # -- latest driver green r10 --
     "streaming_ann_search": ingest.streaming_ann_search,
     "streaming_graph_search": ingest.streaming_graph_search,
     "ann_recall_matryoshka": knn.ann_recall_matryoshka,
@@ -161,9 +116,7 @@ _QUERIES: dict[str, QueryFn] = {
     "knn_join": knn.knn_join,
     "source_mix": textops.source_mix,
     "semantic_doc_search": knn.semantic_doc_search,
-    "ann_search_ivfpq_store": pq.ann_search_ivfpq_store,
     "ann_search_lsh_store": knn.ann_search_lsh_store,
-    "ann_search_ivf_store": ivf.ann_search_ivf_store,
     "lsh_index": knn.lsh_index,
     "ann_search_lsh": knn.ann_search_lsh_q,
     "knn_exact_euclidean": knn.knn_exact_euclidean_q,
@@ -180,7 +133,8 @@ _QUERIES: dict[str, QueryFn] = {
     "events_retention": analytics.events_retention,
     "events_user_ltv": analytics.events_user_ltv,
     "events_sliding_window": analytics.events_sliding_window,
-    # -- r11-gated greens demoted by the r12 rotation (freshest, rotate last) --
+    # -- latest driver green r11 --
+    "events_approx_distinct": analytics.events_approx_distinct,
     "bm25_doc_search_char": search.bm25_doc_search_char,
     "bm25_doc_search": search.bm25_doc_search,
     "hybrid_search_rrf": search.hybrid_search_rrf,
@@ -188,9 +142,6 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_search_graph_store": graph.ann_search_graph_store,
     "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
     "ann_recall": knn.ann_recall_q,
-    "ann_recall_ivf": ivf.ann_recall_ivf_q,
-    "ann_recall_pq": pq.ann_recall_pq,
-    "ann_recall_ivfpq": pq.ann_recall_ivfpq,
     "ann_recall_graph": graph.ann_recall_graph_q,
     "ann_recall_lsh_multiprobe": knn.ann_recall_lsh_multiprobe,
     "q7_volume_shipping": analytics.q7_volume_shipping,
@@ -226,8 +177,45 @@ _QUERIES: dict[str, QueryFn] = {
     "multimodal_framesample": multimodal.multimodal_framesample,
     "events_approx_distinct_check": analytics.events_approx_distinct_check,
     "ann_search_lsh_multiprobe": knn.ann_search_lsh_multiprobe,
+    # -- latest driver green r12 --
+    "index_upsert": knn.index_upsert,
+    "index_delete": knn.index_delete,
+    "graph_delete": graph.graph_delete,
+    "graph_rebuild": graph.graph_rebuild,
+    "events_asof_join": analytics.events_asof_join,
+    "events_topk_users": analytics.events_topk_users,
+    "events_hourly": analytics.events_hourly,
+    "events_sessionize": analytics.events_sessionize,
+    "q1_pricing_summary": analytics.q1_pricing_summary,
+    "q3_shipping_priority": analytics.q3_shipping_priority,
+    "q4_order_priority": analytics.q4_order_priority,
+    "q14_promo_revenue": analytics.q14_promo_revenue,
+    "q5_local_supplier_volume": analytics.q5_local_supplier_volume,
+    "q6_revenue_delta": analytics.q6_revenue_delta,
+    "quality_score": textops.quality_score,
+    "corpus_clean": textops.corpus_clean,
+    "corpus_curate_full": textops.corpus_curate_full,
+    "quality_quantile": textops.quality_quantile,
+    "corpus_to_sequences": textops.corpus_to_sequences,
+    "lang_id": textops.lang_id,
+    "lang_confusion": textops.lang_confusion,
+    "aknn_model_registry": api.aknn_model_registry,
+    "label_centroids": knn.label_centroids_q,
+    "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
+    "similarity_join_lsh": knn.similarity_join_lsh_q,
+    "vector_stats": knn.vector_stats_q,
+    "range_search": knn.range_search_q,
+    "dedup_exact": dedup.dedup_exact,
+    "dedup_minhash_canonical": dedup.dedup_minhash_canonical,
+    "dedup_simhash": dedup.dedup_simhash,
+    "doc_fingerprint": textops.doc_fingerprint,
+    "doc_chunk": textops.doc_chunk,
+    "idf_scores": textops.idf_scores,
+    "pii_scrub": textops.pii_scrub,
+    "corpus_sample": textops.corpus_sample,
+    "token_histogram": textops.token_histogram,
+    "doc_repetition": textops.doc_repetition,
 }
-
 
 # oracle builders: sf_dir -> SQL
 _ORACLES: dict[str, Callable[[str], str]] = {

@@ -17,66 +17,64 @@ from elastik_nearest_neighbors_spark import registry
 
 GATE_WINDOW_SIZE = 50
 
-# The r12 window, in driver gate order: (1) the NEW key (#161
-# aknn_http_delete — wire DELETE parity, plus mid-r12 #162
-# aknn_http_bulk_ingest — refresh=false staging + /_aknn_refresh, which
-# demoted decontaminate to the r13 queue), (2) eleven r12-changed keys (the
-# seven index-maintenance ops refactored onto the shared
-# index_store.pruned_dynamic_overwrite helper, plus the server rewrite's
-# consumers: fused replace, torn-write marker, DELETE endpoints), (3) the
-# 20 r8-era stale greens (r11 verdict item 2), (4) the oldest 18 r9-era
-# greens.
+# The r13 window, in driver gate order: (1) the full ivf.py surface (the
+# sharded-IVF rewrite landed below the gate mid-r12, and r13 adds the
+# log-depth coarse-membership fit), (2) the pq family (probe_pairs /
+# list_assignments consumers of the same code), (3) the six r13-changed
+# serving keys (search job-count, wire compaction, distributed refresh),
+# (4) the 16 remaining r9-era greens, (5) the 8 stalest r10-era greens
+# (the streaming family).
 EXPECTED_GATE_WINDOW = [
-    "aknn_http_delete",
-    "index_upsert",
-    "index_delete",
-    "ivf_upsert",
-    "ivf_delete",
-    "ivfpq_upsert",
-    "ivfpq_delete",
-    "graph_delete",
-    "graph_rebuild",
-    "aknn_http_upsert",
-    "aknn_http_search",
-    "aknn_http_search_store",
-    "aknn_http_bulk_ingest",
-    "events_approx_distinct",
-    "events_asof_join",
-    "events_topk_users",
-    "events_hourly",
-    "events_sessionize",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q14_promo_revenue",
-    "q5_local_supplier_volume",
-    "q6_revenue_delta",
-    "quality_score",
-    "corpus_clean",
-    "corpus_curate_full",
-    "quality_quantile",
-    "corpus_to_sequences",
-    "lang_id",
-    "lang_confusion",
-    "aknn_model_registry",
-    "label_centroids",
-    "q2_min_cost_supplier",
     "ivf_index",
     "ann_search_ivf",
+    "ann_recall_ivf",
+    "ann_search_ivf_filtered",
+    "ann_search_ivf_store",
     "dedup_semantic",
-    "similarity_join_lsh",
-    "vector_stats",
-    "range_search",
-    "dedup_exact",
-    "dedup_minhash_canonical",
-    "dedup_simhash",
-    "doc_fingerprint",
-    "doc_chunk",
-    "idf_scores",
-    "pii_scrub",
-    "corpus_sample",
-    "token_histogram",
-    "doc_repetition",
+    "knn_graph",
+    "index_stats",
+    "ivf_upsert",
+    "ivf_delete",
+    "pq_codes",
+    "ann_search_pq",
+    "ann_recall_pq",
+    "ann_search_ivfpq",
+    "ann_search_ivfpq_refined",
+    "ann_recall_ivfpq",
+    "ann_recall_ivfpq_refined",
+    "ann_search_ivfpq_store",
+    "ivfpq_upsert",
+    "ivfpq_delete",
+    "aknn_http_search_store",
+    "aknn_http_upsert",
+    "aknn_http_delete",
+    "aknn_http_bulk_ingest",
+    "aknn_http_search",
+    "streaming_index_compact",
+    "sq8_quantize",
+    "ann_search_sq8",
+    "ann_recall_sq8",
+    "boilerplate_scrub",
+    "ann_search_matryoshka",
+    "decontaminate",
+    "seq_pack",
+    "source_cap",
+    "stratified_sample",
+    "source_stats",
+    "knn_graph_multiprobe",
+    "ann_search_graph",
+    "ann_recall_graph_sweep",
+    "embedding_clusters",
+    "ann_search_graph_beam",
+    "ann_recall_graph_beam",
+    "streaming_sessionize_check",
+    "streaming_sessionize_append",
+    "streaming_sessionize",
+    "streaming_sliding_window",
+    "streaming_dedup_state",
+    "streaming_events_hourly",
+    "streaming_index",
+    "streaming_index_store",
 ]
 
 
