@@ -348,6 +348,22 @@ SHARDED_MODEL_BYTES = 512 << 20
 # reproduced exactly) — crossover in (35k, 42k], so engage at 40k; the
 # residual mis-routing cost anywhere inside the bracket is ≤ ~10%.
 SHARDED_FIT_SAMPLE_MIN = 40_000
+# r13: the sharded fit's MEMBERSHIP pass (_coarse_members_df — fine
+# centroid → level-0 group, EXACT rounded argmin by contract) switches
+# from the flat O(L · L/HIER_BRANCH · D) scan to the exact ball-pruned
+# descent (_argmin_rounded_pruned: triangle-inequality bounds over the
+# sub-hierarchy, margin sized to the DIST_ROUND tie window, survivors
+# re-scored with the identical elementwise float ops — bit-equal by
+# construction) once the sub level has this many groups. Below it the
+# flat scan is cheaper than building the pruning structure; every
+# oracle-gated SF sits far below (L=16 → |sub|=1). Override:
+# ENN_MEMBERS_PRUNE_MIN (tests force the pruned path at tiny scale).
+MEMBERS_PRUNE_MIN = 4096
+# Sample size for _prune_levels' level-0 center fit — the pruning
+# hierarchy's quality knob (its exactness is unconditional; see
+# _argmin_rounded_pruned). 8192 keeps the sampled Lloyd seconds-cheap
+# at any |sub| with prune rates driver-measured equal to the full fit.
+PRUNE_FIT_SAMPLE = 8192
 # single-linkage clustering over the graph's edges. Threshold swept at
 # sf0.01 (min pair distance ≈ 1.05): 1.2 percolates into one 474-member
 # blob, 1.05 leaves only pairs; 1.12 gives 63 non-singleton clusters up to

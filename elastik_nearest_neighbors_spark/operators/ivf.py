@@ -747,10 +747,13 @@ def _sharded_scores_levels(
     same index order as the old per-pair sum (numpy pairwise summation
     either way), so the rounded doubles are identical — asserted by the
     closure-equality tests."""
-    from ..constants import IVF_COARSE_PROBES
-
     @pandas_udf("array<int>")
     def _groups(vecs: pd.Series) -> pd.Series:
+        # imported inside the udf so the constant is read at EXECUTION
+        # time, not closure-creation time — tests monkeypatch hierarchy
+        # constants this way (ADVICE r12)
+        from ..constants import IVF_COARSE_PROBES
+
         v = np.array(vecs.tolist(), dtype=np.float64)
         rows, gids = _select_level0_groups(v, upper, IVF_COARSE_PROBES)
         starts = np.unique(rows, return_index=True)[1] if len(rows) else np.array([], dtype=np.int64)
@@ -772,17 +775,30 @@ def _sharded_scores_levels(
         right = right.sort_values("list_id")  # column order IS the tie order
         lids = right["list_id"].to_numpy()
         c = np.array(right["centroid"].tolist(), dtype=np.float64)
-        v = np.array(left["v"].tolist(), dtype=np.float64)
-        d = np.round(np.sqrt(_chunked_sq_dists(v, c)), DIST_ROUND)
-        order = np.argsort(d, axis=1, kind="stable")[:, : min(k, d.shape[1])]
-        kk = order.shape[1]
-        return pd.DataFrame(
-            {
-                "vec_id": np.repeat(left["vec_id"].to_numpy(), kk),
-                "list_id": lids[order].ravel().astype(np.int32),
-                "center_dist": np.take_along_axis(d, order, axis=1).ravel(),
-            }
-        )
+        # row-chunk the LEFT side (ADVICE r12): a skewed/popular group at
+        # unbounded L can carry an arbitrary share of the query batch, and
+        # converting every row's vector at once rebuilds the same
+        # unbounded-block failure mode _coarse_members_df's chunking
+        # fixed. Per-row top-k is independent across rows, so chunked
+        # output is bit-equal concatenation.
+        ids_all = left["vec_id"].to_numpy()
+        step = max(1, int(2e7) // max(len(c) * c.shape[1], 1))
+        parts = []
+        for s in range(0, len(left), step):
+            v = np.array(left["v"].iloc[s : s + step].tolist(), dtype=np.float64)
+            d = np.round(np.sqrt(_chunked_sq_dists(v, c)), DIST_ROUND)
+            order = np.argsort(d, axis=1, kind="stable")[:, : min(k, d.shape[1])]
+            kk = order.shape[1]
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(ids_all[s : s + step], kk),
+                        "list_id": lids[order].ravel().astype(np.int32),
+                        "center_dist": np.take_along_axis(d, order, axis=1).ravel(),
+                    }
+                )
+            )
+        return pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
 
     return (
         pairs.groupby("group_id")
@@ -970,6 +986,143 @@ def _fit_centroids_df(xdf: DataFrame, n: int, k: int, iters: int) -> "np.ndarray
     return cent
 
 
+def members_prune_min() -> int:
+    """Sub-group count above which _coarse_members_df's membership pass
+    uses the exact ball-pruned descent instead of the flat argmin —
+    constants.MEMBERS_PRUNE_MIN, overridable via ENN_MEMBERS_PRUNE_MIN so
+    tests force the pruned path on KB-sized models."""
+    from ..constants import MEMBERS_PRUNE_MIN
+
+    env = os.environ.get("ENN_MEMBERS_PRUNE_MIN")
+    return int(env) if env else MEMBERS_PRUNE_MIN
+
+
+def _prune_levels(
+    sub: "np.ndarray",
+) -> list[tuple["np.ndarray", list["np.ndarray"]]]:
+    """Cheap hierarchy over `sub` for _argmin_rounded_pruned's bounds.
+
+    Pruning EXACTNESS never depends on this structure — any partition of
+    `sub` yields valid triangle-inequality bounds through _ball_radii —
+    only the prune RATE does. So unlike _build_levels (a full Lloyd over
+    all of `sub`: driver-measured 141 s at |sub|=47k), the level-0
+    centers fit on a strided PRUNE_FIT_SAMPLE-row sample and the only
+    full-|sub| pass is one unrounded flat assign; upper levels recurse
+    through _build_levels on the (|sub|/HIER_BRANCH)-sized kept centers,
+    which is flat-Lloyd cheap. Strided (not head) sampling keeps the
+    sample spread across the centroid table's id order."""
+    from ..constants import HIER_BRANCH, PRUNE_FIT_SAMPLE
+
+    k0 = max(2, -(-len(sub) // HIER_BRANCH))
+    stride = max(1, len(sub) // PRUNE_FIT_SAMPLE)
+    samp = sub[::stride][:PRUNE_FIT_SAMPLE]
+    cents = _fit_centroids(samp, min(k0, len(samp)), 2)
+    f2c = np.empty(len(sub), dtype=np.int64)
+    step = max(1, int(2e7) // max(len(cents), 1))
+    for s in range(0, len(sub), step):
+        f2c[s : s + step] = _chunked_sq_dists(sub[s : s + step], cents).argmin(axis=1)
+    keep = np.unique(f2c)
+    remap = np.empty(len(cents), dtype=np.int64)
+    remap[keep] = np.arange(len(keep))
+    members0 = groups_by_inv(np.arange(len(sub)), remap[f2c], len(keep))
+    kept = cents[keep]
+    return [(kept, members0)] + _build_levels(kept)
+
+
+def _ball_radii(
+    sub: "np.ndarray", levels: list[tuple["np.ndarray", list["np.ndarray"]]]
+) -> list["np.ndarray"]:
+    """Per-level subtree-LEAF radii for the exact pruned argmin:
+    radii[li][g] = max euclidean from levels[li]'s centroid g to any `sub`
+    leaf in its subtree. members at each level partition the level below
+    (and level 0 partitions `sub`), so each leaf has exactly one ancestor
+    per level — one O(|sub|·D) distance pass per level, maximized per
+    ancestor with np.maximum.at."""
+    anc: "np.ndarray | None" = None
+    radii: list[np.ndarray] = []
+    for li, (cents, members) in enumerate(levels):
+        below = len(sub) if li == 0 else len(levels[li - 1][0])
+        lt = np.empty(below, dtype=np.int64)
+        for g, m in enumerate(members):
+            lt[m] = g
+        anc = lt if anc is None else lt[anc]
+        d = np.sqrt(((sub - cents[anc]) ** 2).sum(axis=1))
+        r = np.zeros(len(cents), dtype=np.float64)
+        np.maximum.at(r, anc, d)
+        radii.append(r)
+    return radii
+
+
+def _argmin_rounded_pruned(
+    v: "np.ndarray",
+    sub: "np.ndarray",
+    levels: list[tuple["np.ndarray", list["np.ndarray"]]],
+    radii: list["np.ndarray"],
+) -> "np.ndarray":
+    """EXACT rounded-argmin of each v row over `sub` — bit-equal to
+    `np.round(np.sqrt(_chunked_sq_dists(v, sub)), DIST_ROUND).argmin(1)`
+    (including the lowest-index tie rule) — in ~log depth instead of a
+    full |sub|-wide scan. This is the r13 fit-ceiling fix: the membership
+    pass was the last O(L · L/HIER_BRANCH · D) step of the sharded fit
+    (4.5 PFLOP at L=1.5M; see _coarse_members_df).
+
+    Ball-tree branch-and-bound, level-synchronous and vectorized like
+    _descend_rows: per level, UB_v = min over scanned nodes of
+    (d(v, node) + subtree_radius) upper-bounds the true nearest-leaf
+    distance (every leaf of a node lies within its radius), and a node is
+    pruned iff d(v, node) − radius > UB_v + margin — by the triangle
+    inequality every leaf under it is then > d_min + 10^-DIST_ROUND away.
+    margin = 2·10^-DIST_ROUND covers the decimal-rounding tie window:
+    round(d_c) ≤ round(d_min) forces d_c ≤ d_min + 10^-DIST_ROUND, so
+    every possible rounded winner (and every tie) SURVIVES pruning, and
+    pruned leaves satisfy round(d) > round(d_min) strictly. Survivors are
+    re-scored with the identical elementwise ops the flat path uses —
+    ((v−c)²).sum over the dim axis is per-pair independent of which other
+    pairs share the matrix, so the rounded doubles are bit-identical —
+    and the (dist, leaf_id) lexsort picks the same winner."""
+    n = len(v)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    margin = 2.0 * 10.0 ** (-DIST_ROUND)
+    top_c = levels[-1][0]
+    d = np.sqrt(_chunked_sq_dists(v, top_c))
+    r = radii[-1]
+    ub = (d + r[None, :]).min(axis=1)
+    sel = (d - r[None, :]) <= (ub[:, None] + margin)
+    for li in range(len(levels) - 1, -1, -1):
+        cents, members = levels[li]
+        child_c = sub if li == 0 else levels[li - 1][0]
+        rows_l, gids_l, dists_l = [], [], []
+        for g in range(len(cents)):
+            rr = np.nonzero(sel[:, g])[0]
+            if not len(rr):
+                continue
+            ch = members[g]
+            dd = np.sqrt(_chunked_sq_dists(v[rr], child_c[ch]))
+            rows_l.append(np.repeat(rr, len(ch)))
+            gids_l.append(np.tile(ch, len(rr)))
+            dists_l.append(dd.ravel())
+        rows = np.concatenate(rows_l)
+        gids = np.concatenate(gids_l)
+        dists = np.concatenate(dists_l)
+        if li == 0:
+            # leaf level: round like the flat path, then per-row
+            # (dist, leaf_id) lexsort — first entry per row-run is the
+            # rounded min with the lowest original index
+            dists = np.round(dists, DIST_ROUND)
+            o = np.lexsort((gids, dists, rows))
+            rows, gids = rows[o], gids[o]
+            starts = np.unique(rows, return_index=True)[1]
+            return gids[starts]
+        child_r = radii[li - 1][gids]
+        ub_c = np.full(n, np.inf)
+        np.minimum.at(ub_c, rows, dists + child_r)
+        keep = (dists - child_r) <= (ub_c[rows] + margin)
+        sel = np.zeros((n, len(child_c)), dtype=bool)
+        sel[rows[keep], gids[keep]] = True
+    raise AssertionError("levels must be non-empty")
+
+
 def _coarse_members_df(
     cdf: DataFrame, sub: "np.ndarray"
 ) -> tuple["np.ndarray", DataFrame]:
@@ -979,14 +1132,19 @@ def _coarse_members_df(
     returned as the fine_level_table shape (group_id, list_id, centroid)
     instead of driver-side index lists.
 
-    Known ceiling (r12, measured at the L=1.5M serving step-up): the
-    exact-argmin contract makes this pass O(L · L/HIER_BRANCH · D) —
-    fine at every measured fit L (≤16k; the r8/r9 crossover sweeps),
-    ~4.5 PFLOP at L=1.5M. Past that, membership needs a log-depth
-    assignment with an exactness-preserving refinement (r13 queue);
-    tools/sharded_beyond_ceiling.py shows the serving side running on a
-    hierarchically-assigned membership today."""
+    r12 measured the flat rounded-argmin here as the LAST fit ceiling —
+    O(L · L/HIER_BRANCH · D), ~4.5 PFLOP at L=1.5M. r13 removes it: above
+    MEMBERS_PRUNE_MIN sub-groups the pass routes through
+    _argmin_rounded_pruned (exact ball-tree branch-and-bound over a
+    hierarchy built on `sub`, bit-equal to the flat scan by construction
+    — see its docstring), turning the per-fine-row cost from |sub| into
+    ~HIER_TOP + depth·survivors·HIER_BRANCH distance rows. The pruning
+    structure is driver-built once per call: `sub` is ≤ L/HIER_BRANCH
+    (driver-sized by the same argument as _fit_centroids_df's output) and
+    the hierarchy adds ~1/HIER_BRANCH of that."""
     spark = cdf.sparkSession
+    sub_levels = _prune_levels(sub) if len(sub) >= members_prune_min() else []
+    sub_radii = _ball_radii(sub, sub_levels) if sub_levels else []
 
     @pandas_udf("int")
     def _g(vecs: pd.Series) -> pd.Series:
@@ -1000,10 +1158,22 @@ def _coarse_members_df(
         # workers OOM the box (r12, found at the L=1.5M step-up). argmin
         # is per-row, so chunking is bit-equal.
         out = np.empty(len(v), dtype=np.int32)
-        step = max(1, int(2e7) // max(len(sub), 1))
+        # the pruned path's peak memory is bounded by SURVIVING candidate
+        # rows, not |sub|, and its per-call overhead (top-level scan +
+        # frontier bookkeeping) amortizes over rows — 4096-row chunks
+        # measured within 1.4x of one unchunked call at |sub|=47k where
+        # |sub|-scaled chunks (425 rows) would pay the overhead 10x more
+        step = 4096 if sub_levels else max(1, int(2e7) // max(len(sub), 1))
         for s in range(0, len(v), step):
-            d = np.round(np.sqrt(_chunked_sq_dists(v[s : s + step], sub)), DIST_ROUND)
-            out[s : s + step] = d.argmin(axis=1).astype(np.int32)
+            if sub_levels:
+                out[s : s + step] = _argmin_rounded_pruned(
+                    v[s : s + step], sub, sub_levels, sub_radii
+                ).astype(np.int32)
+            else:
+                d = np.round(
+                    np.sqrt(_chunked_sq_dists(v[s : s + step], sub)), DIST_ROUND
+                )
+                out[s : s + step] = d.argmin(axis=1).astype(np.int32)
         return pd.Series(out)
 
     f2c = cdf.select("list_id", "centroid", _g(F.col("centroid")).alias("g")).localCheckpoint()

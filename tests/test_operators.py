@@ -351,6 +351,85 @@ def test_sharded_auto_engage_end_to_end(spark, monkeypatch):
         assert (closure_srch[c].values == sharded_srch[c].values).all(), c
 
 
+def test_pruned_argmin_bit_equals_flat_argmin():
+    """r13: _argmin_rounded_pruned (exact ball-pruned membership — the
+    fit-ceiling fix) must reproduce the flat rounded argmin bit-for-bit,
+    including the lowest-index tie rule, across tie-dense regimes:
+    duplicated sub rows (exact ties), near-zero scales (every distance
+    inside the DIST_ROUND window — rounding ties everywhere), and
+    ordinary clustered data."""
+    from elastik_nearest_neighbors_spark.constants import DIST_ROUND
+    from elastik_nearest_neighbors_spark.operators.ivf import (
+        _argmin_rounded_pruned,
+        _ball_radii,
+        _chunked_sq_dists,
+        _prune_levels,
+    )
+
+    rng = np.random.default_rng(7)
+    for nsub, n, d, scale in [
+        (500, 1500, 16, 1.0),
+        (700, 1000, 8, 1e-7),  # all dists within rounding noise: tie storm
+        (300, 800, 4, 1e-4),
+    ]:
+        sub = rng.normal(size=(nsub, d)) * scale
+        sub[50:60] = sub[0:10]  # exact duplicate centroids
+        v = rng.normal(size=(n, d)) * scale
+        v[:20] = sub[rng.integers(0, nsub, 20)]  # rows exactly ON centroids
+        levels = _prune_levels(sub)
+        radii = _ball_radii(sub, levels)
+        got = _argmin_rounded_pruned(v, sub, levels, radii)
+        ref = np.round(np.sqrt(_chunked_sq_dists(v, sub)), DIST_ROUND).argmin(axis=1)
+        assert (got == ref).all(), (nsub, n, d, scale)
+
+
+def test_coarse_members_df_pruned_bit_equals_flat(spark, monkeypatch):
+    """r13: _coarse_members_df with the pruned path FORCED
+    (ENN_MEMBERS_PRUNE_MIN=1) must return the identical kept-sub array and
+    identical (group_id, list_id) fine rows as the flat path — the
+    membership pass is exact by contract at any threshold."""
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_mod
+
+    rng = np.random.default_rng(3)
+    sub = rng.normal(size=(40, 12))
+    cent = sub[rng.integers(0, 40, 600)] + rng.normal(size=(600, 12)) * 0.1
+    cdf = spark.createDataFrame(
+        [(int(i), cent[i].tolist()) for i in range(len(cent))],
+        "list_id int, centroid array<double>",
+    )
+
+    def run():
+        kept, fine = ivf_mod._coarse_members_df(cdf, sub)
+        rows = (
+            fine.toPandas()
+            .sort_values(["group_id", "list_id"])
+            .reset_index(drop=True)
+        )
+        return kept, rows
+
+    monkeypatch.delenv("ENN_MEMBERS_PRUNE_MIN", raising=False)
+    flat_kept, flat_rows = run()
+    monkeypatch.setenv("ENN_MEMBERS_PRUNE_MIN", "1")
+    pruned_kept, pruned_rows = run()
+    assert np.array_equal(flat_kept, pruned_kept)
+    assert len(flat_rows) == len(pruned_rows)
+    for c in ("group_id", "list_id"):
+        assert (flat_rows[c].values == pruned_rows[c].values).all(), c
+
+
+def test_sharded_fit_with_pruned_membership_bit_equals_driver_fit(spark, monkeypatch):
+    """r13 fit-ceiling 'done' criterion: the whole sharded fit with the
+    pruned membership FORCED must still reproduce the driver fit's
+    centroid doubles bit-for-bit at a gated SF."""
+    from elastik_nearest_neighbors_spark.operators import ivf as ivf_mod
+
+    driver = ivf_mod.IvfModel.fit_path(SF_SMALL, nlist=64, sample_n=320, two_level=True)
+    monkeypatch.setenv("ENN_MEMBERS_PRUNE_MIN", "1")
+    sharded = ivf_mod.fit_path_sharded(spark, SF_SMALL, nlist=64, sample_n=320)
+    assert np.array_equal(sharded.centroids, driver.centroids)
+    assert len(sharded.levels) == len(driver.levels)
+
+
 def test_sharded_fine_level_fit_bit_equals_closure_fit(spark, monkeypatch):
     """r8: the DataFrame-sharded FIT (fine centroid level in a DataFrame
     for every Lloyd iteration, upper hierarchy the only closure) must
