@@ -359,6 +359,15 @@ SHARDED_FIT_SAMPLE_MIN = 40_000
 # oracle-gated SF sits far below (L=16 → |sub|=1). Override:
 # ENN_MEMBERS_PRUNE_MIN (tests force the pruned path at tiny scale).
 MEMBERS_PRUNE_MIN = 4096
+# r13 (ADVICE r12): /_aknn_refresh's merge switches from the pruned
+# per-id patch (driver holds the staged id list + per-row bucket/hash
+# rows — O(staged) driver memory, right for point updates) to a fully
+# distributed whole-store merge (anti-join against the staged-id
+# DataFrame + clustered sibling-write swap — no driver-side id list)
+# once the staged count exceeds this. Gated SFs stage fewer rows, so the
+# oracle-gated drive keeps the pruned path; the bulk path is asserted
+# result-identical by forcing the threshold down (ENN_REFRESH_BULK_ROWS).
+REFRESH_BULK_ROWS = 100_000
 # Sample size for _prune_levels' level-0 center fit — the pruning
 # hierarchy's quality knob (its exactness is unconditional; see
 # _argmin_rounded_pruned). 8192 keeps the sampled Lloyd seconds-cheap

@@ -93,6 +93,19 @@ def fs_touch(spark: SparkSession, path: str) -> None:
     open(path, "w").close()
 
 
+def fs_rename(spark: SparkSession, src: str, dst: str) -> None:
+    """Directory/file rename, any scheme — the compaction swap step
+    (rewrite to a sibling dir, drop the old, rename into place). Hadoop
+    FS rename for URI stores; os.rename locally."""
+    if is_uri(src) or is_uri(dst):
+        fs, hsrc = _hadoop_fs(spark, src)
+        _fs2, hdst = _hadoop_fs(spark, dst)
+        if not fs.rename(hsrc, hdst):
+            raise OSError(f"rename failed: {src} -> {dst}")
+        return
+    os.rename(src, dst)
+
+
 def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
     if is_uri(path):
         fs, hpath = _hadoop_fs(spark, path)

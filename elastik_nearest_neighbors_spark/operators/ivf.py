@@ -1089,9 +1089,12 @@ def _argmin_rounded_pruned(
     r = radii[-1]
     ub = (d + r[None, :]).min(axis=1)
     sel = (d - r[None, :]) <= (ub[:, None] + margin)
-    for li in range(len(levels) - 1, -1, -1):
+    for li in range(len(levels) - 1, 0, -1):
+        # intermediate levels: candidate volume per row is bounded by the
+        # node count of the level below (≤ |sub|/HIER_BRANCH), so the
+        # concatenated (row, node, dist) arrays stay small
         cents, members = levels[li]
-        child_c = sub if li == 0 else levels[li - 1][0]
+        child_c = levels[li - 1][0]
         rows_l, gids_l, dists_l = [], [], []
         for g in range(len(cents)):
             rr = np.nonzero(sel[:, g])[0]
@@ -1105,22 +1108,41 @@ def _argmin_rounded_pruned(
         rows = np.concatenate(rows_l)
         gids = np.concatenate(gids_l)
         dists = np.concatenate(dists_l)
-        if li == 0:
-            # leaf level: round like the flat path, then per-row
-            # (dist, leaf_id) lexsort — first entry per row-run is the
-            # rounded min with the lowest original index
-            dists = np.round(dists, DIST_ROUND)
-            o = np.lexsort((gids, dists, rows))
-            rows, gids = rows[o], gids[o]
-            starts = np.unique(rows, return_index=True)[1]
-            return gids[starts]
         child_r = radii[li - 1][gids]
         ub_c = np.full(n, np.inf)
         np.minimum.at(ub_c, rows, dists + child_r)
         keep = (dists - child_r) <= (ub_c[rows] + margin)
         sel = np.zeros((n, len(child_c)), dtype=bool)
         sel[rows[keep], gids[keep]] = True
-    raise AssertionError("levels must be non-empty")
+    # LEAF level: running per-row (dist, leaf_id) best, never the full
+    # candidate stream — on weak-pruning data (high-dim near-uniform:
+    # radii ≈ distances) survivors approach ALL |sub| leaves and the
+    # concatenated form is O(rows · |sub|) — 4.6 GB/worker at |sub|=47k,
+    # which OOM-killed the JVM at the r13 L=1.5M step-up. The running
+    # (dist, gid) lexicographic min over bounded group blocks is the
+    # same winner: per-block argmin takes the block's lowest gid
+    # (members ascend), and the cross-block merge prefers strictly
+    # smaller dist, then smaller gid — associative and order-free.
+    cents0, members0 = levels[0]
+    best_d = np.full(n, np.inf)
+    best_g = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for g in range(len(cents0)):
+        rr = np.nonzero(sel[:, g])[0]
+        if not len(rr):
+            continue
+        ch = members0[g]
+        inner = max(1, int(2e7) // max(len(ch), 1))
+        for s in range(0, len(rr), inner):
+            r2 = rr[s : s + inner]
+            dd = np.round(np.sqrt(_chunked_sq_dists(v[r2], sub[ch])), DIST_ROUND)
+            j = dd.argmin(axis=1)  # first occurrence = lowest gid (ch ascends)
+            dmin = dd[np.arange(len(r2)), j]
+            gmin = ch[j]
+            upd = (dmin < best_d[r2]) | ((dmin == best_d[r2]) & (gmin < best_g[r2]))
+            ru = r2[upd]
+            best_d[ru] = dmin[upd]
+            best_g[ru] = gmin[upd]
+    return best_g
 
 
 def _coarse_members_df(

@@ -212,6 +212,37 @@ def compact_lsh_store(spark: SparkSession, src_path: str, dst_path: str) -> None
     )
 
 
+def clustered_overwrite_swap(
+    spark: SparkSession, path: str, df: DataFrame, part_cols: list[str]
+) -> None:
+    """Replace a live partitioned store directory with `df` in the
+    canonical clustered layout, safely: write to a sibling `.new` dir
+    (the suffix is outside the partition-value namespace), drop the old
+    tree, rename into place. A Spark job must never overwrite a
+    directory its input is still reading from — `df` may scan `path` —
+    hence the sibling + swap; the CALLER runs this under its torn-write
+    marker so a crash between drop and rename is a detected 503, not
+    silent data loss."""
+    from .. import io
+
+    tmp = path.rstrip("/") + ".new"
+    (
+        df.repartition(*part_cols)
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    io.fs_delete(spark, path)
+    io.fs_rename(spark, tmp, path)
+
+
+def compact_in_place(spark: SparkSession, path: str, part_cols: list[str]) -> None:
+    """compact_lsh_store's clustered rewrite for a live store directory
+    (r13, the wire-compaction item): same content, same partition values,
+    one file per directory."""
+    clustered_overwrite_swap(spark, path, spark.read.parquet(path), part_cols)
+
+
 def save_ivf_index(assigned: DataFrame, path: str) -> None:
     """Persist an IVF index (vec_id, list_id, center_dist) partitioned by
     list_id. Clustered by list_id before the write for one file per list

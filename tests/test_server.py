@@ -486,3 +486,137 @@ def test_http_concurrent_searches_during_mutations(spark):
         srv.stop()
         mid.stop()
         post.stop()
+
+
+def test_http_msearch_matches_per_id_both_modes(spark):
+    """r13 (the r12 verdict's job-count item): POST /{index}/_aknn_msearch
+    must return, per id and in request order, exactly the per-id GET's
+    payload — in both serving modes — with unknown and non-numeric ids
+    keeping the 200/zero-hits contract inside a batch; and the batched
+    store plan must keep literal PartitionFilters on the pruned reads."""
+    from elastik_nearest_neighbors_spark import plans
+
+    docs = _sample_docs(spark)
+    for mode in (False, True):
+        srv = _serve(spark, docs, store_backed=mode, batches=2 if mode else 1)
+        try:
+            ids = [docs[0]["_id"], 99999999, docs[7]["_id"], "zzz", docs[123]["_id"]]
+            out = _http_post(
+                srv.port, "/idx/_aknn_msearch", {"ids": ids, "k1": 50, "k2": 5}
+            )
+            assert len(out["responses"]) == len(ids)
+            for d, r in zip(ids, out["responses"]):
+                single = _http_get(srv.port, f"/idx/{d}/_aknn_search?k1=50&k2=5")
+                assert r == single, (mode, d)
+            assert out["responses"][1]["hits"]["total"] == 0
+            assert out["responses"][3]["hits"]["total"] == 0
+            assert out["responses"][0]["hits"]["total"] > 0
+            if mode:
+                df = srv._msearch_store("idx", [docs[0]["_id"], docs[7]["_id"]], 50, 5)
+                pf = " ".join(plans.partition_filters(df))
+                assert "tbl" in pf and "bucket" in pf, plans.formatted_plan(df)
+        finally:
+            srv.stop()
+
+
+def test_http_compact_shrinks_files_and_preserves_results(spark):
+    """r13 (#163 wire compaction): POST /_aknn_compact must rewrite a
+    multi-batch store's docs/ and terms/ into one file per partition
+    directory with byte-identical search responses, report compacted:
+    False on a flat-mode index (single-overwrite layout already), and
+    400 an unknown index."""
+    import glob
+    import os
+
+    docs = _sample_docs(spark)
+    srv = _serve(spark, docs, store_backed=True, batches=5)
+    try:
+        qids = [docs[0]["_id"], docs[7]["_id"], docs[123]["_id"]]
+        before = [
+            _http_get(srv.port, f"/idx/{q}/_aknn_search?k1=50&k2=5") for q in qids
+        ]
+
+        def max_files(sub):
+            dirs = [
+                d
+                for d, _s, files in os.walk(os.path.join(srv.root, "indexes", "idx", sub))
+                if any(f.endswith(".parquet") for f in files)
+                for _ in [None]
+            ]
+            return max(
+                len(glob.glob(os.path.join(d, "*.parquet"))) for d in dirs
+            )
+
+        assert max_files("terms") > 1  # the appends really did accumulate
+        out = _http_post(srv.port, "/_aknn_compact", {"_index": "idx"})
+        assert out == {"_index": "idx", "acknowledged": True, "compacted": True}
+        assert max_files("terms") == 1
+        assert max_files("docs") == 1
+        after = [
+            _http_get(srv.port, f"/idx/{q}/_aknn_search?k1=50&k2=5") for q in qids
+        ]
+        assert before == after
+        try:
+            _http_post(srv.port, "/_aknn_compact", {"_index": "nope"})
+            raise AssertionError("unknown index must 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.stop()
+
+    flat = _serve(spark, docs[:60], store_backed=False)
+    try:
+        out = _http_post(flat.port, "/_aknn_compact", {"_index": "idx"})
+        assert out["compacted"] is False
+    finally:
+        flat.stop()
+
+
+def test_http_refresh_bulk_merge_path_matches_pruned(spark, monkeypatch):
+    """r13 (ADVICE r12): with ENN_REFRESH_BULK_ROWS forced to 1 the
+    refresh merge runs the fully distributed whole-store path (no
+    driver-side id list) — wire responses must equal a fresh
+    immediate-mode twin indexed with the final state, in both modes,
+    including replace-of-existing + brand-new ids; and the swapped store
+    lands compacted (one file per directory)."""
+    import glob
+    import os
+
+    docs = _sample_docs(spark, n=96)
+    moved = [
+        {"_id": d["_id"],
+         "_source": {"_aknn_vector": [2.0 * x for x in d["_source"]["_aknn_vector"]]}}
+        for d in docs[:16]
+    ]
+    extra = [
+        {"_id": 900000 + i,
+         "_source": {"_aknn_vector": d["_source"]["_aknn_vector"]}}
+        for i, d in enumerate(docs[:8])
+    ]
+    final = moved + docs[16:] + extra
+    monkeypatch.setenv("ENN_REFRESH_BULK_ROWS", "1")
+    for store_backed in (False, True):
+        srv = _serve(spark, docs, store_backed=store_backed, batches=2)
+        fresh = _serve(spark, final, store_backed=store_backed, batches=2, sample=docs[:24])
+        try:
+            out = _http_post(
+                srv.port,
+                "/_aknn_index",
+                {"model": "m", "_index": "idx", "docs": moved + extra, "refresh": False},
+            )
+            assert out["staged"] == len(moved) + len(extra), out
+            out = _http_post(srv.port, "/_aknn_refresh", {"_index": "idx"})
+            assert out["merged"] == len(moved) + len(extra), out
+            for q in (docs[0]["_id"], docs[40]["_id"], extra[0]["_id"]):
+                a = _http_get(srv.port, f"/idx/{q}/_aknn_search?k1=50&k2=5")
+                b = _http_get(fresh.port, f"/idx/{q}/_aknn_search?k1=50&k2=5")
+                assert a == b, (store_backed, q, a, b)
+            if store_backed:
+                for sub in ("docs", "terms"):
+                    base = os.path.join(srv.root, "indexes", "idx", sub)
+                    for d, _s, files in os.walk(base):
+                        pq = [f for f in files if f.endswith(".parquet")]
+                        assert len(pq) <= 1, (sub, d, pq)
+        finally:
+            srv.stop()
+            fresh.stop()

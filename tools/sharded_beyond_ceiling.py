@@ -86,16 +86,14 @@ def main() -> None:
     report["fine_rows"] = min(L, n)
     report["t_fine_table"] = round(time.time() - t0, 1)
 
-    # level-0 sub-fit + membership. The sub-fit is the production piece
-    # (_fit_centroids_df, hierarchical assignment inside); the MEMBERSHIP
-    # pass is where the production _coarse_members_df keeps the exact
-    # rounded-full-argmin contract of its driver twin — an O(L · L/32 · D)
-    # pass that is fine at every measured fit L (≤16k) but ~4.5 PFLOP at
-    # L=1.5M (hours; the honest remaining fit ceiling, see BASELINE r12).
-    # A SERVING demo needs *a* valid quantizer structure, not the Lloyd
-    # one (the model is iters=0 anyway), so membership here is assigned
-    # hierarchically (log-depth descent, the same code serving uses) and
-    # the closure-equality check below runs on the SAME structure.
+    # level-0 sub-fit + membership — ALL production pieces now. r12 ran
+    # membership with an approximate hierarchical assign because the
+    # exact _coarse_members_df was a flat O(L · L/32 · D) pass (~4.5
+    # PFLOP at L=1.5M — hours, the then-remaining fit ceiling). r13's
+    # _argmin_rounded_pruned removed it: _coarse_members_df keeps its
+    # exact rounded-argmin contract bit-for-bit while running log-depth
+    # (ball-pruned branch-and-bound), so this step-up exercises the real
+    # fit membership at L=1.5M.
     t0 = time.time()
     k = min(L, n)
     k_next = max(2, math.ceil(k / HIER_BRANCH))
@@ -103,23 +101,16 @@ def main() -> None:
         F.col("list_id").cast("long").alias("idx"), F.col("centroid").alias("v")
     )
     sub = _fit_centroids_df(pts, k, k_next, 2)
-    from elastik_nearest_neighbors_spark.operators.ivf import (
-        _build_levels,
-        _hier_assign_udf,
-    )
+    t_subfit = time.time() - t0
+    t0 = time.time()
+    from elastik_nearest_neighbors_spark.operators.ivf import _coarse_members_df
 
-    g_assign = _hier_assign_udf(sub, _build_levels(sub))
-    f2c = cdf.select(
-        "list_id", "centroid", g_assign(F.col("centroid")).alias("g")
-    ).localCheckpoint()
-    present = sorted(r.g for r in f2c.select("g").distinct().collect())
-    remap_df = spark.createDataFrame(
-        [(int(g), i) for i, g in enumerate(present)], "g int, group_id int"
-    )
-    fine = f2c.join(F.broadcast(remap_df), "g").select("group_id", "list_id", "centroid")
-    sub_kept = sub[present]
+    sub_kept, fine = _coarse_members_df(cdf, sub)
+    fine = fine.localCheckpoint()
     levels = [(sub_kept, [])] + _upper_levels_from(sub_kept)
-    report["t_upper_fit"] = round(time.time() - t0, 1)
+    report["t_sub_fit"] = round(t_subfit, 1)
+    report["t_membership_exact"] = round(time.time() - t0, 1)
+    report["t_upper_fit"] = round(t_subfit + time.time() - t0, 1)
     report["upper_closure_bytes"] = int(sum(c.nbytes for c, _m in levels))
     report["fine_payload_bytes"] = int(k * 64 * 8)
     report["closure_ceiling_bytes"] = SHARDED_MODEL_BYTES
