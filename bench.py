@@ -97,6 +97,7 @@ HEADLINE = [
     "aknn_http_upsert",
     "aknn_http_delete",
     "aknn_http_bulk_ingest",
+    "aknn_http_doc_get",
     "sq8_quantize",
     "ann_search_sq8",
     "ann_recall_sq8",

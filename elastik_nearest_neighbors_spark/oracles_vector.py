@@ -1837,3 +1837,20 @@ hits AS (
 SELECT ne.query_id, round(COALESCE(h.n_hit, 0) / ne.n_exact, 4) AS recall
 FROM ne LEFT JOIN hits h ON h.query_id = ne.query_id
 """
+
+
+def aknn_http_doc_get(sf_dir: str) -> str:
+    """ES GET /{index}/{id} parity oracle (#163): the wire doc GETs must
+    reproduce the canonical query rows of the embeddings parquet
+    component-for-component — JSON emits shortest-repr doubles and
+    parses them back to identical float64, and widening float→double is
+    exact in both engines, so the compare is bit-exact."""
+    from .constants import N_QUERIES
+
+    return f"""
+SELECT vec_id, CAST(u.idx - 1 AS INT) AS dim, u.v AS x
+FROM embeddings,
+     LATERAL (SELECT unnest(embedding::DOUBLE[]) AS v,
+                     generate_subscripts(embedding, 1) AS idx) u
+WHERE vec_id < {N_QUERIES}
+"""

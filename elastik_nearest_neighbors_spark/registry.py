@@ -66,6 +66,8 @@ _QUERIES: dict[str, QueryFn] = {
     "aknn_http_delete": server.aknn_http_delete,
     "aknn_http_bulk_ingest": server.aknn_http_bulk_ingest,
     "aknn_http_search": server.aknn_http_search,
+    # NEW in r13 (#163): ES doc-GET parity over the wire
+    "aknn_http_doc_get": server.aknn_http_doc_get,
     "streaming_index_compact": ingest.streaming_index_compact,
     # (4) the remaining r9-era greens (stalest driver rows at r13 start):
     "sq8_quantize": pq.sq8_quantize,
@@ -92,7 +94,6 @@ _QUERIES: dict[str, QueryFn] = {
     "streaming_dedup_state": ingest.streaming_dedup_state,
     "streaming_events_hourly": ingest.streaming_events_hourly,
     "streaming_index": ingest.streaming_index,
-    "streaming_index_store": ingest.streaming_index_store,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
     # entries (measured r3-r12: each CORRECTNESS json holds 50 keys). Keep
     # new/changed keys ABOVE this line and push an equal number below;
@@ -101,6 +102,7 @@ _QUERIES: dict[str, QueryFn] = {
     # then r12-era; within a tier, registry order). Promote any key whose
     # code changes mid-round ahead of this queue. --
     # -- latest driver green r10 --
+    "streaming_index_store": ingest.streaming_index_store,
     "streaming_ann_search": ingest.streaming_ann_search,
     "streaming_graph_search": ingest.streaming_graph_search,
     "ann_recall_matryoshka": knn.ann_recall_matryoshka,
@@ -339,6 +341,8 @@ _ORACLES: dict[str, Callable[[str], str]] = {
     # stage → refresh bulk load must serve bit-identically to the
     # in-memory search (same contract as the other serving keys)
     "aknn_http_bulk_ingest": oracles_vector.ann_search_lsh,
+    # wire doc GET reproduces the embeddings rows component-for-component
+    "aknn_http_doc_get": oracles_vector.aknn_http_doc_get,
     "bitsign_codes": oracles_vector.bitsign_codes,
     "ann_search_bitsign": oracles_vector.ann_search_bitsign,
     "ann_recall_bitsign": oracles_vector.ann_recall_bitsign,

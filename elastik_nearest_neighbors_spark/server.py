@@ -1069,6 +1069,42 @@ class AknnHttpServer:
     def search(self, index: str, doc_id, k1: int = ANN_K1, k2: int = ANN_K2) -> dict:
         return self.msearch(index, [doc_id], k1, k2)["responses"][0]
 
+    def get_doc(self, index: str, doc_id) -> dict | None:
+        """ES GET /{index}/{id} parity (r13, #163): the stored document's
+        source vector, or None → the handler's 404. Store mode reads the
+        id's single pruned id_bucket directory through the same per-id
+        cache the serving path warms; flat mode filters the cached
+        snapshot. JSON round-trips the doubles exactly, so the wire doc
+        equals the stored doc bit-for-bit."""
+        with self._lock:
+            docs = self._cached_docs(index)
+            id_type = dict(docs.dtypes)[ID_FIELD]
+            ids = self._coerce_ids(id_type, [doc_id])
+            if not ids:
+                return None
+            d = ids[0]
+            if self.store_backed:
+                ck = (index, d)
+                qrows = self._doc_cache.get(ck)
+                if qrows is None:
+                    qrows = self._query_doc_df(index, d).collect()
+                    if len(self._doc_cache) >= 4096:  # FIFO cap
+                        self._doc_cache.pop(next(iter(self._doc_cache)))
+                    self._doc_cache[ck] = qrows
+            else:
+                qrows = docs.where(
+                    F.col(ID_FIELD) == F.lit(d).cast(id_type)
+                ).collect()
+            if not qrows:
+                return None
+            q = qrows[0]
+            return {
+                "_index": index,
+                "_id": q[ID_FIELD],
+                "found": True,
+                "_source": {VECTOR_FIELD: list(q[VECTOR_FIELD])},
+            }
+
     def models(self) -> dict:
         return {"models": self.registry.names()}
 
@@ -1147,6 +1183,16 @@ def _make_handler(server: AknnHttpServer):
                             int(q.get("k2", [ANN_K2])[0]),
                         ),
                     )
+                elif len(parts) == 2 and not parts[1].startswith("_"):
+                    # ES doc-GET parity: GET /{index}/{id} → stored doc
+                    doc = server.get_doc(parts[0], parts[1])
+                    if doc is None:
+                        self._reply(
+                            404,
+                            {"_index": parts[0], "_id": parts[1], "found": False},
+                        )
+                    else:
+                        self._reply(200, doc)
                 else:
                     self._reply(404, {"error": f"no such endpoint: {self.path}"})
             except TornIndexError as exc:
@@ -1297,6 +1343,37 @@ def aknn_http_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drive_endpoints(spark, sf_dir, store_backed=True, tag="delete", mutate=purge)
 
 
+def aknn_http_doc_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (SURVEY §2 #163, r13): ES document-GET parity —
+    GET /{index}/{id} returns the stored doc from its single pruned
+    id_bucket directory (the exact read + per-id cache the serving path
+    uses), 404 for an unknown id. The drive reuses the store-backed
+    search server's built index (shared _SERVER_CACHE key — no second
+    load), GETs every canonical query id plus one unknown id (asserted
+    404, contributing no rows), and explodes the JSON vectors to
+    (vec_id, dim, x) rows. Gated directly against the embeddings
+    parquet: JSON round-trips doubles exactly, so a stored-vector byte
+    flip anywhere in hash/append/compact fails the hash gate."""
+    import urllib.error
+
+    from .constants import N_QUERIES
+
+    srv = _ensure_server(spark, sf_dir, store_backed=True)
+    rows = []
+    for qid in range(N_QUERIES):
+        res = _http_get(srv.port, f"/vectors/{qid}")
+        assert res["found"] is True and res["_id"] == qid
+        for i, x in enumerate(res["_source"][VECTOR_FIELD]):
+            rows.append((qid, i, float(x)))
+    try:
+        _http_get(srv.port, "/vectors/987654321")
+        raise RuntimeError("unknown id must 404")
+    except urllib.error.HTTPError as e:
+        if e.code != 404:
+            raise
+    return spark.createDataFrame(rows, "vec_id bigint, dim int, x double")
+
+
 def aknn_http_bulk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registry entry (SURVEY §2 #162, r12): ES refresh-semantics bulk
     loading over the wire — the answer to r11's honest 749 s / 200k wire
@@ -1312,7 +1389,7 @@ def aknn_http_bulk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drive_endpoints(spark, sf_dir, store_backed=True, tag="bulk", bulk=True)
 
 
-def _drive_endpoints(
+def _ensure_server(
     spark: SparkSession,
     sf_dir: str,
     store_backed: bool,
@@ -1320,9 +1397,12 @@ def _drive_endpoints(
     repost=None,
     mutate=None,
     bulk: bool = False,
-) -> DataFrame:
+) -> AknnHttpServer:
+    """Build (or reuse from _SERVER_CACHE) the drive server for one
+    (mode, tag) — create + index + optional mutate + compact. Split out
+    of _drive_endpoints (r13) so non-search drives (doc GET) share the
+    same built store instead of paying a second load."""
     from . import io
-    from .constants import N_QUERIES
     from .session import configure
 
     configure(spark)
@@ -1369,6 +1449,21 @@ def _drive_endpoints(
             srv.stop()
             raise
         _SERVER_CACHE[key] = srv
+    return srv
+
+
+def _drive_endpoints(
+    spark: SparkSession,
+    sf_dir: str,
+    store_backed: bool,
+    tag: str | None = None,
+    repost=None,
+    mutate=None,
+    bulk: bool = False,
+) -> DataFrame:
+    from .constants import N_QUERIES
+
+    srv = _ensure_server(spark, sf_dir, store_backed, tag, repost, mutate, bulk)
     # r13: the canonical queries go over the wire as ONE _aknn_msearch
     # request — Q queries share one ranked-collect job instead of paying
     # Q × fixed per-request driver cost (the r12 verdict's job-count

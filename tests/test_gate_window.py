@@ -17,7 +17,8 @@ from elastik_nearest_neighbors_spark import registry
 
 GATE_WINDOW_SIZE = 50
 
-# The r13 window, in driver gate order: (1) the full ivf.py surface (the
+# The r13 window, in driver gate order (#163 aknn_http_doc_get displaced
+# streaming_index_store to the r14 queue mid-round): (1) the full ivf.py surface (the
 # sharded-IVF rewrite landed below the gate mid-r12, and r13 adds the
 # log-depth coarse-membership fit), (2) the pq family (probe_pairs /
 # list_assignments consumers of the same code), (3) the six r13-changed
@@ -50,6 +51,7 @@ EXPECTED_GATE_WINDOW = [
     "aknn_http_delete",
     "aknn_http_bulk_ingest",
     "aknn_http_search",
+    "aknn_http_doc_get",
     "streaming_index_compact",
     "sq8_quantize",
     "ann_search_sq8",
@@ -74,7 +76,6 @@ EXPECTED_GATE_WINDOW = [
     "streaming_dedup_state",
     "streaming_events_hourly",
     "streaming_index",
-    "streaming_index_store",
 ]
 
 
@@ -93,7 +94,7 @@ def test_expected_window_is_exactly_the_gate_size():
 
 
 def test_registry_still_covers_every_survey_key():
-    # the rotation must reorder, never drop: 162 keys (SURVEY §2), all unique
+    # the rotation must reorder, never drop: 163 keys (SURVEY §2), all unique
     ks = list(registry.queries())
-    assert len(ks) == 162
-    assert len(set(ks)) == 162
+    assert len(ks) == 163
+    assert len(set(ks)) == 163

@@ -620,3 +620,26 @@ def test_http_refresh_bulk_merge_path_matches_pruned(spark, monkeypatch):
         finally:
             srv.stop()
             fresh.stop()
+
+
+def test_http_doc_get_200_404_both_modes(spark):
+    """r13 (#163): GET /{index}/{id} returns the stored doc (found: true,
+    exact vector round-trip) and 404s an unknown or non-numeric id, in
+    both store modes."""
+    docs = _sample_docs(spark, n=48)
+    for store_backed in (False, True):
+        srv = _serve(spark, docs, store_backed=store_backed)
+        try:
+            d = docs[7]
+            res = _http_get(srv.port, f"/idx/{d['_id']}")
+            assert res["found"] is True and res["_id"] == d["_id"]
+            assert res["_source"]["_aknn_vector"] == d["_source"]["_aknn_vector"]
+            for missing in ("999999", "zzz"):
+                try:
+                    urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/idx/{missing}")
+                    raise AssertionError("unknown id must 404")
+                except urllib.error.HTTPError as e:
+                    assert e.code == 404
+                    assert _json.loads(e.read())["found"] is False
+        finally:
+            srv.stop()
