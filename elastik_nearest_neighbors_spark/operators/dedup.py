@@ -41,8 +41,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     # widen: every operator here full-scans and then does heavy per-row
     # expression work (shingle explode + hashing) — parallelize it even
-    # when the input is one row group
-    return io.table(spark, sf_dir, "documents", widen=True)
+    # when the input is one row group.
+    # r13 (opt guide §2.4): pin isnotnull(doc_id) at the source. Joins on
+    # doc_id infer it into THEIR branch's scan while non-join branches skip
+    # it, so the shingle/signature subtrees of the self-join families
+    # canonicalized UNEQUAL and ReuseExchange never fired — the before-plan
+    # of dedup_minhash_canonical re-computed the documents scan 17× (zero
+    # ReusedExchange). doc_id is never null, so results are unchanged; with
+    # every branch carrying the same filter the duplicated pipelines
+    # collapse into exchange reuses.
+    return io.table(spark, sf_dir, "documents", widen=True).where(
+        F.col("doc_id").isNotNull()
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,7 +632,12 @@ def dedup_minhash_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, canonical_id, n_dups)."""
     docs = _docs(spark, sf_dir)
-    near = dedup_minhash_lsh(spark, sf_dir)
+    # localCheckpoint: `near` feeds BOTH sides of the symmetrization union —
+    # the same r10 decision as dedup_embedding_cosine's (knn.py): without it
+    # the post-exchange verify tails of the whole minhash pipeline run once
+    # per branch (exchange reuse only dedups up to the last Exchange). The
+    # pair set is KB-bounded (verified candidates above tau). r13.
+    near = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
     sym = (
         near.select(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("other"))
         .unionAll(near.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("other")))

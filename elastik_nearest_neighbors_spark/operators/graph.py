@@ -429,24 +429,30 @@ def ann_search_graph_beam(
 
     nvec = index_df.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
     qvec = query_df.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    # r13 (opt guide §2.6/§5): ONE eager barrier per round instead of two.
+    # The previously separate `expanded` frame (union of checkpointed beams —
+    # its own localCheckpoint job per round) is now a boolean column ON the
+    # pool: beam = top-WIDTH of the not-yet-expanded rows, and the round's
+    # single checkpoint persists both the new scores and the updated flags.
+    # Same candidate set, same distances, same final top-k — the flag is
+    # dropped before returning.
     pool = (
         ann_search_ivf(
             index_df, query_df, model, nprobe=1, k=GRAPH_SEED_K, id_col=id_col, vec_col=vec_col
         )
         .select("query_id", "neighbor_id", "distance")
+        .withColumn("expanded", F.lit(False))
         .localCheckpoint(eager=True)
     )
-    expanded: DataFrame | None = None
     w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
     for _ in range(BEAM_ROUNDS):
-        frontier = pool
-        if expanded is not None:
-            frontier = pool.join(expanded, ["query_id", "neighbor_id"], "left_anti")
+        # beam: cheap window over the checkpointed pool — re-evaluated by its
+        # consumers inside the one round job rather than checkpointed itself
         beam = (
-            frontier.withColumn("rn", F.row_number().over(w))
+            pool.where(~F.col("expanded"))
+            .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= BEAM_WIDTH)
             .select("query_id", "neighbor_id")
-            .localCheckpoint(eager=True)  # feeds the hop AND the expanded set
         )
         hop = (
             edges.select(F.col("vec_a").alias("neighbor_id"), "vec_b")
@@ -463,13 +469,28 @@ def ann_search_graph_beam(
                 "query_id",
                 "neighbor_id",
                 F.round(euclidean(F.col("qv"), F.col("nv")), DIST_ROUND).alias("distance"),
+                F.lit(False).alias("expanded"),
             )
+        )
+        marked = (
+            pool.join(
+                F.broadcast(beam.withColumn("in_beam", F.lit(True))),
+                ["query_id", "neighbor_id"],
+                "left",
+            )
+            .withColumn(
+                "expanded", F.col("expanded") | F.coalesce(F.col("in_beam"), F.lit(False))
+            )
+            .drop("in_beam")
         )
         # localCheckpoint per round: the pool stays KB-sized but its lineage
         # would otherwise deepen by ~5 joins per round
-        pool = pool.unionByName(scored_new).localCheckpoint(eager=True)
-        expanded = beam if expanded is None else expanded.unionByName(beam)
-    return pool.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+        pool = marked.unionByName(scored_new).localCheckpoint(eager=True)
+    return (
+        pool.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn", "expanded")
+    )
 
 
 # ---- registry entries (spark, sf_dir) → DataFrame ---------------------------

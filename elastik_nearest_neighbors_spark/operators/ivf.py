@@ -553,7 +553,12 @@ class IvfModel:
                 {"list_id": lid.astype(np.int32), "center_dist": d[np.arange(len(d)), lid]}
             )
 
-        return _assign
+        # r13 (opt guide §4.4): consumers filter/explode on the struct
+        # fields, and the pushed-down inferred filter duplicates this UDF
+        # below the parallelizing repartition (ann_search_ivf before-plan:
+        # two _assign ArrowEvalPython nodes, one under the exchange).
+        # Deterministic in fact, so results are unchanged.
+        return _assign.asNondeterministic()
 
     def probe_udf(self, nprobe: int = IVF_NPROBE):
         model = self
@@ -578,7 +583,8 @@ class IvfModel:
             order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
             return pd.Series(list(order.astype(np.int32)))
 
-        return _probe
+        # same InferFiltersFromGenerate duplication as assign_udf (§4.4)
+        return _probe.asNondeterministic()
 
 
 def _select_level0_groups(

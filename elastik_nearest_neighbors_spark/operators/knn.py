@@ -370,10 +370,13 @@ def exact_ground_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _recall_of(ann: DataFrame, exact: DataFrame) -> DataFrame:
     """(query_id, recall): |ann ∩ exact| / |exact| per query, rounded 4.
 
-    `ann` is localCheckpoint-ed first; `exact` must arrive materialized
-    (exact_ground_truth) — it feeds two branches (intersect + the per-query
-    denominator) and would otherwise execute its whole kNN subtree twice."""
-    ann = ann.localCheckpoint(eager=True)
+    `exact` must arrive materialized (exact_ground_truth) — it feeds two
+    branches (intersect + the per-query denominator) and would otherwise
+    execute its whole kNN subtree twice. `ann` feeds exactly one consumer
+    since the r10 broadcast rewrite, so the eager checkpoint it used to get
+    here (a full barrier job per recall key, 11 keys + the families union)
+    was pure overhead — removed r13 (opt guide §5: checkpoint only what is
+    reused)."""
     # both sides are distinct (query_id, neighbor_id) rank lists bounded
     # by Q·k rows, so the intersection is an inner join on both columns —
     # broadcast, not the SortMergeJoin-with-two-Exchanges that .intersect
@@ -922,16 +925,55 @@ def ann_recall_families(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("matryoshka", lambda: ann_recall_matryoshka(spark, sf_dir)),
         ("bitsign", lambda: pq.ann_recall_bitsign(spark, sf_dir)),
     ]
+    app = spark.sparkContext.applicationId
+    missing = [
+        (name, build)
+        for name, build in fams
+        if (app, sf_dir, name) not in _FAMILY_RECALL_MEMO
+    ]
+    if len(missing) > 1:
+        # r13 (opt guide §2.6, overlap independent jobs): the cold cost of
+        # this key was a SEQUENTIAL chain of 11 family searches — each
+        # build() ends in an eager localCheckpoint barrier, so the driver
+        # submitted one family's jobs only after the previous family's
+        # straggler tail drained, leaving most cores idle (measured ≈ the
+        # sum of the individual per-family recall keys, 27.5 s at sf0.1).
+        # The searches are mutually independent, so build them from a small
+        # thread pool and let each family's tasks back-fill the others'
+        # tails. Two guards keep this result-identical to the sequential
+        # path: (a) every dependency SHARED between families (ground truth,
+        # the lazy model/assignment/edge caches — plain dicts, which two
+        # concurrent misses would each recompute) is warmed once up front;
+        # (b) each thread writes only its own memo key, and the frames are
+        # deterministic, so the union below sees the same rows either way.
+        from concurrent.futures import ThreadPoolExecutor
+
+        exact_ground_truth(spark, sf_dir)  # every family's _recall_of
+        _model_for(_emb(spark, sf_dir), sf_dir)  # lsh/multiprobe/matryoshka
+        ivf.model_for(sf_dir)  # ivf seeds + the pq/graph families
+        ivf.list_assignments(spark, sf_dir)
+        pq.model_for(sf_dir)  # pq, ivfpq, ivfpq_refined
+        graph.graph_edges(spark, sf_dir)  # graph, graph_beam (+ its model)
+
+        def _build(nb) -> None:
+            name, build = nb
+            # eager KB-sized checkpoint: the frame is Q rows; the search it
+            # runs is exactly what the un-memoized union ran here anyway
+            _FAMILY_RECALL_MEMO[(app, sf_dir, name)] = build().localCheckpoint()
+
+        import os as _os
+
+        workers = max(1, int(_os.environ.get("ENN_FAMILY_RECALL_THREADS", "4")))
+        with ThreadPoolExecutor(max_workers=workers) as tp:
+            list(tp.map(_build, missing))
     parts = []
     for name, build in fams:
         # r8: applicationId in the key, matching every sibling cache
         # (graph.py/ivf.py model caches) — a localCheckpoint dies with its
         # SparkContext, so a restarted session must rebuild, not reuse.
-        memo_key = (spark.sparkContext.applicationId, sf_dir, name)
+        memo_key = (app, sf_dir, name)
         df = _FAMILY_RECALL_MEMO.get(memo_key)
         if df is None:
-            # eager KB-sized checkpoint: the frame is Q rows; the search it
-            # runs is exactly what the un-memoized union ran here anyway
             df = _FAMILY_RECALL_MEMO[memo_key] = build().localCheckpoint()
         parts.append(df.select(F.lit(name).alias("family"), "recall"))
     un = parts[0]

@@ -90,7 +90,14 @@ class LshModel:
             hashes = (bit * weights).sum(axis=2).astype(np.int64)
             return pd.Series(list(hashes))
 
-        return _hash
+        # r13 (opt guide §4.4): every consumer explodes the hash array, and
+        # Catalyst's InferFiltersFromGenerate pushes the inferred
+        # size(hashes)>0 filter below the parallelizing repartition — which
+        # duplicates this UDF (one copy under the exchange, i.e. running on
+        # the UN-repartitioned scan, plus the real one above). Marking it
+        # non-deterministic forbids that duplication; the function is in
+        # fact deterministic, so results are unchanged.
+        return _hash.asNondeterministic()
 
     def with_hashes(self, df: DataFrame, vec_col: str = "embedding", out: str = "hashes") -> DataFrame:
         return df.withColumn(out, self.hash_udf()(F.col(vec_col)))
@@ -124,7 +131,8 @@ class LshModel:
                 )
             return pd.Series(list(out))
 
-        return _probe
+        # same InferFiltersFromGenerate duplication as hash_udf (§4.4)
+        return _probe.asNondeterministic()
 
     def subset(self, tables: int) -> "LshModel":
         """First-`tables` prefix of this model — a valid smaller model (each

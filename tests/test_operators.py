@@ -2056,3 +2056,30 @@ def test_phrase_match_char_tokenizer(spark):
         if d != q and texts[q][:PHRASE_LEN] in texts[d]
     }
     assert got == expect and len(expect) > 0
+
+
+def test_ann_recall_families_parallel_equals_sequential(spark, monkeypatch):
+    """r13 optimization: the 11 family builds run from a thread pool
+    (guide §2.6). The result must be identical to the sequential build —
+    same 11 families, same recalls — and the memo must end up fully
+    populated either way."""
+    from elastik_nearest_neighbors_spark.operators import knn
+
+    app = spark.sparkContext.applicationId
+
+    def _clear():
+        for k in [
+            k for k in knn._FAMILY_RECALL_MEMO if k[0] == app and k[1] == SF_SMALL
+        ]:
+            del knn._FAMILY_RECALL_MEMO[k]
+
+    _clear()
+    monkeypatch.setenv("ENN_FAMILY_RECALL_THREADS", "4")
+    par = {r.family: r.recall for r in knn.ann_recall_families(spark, SF_SMALL).collect()}
+    n_memo = len([k for k in knn._FAMILY_RECALL_MEMO if k[0] == app and k[1] == SF_SMALL])
+    assert n_memo == len(par) == 11
+
+    _clear()
+    monkeypatch.setenv("ENN_FAMILY_RECALL_THREADS", "1")  # pool, but serial
+    seq = {r.family: r.recall for r in knn.ann_recall_families(spark, SF_SMALL).collect()}
+    assert par == seq

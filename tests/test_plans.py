@@ -632,3 +632,23 @@ def test_q20_merge_join_reuses_aggregation_partitioning(spark):
         if "Exchange" in l and "BroadcastExchange" not in l
     )
     assert shuffles == 3, tree
+
+
+def test_hash_udfs_not_duplicated_by_filter_pushdown(spark):
+    """r13 optimization (guide §4.4): explode over an array-returning Arrow
+    UDF used to evaluate the UDF TWICE per side — Catalyst inferred a
+    size()>0 filter from the Generate and pushed it below the widen
+    repartition, duplicating the (deterministic) UDF onto the 1-task
+    pre-repartition scan. The UDF factories are non-deterministic-marked
+    now; exactly one ArrowEvalPython per hashed side must remain."""
+    import re
+
+    df = knn.ann_search_lsh_q(spark, SF_SMALL)
+    plan = plans.formatted_plan(df)
+    n = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+    assert n == 2, plan  # one _hash per side (index + queries)
+
+    df2 = ivf.ann_search_ivf_q(spark, SF_SMALL)
+    plan2 = plans.formatted_plan(df2)
+    n2 = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan2, re.M))
+    assert n2 == 2, plan2  # one _assign (index) + one _probe (queries)
