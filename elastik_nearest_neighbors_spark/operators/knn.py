@@ -126,8 +126,12 @@ def rank_term_matches(
 
     nvec = index_df.select(F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("nv"))
     qvec = query_df.select(F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv"))
+    # broadcast the ≤ Q·k1 candidate list, STREAM the index side: without
+    # the hint Catalyst broadcasts nvec (the whole corpus — tiny parquet
+    # stats at bench SFs, a full-corpus shuffle-or-OOM at 100 TB) and the
+    # gather inverts into corpus-ships-to-candidates
     scored = (
-        k1_sel.join(nvec, "neighbor_id")
+        F.broadcast(k1_sel).join(nvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "query_id",
@@ -492,8 +496,10 @@ def ann_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("rn")
     nvec = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("nv"))
     qvec = queries.select(F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv"))
+    # broadcast the grid-bounded shortlist (|sweep grid|·Q·K1 rows), not
+    # the corpus — same §3 build-side fix as rank_term_matches
     scored = (
-        k1_sel.join(nvec, "neighbor_id")
+        F.broadcast(k1_sel).join(nvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "n_tables",
@@ -635,17 +641,23 @@ def knn_exact_mips_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_exact(emb, emb.where(F.col("vec_id") < N_QUERIES), metric="dot")
 
 
-# (tbl, bucket) probe set of the CANONICAL query batch, per (context,
-# sf_dir): the batch is fixed, so its ≤ Q·T probe directories are too —
-# computing them is a full Spark job (hash UDF + distinct + collect,
-# measured 0.8 s of the 3.3 s store search at sf0.1) that repeat searches
-# need not re-pay. Non-canonical query sets (index_upsert's updated
-# vectors) bypass the cache.
-_PROBE_PARTS_CACHE: dict[tuple[str, str], list] = {}
+# (tbl, bucket) probe set of a FIXED query batch, per (context, sf_dir,
+# batch tag): each batch is deterministic, so its ≤ Q·T probe directories
+# are too — computing them is a full Spark job (hash UDF + distinct +
+# collect, measured 0.8 s of the 3.3 s store search at sf0.1) that repeat
+# searches need not re-pay. The canonical batch caches under "canonical";
+# index_upsert/index_delete pass their own tags for their (equally
+# deterministic) derived query tables; an untagged non-canonical emb
+# bypasses the cache.
+_PROBE_PARTS_CACHE: dict[tuple[str, str, str], list] = {}
 
 
 def search_lsh_store(
-    spark: SparkSession, sf_dir: str, store: str, emb: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    store: str,
+    emb: DataFrame | None = None,
+    parts_tag: str | None = None,
 ) -> DataFrame:
     """Search through a persisted (tbl, bucket)-partitioned LSH store at
     `store`: hash the query batch, read back ONLY its own (tbl, bucket)
@@ -659,13 +671,16 @@ def search_lsh_store(
     canonical = emb is None
     if canonical:
         emb = _emb(spark, sf_dir)
+        parts_tag = "canonical"
     model = _model_for(_emb(spark, sf_dir), sf_dir)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     q_exp = explode_hashes(build_index(queries, model), "vec_id", "query_id")
     # the query batch's (tbl, bucket) set: ≤ Q·T entries, KB-sized — the
     # same justified driver-side collect as the IVF probe list
-    cache_key = (spark.sparkContext.applicationId, sf_dir)
-    parts = _PROBE_PARTS_CACHE.get(cache_key) if canonical else None
+    cache_key = (
+        (spark.sparkContext.applicationId, sf_dir, parts_tag) if parts_tag else None
+    )
+    parts = _PROBE_PARTS_CACHE.get(cache_key) if cache_key else None
     if parts is None:
         parts = [
             (r.tbl, r.bucket)
@@ -675,7 +690,7 @@ def search_lsh_store(
             .distinct()
             .collect()
         ]
-        if canonical:
+        if cache_key:
             _PROBE_PARTS_CACHE[cache_key] = parts
     idx_exp = load_lsh_partitions(spark, store, parts).withColumnRenamed(
         "vec_id", "neighbor_id"
@@ -796,7 +811,9 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         patched = existing.where(F.col("vec_id") % UPSERT_MOD != 0).unionByName(new_b)
         pruned_dynamic_overwrite(spark, store, patched, ["tbl", "bucket"], parts)
         io.fs_touch(spark, marker)
-    return search_lsh_store(spark, sf_dir, store, emb=memb)
+    # the updated table is deterministic per sf_dir, so its probe set is
+    # cacheable under its own tag (repeat searches skip the collect job)
+    return search_lsh_store(spark, sf_dir, store, emb=memb, parts_tag="upsert")
 
 
 def index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -853,7 +870,10 @@ def index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         patched = existing.where(~doomed_pred)
         pruned_dynamic_overwrite(spark, store, patched, ["tbl", "bucket"], parts)
         io.fs_touch(spark, marker)
-    return search_lsh_store(spark, sf_dir, store, emb=emb.where(~doomed_pred))
+    # deterministic surviving-id query batch → cacheable probe set
+    return search_lsh_store(
+        spark, sf_dir, store, emb=emb.where(~doomed_pred), parts_tag="delete"
+    )
 
 
 def label_centroids_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1114,7 +1134,9 @@ def ann_search_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = q.select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qvf")
     )
-    full = shortlist.join(nvec, "neighbor_id").join(F.broadcast(qvec), "query_id").select(
+    # broadcast the ≤ Q·MRL_K1 shortlist, stream the full-dim corpus scan
+    # (§3 build-side fix; without the hint Catalyst broadcasts the corpus)
+    full = F.broadcast(shortlist).join(nvec, "neighbor_id").join(F.broadcast(qvec), "query_id").select(
         "query_id",
         "neighbor_id",
         "coarse_distance",

@@ -771,7 +771,9 @@ def ann_search_bitsign(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = q.select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
     )
-    full = shortlist.join(nvec, "neighbor_id").join(F.broadcast(qvec), "query_id").select(
+    # broadcast the ≤ Q·BITSIGN_K1 shortlist, stream the corpus gather
+    # (§3 build-side fix; the hintless join broadcast the whole emb table)
+    full = F.broadcast(shortlist).join(nvec, "neighbor_id").join(F.broadcast(qvec), "query_id").select(
         "query_id",
         "neighbor_id",
         "hamming",

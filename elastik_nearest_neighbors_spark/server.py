@@ -991,18 +991,18 @@ class AknnHttpServer:
             f"query_id {id_type}, tbl int, hash bigint",
         )
         # prune the cached terms snapshot to the ≤ Q·T probed (tbl, bucket)
-        # directories — same OR-of-literals PartitionFilters shape as
+        # directories — same packed-key IN PartitionFilters shape as
         # load_lsh_partitions, without its per-call listing (see the
         # _terms_cache note in __init__); deduped across queries sharing
-        # buckets
+        # buckets. (r13: was an OR-of-literals tree — building that
+        # ~Q·T-way Column tree cost seconds of py4j round-trips per
+        # msearch batch at T=16; packed IN is one expression.)
+        from .sources.index_store import partition_key_filter
+
         pairs = sorted({(t, int(h) % n) for _d, q in found for t, h in enumerate(q["hashes"])})
-        pred = None
-        for t, b in pairs:
-            c = (F.col("tbl") == t) & (F.col("bucket") == b)
-            pred = c if pred is None else pred | c
         idx_exp = (
             self._cached_terms(index)
-            .where(pred)
+            .where(partition_key_filter(["tbl", "bucket"], pairs))
             .select(F.col("vec_id").alias("neighbor_id"), "tbl", "hash")
         )
         counts = (
