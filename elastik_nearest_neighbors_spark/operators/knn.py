@@ -31,25 +31,17 @@ from .lsh import LshModel, build_index, explode_hashes
 
 
 def _partial_topk(scored: DataFrame, val_col: str, k: int, ascending: bool) -> DataFrame:
-    """Per-partition top-k — shrinks N·Q rows to ≤ Q·k per partition before
-    any shuffle. Keeps the exact global top-k because the final window uses
-    the same (val, id) ordering."""
-    import pandas as pd
-
-    schema = scored.schema
-
-    def fold(batches):
-        acc = None
-        for pdf in batches:
-            cur = pd.concat([acc, pdf]) if acc is not None else pdf
-            cur = cur.sort_values(
-                ["query_id", val_col, "neighbor_id"], ascending=[True, ascending, True]
-            )
-            acc = cur.groupby("query_id", sort=False).head(k)
-        if acc is not None:
-            yield acc
-
-    return scored.mapInPandas(fold, schema)
+    """Per-partition top-k before the final window — since r13 a NO-OP:
+    Spark ≥3.5 inserts a native WindowGroupLimit (Partial before the
+    exchange, Final after) for `row_number() ≤ k` windows, which is exactly
+    the pre-shuffle shrink the old mapInPandas fold did — minus a full
+    JVM→Arrow→pandas→JVM round trip of the N·Q scored stream (guide §4.1:
+    the r13 before-plans show BOTH the Python fold AND the redundant native
+    WindowGroupLimit pair around the shuffle). Kept as a seam (and for the
+    explanation) so every corpus-wide scorer documents where its partial
+    top-k lives; callers' windows all order by (val, neighbor_id), which
+    is what lets the native group-limit keep the exact global top-k."""
+    return scored
 
 
 def knn_exact(
