@@ -86,14 +86,17 @@ _QUERIES: dict[str, QueryFn] = {
     "embedding_clusters": graph.embedding_clusters,
     "ann_search_graph_beam": graph.ann_search_graph_beam_q,
     "ann_recall_graph_beam": graph.ann_recall_graph_beam_q,
-    # (5) the stalest r10-era greens that fit: the streaming family:
-    "streaming_sessionize_check": ingest.streaming_sessionize_check,
-    "streaming_sessionize_append": ingest.streaming_sessionize_append,
-    "streaming_sessionize": ingest.streaming_sessionize,
-    "streaming_sliding_window": ingest.streaming_sliding_window,
-    "streaming_dedup_state": ingest.streaming_dedup_state,
-    "streaming_events_hourly": ingest.streaming_events_hourly,
-    "streaming_index": ingest.streaming_index,
+    # (5) r13-optimization-changed keys (driver-job caches: bm25 query
+    # constants, phrase probes, graph-store seeds — the changed-keys-first
+    # rule displaces the streaming family, unchanged this round, to the
+    # r14 queue head):
+    "bm25_doc_search": search.bm25_doc_search,
+    "bm25_doc_search_char": search.bm25_doc_search_char,
+    "hybrid_search_rrf": search.hybrid_search_rrf,
+    "phrase_match": search.phrase_match,
+    "ann_search_graph_store": graph.ann_search_graph_store,
+    "graph_delete": graph.graph_delete,
+    "graph_rebuild": graph.graph_rebuild,
     # ---- GATE WINDOW BOUNDARY: the driver gates EXACTLY the first 50
     # entries (measured r3-r12: each CORRECTNESS json holds 50 keys). Keep
     # new/changed keys ABOVE this line and push an equal number below;
@@ -102,6 +105,13 @@ _QUERIES: dict[str, QueryFn] = {
     # then r12-era; within a tier, registry order). Promote any key whose
     # code changes mid-round ahead of this queue. --
     # -- latest driver green r10 --
+    "streaming_sessionize_check": ingest.streaming_sessionize_check,
+    "streaming_sessionize_append": ingest.streaming_sessionize_append,
+    "streaming_sessionize": ingest.streaming_sessionize,
+    "streaming_sliding_window": ingest.streaming_sliding_window,
+    "streaming_dedup_state": ingest.streaming_dedup_state,
+    "streaming_events_hourly": ingest.streaming_events_hourly,
+    "streaming_index": ingest.streaming_index,
     "streaming_index_store": ingest.streaming_index_store,
     "streaming_ann_search": ingest.streaming_ann_search,
     "streaming_graph_search": ingest.streaming_graph_search,
@@ -137,11 +147,6 @@ _QUERIES: dict[str, QueryFn] = {
     "events_sliding_window": analytics.events_sliding_window,
     # -- latest driver green r11 --
     "events_approx_distinct": analytics.events_approx_distinct,
-    "bm25_doc_search_char": search.bm25_doc_search_char,
-    "bm25_doc_search": search.bm25_doc_search,
-    "hybrid_search_rrf": search.hybrid_search_rrf,
-    "phrase_match": search.phrase_match,
-    "ann_search_graph_store": graph.ann_search_graph_store,
     "dedup_embedding_cosine": knn.dedup_embedding_cosine_q,
     "ann_recall": knn.ann_recall_q,
     "ann_recall_graph": graph.ann_recall_graph_q,
@@ -182,8 +187,6 @@ _QUERIES: dict[str, QueryFn] = {
     # -- latest driver green r12 --
     "index_upsert": knn.index_upsert,
     "index_delete": knn.index_delete,
-    "graph_delete": graph.graph_delete,
-    "graph_rebuild": graph.graph_rebuild,
     "events_asof_join": analytics.events_asof_join,
     "events_topk_users": analytics.events_topk_users,
     "events_hourly": analytics.events_hourly,

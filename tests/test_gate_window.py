@@ -23,8 +23,10 @@ GATE_WINDOW_SIZE = 50
 # log-depth coarse-membership fit), (2) the pq family (probe_pairs /
 # list_assignments consumers of the same code), (3) the six r13-changed
 # serving keys (search job-count, wire compaction, distributed refresh),
-# (4) the 16 remaining r9-era greens, (5) the 8 stalest r10-era greens
-# (the streaming family).
+# (4) the 16 remaining r9-era greens, (5) the 7 keys whose code paths the
+# r13 optimization round changed (driver-job caches: bm25 query constants,
+# phrase probes, graph-store seeds) — displacing the streaming family
+# (unchanged this round, r10-green) to the r14 queue head.
 EXPECTED_GATE_WINDOW = [
     "ivf_index",
     "ann_search_ivf",
@@ -69,13 +71,13 @@ EXPECTED_GATE_WINDOW = [
     "embedding_clusters",
     "ann_search_graph_beam",
     "ann_recall_graph_beam",
-    "streaming_sessionize_check",
-    "streaming_sessionize_append",
-    "streaming_sessionize",
-    "streaming_sliding_window",
-    "streaming_dedup_state",
-    "streaming_events_hourly",
-    "streaming_index",
+    "bm25_doc_search",
+    "bm25_doc_search_char",
+    "hybrid_search_rrf",
+    "phrase_match",
+    "ann_search_graph_store",
+    "graph_delete",
+    "graph_rebuild",
 ]
 
 
