@@ -697,9 +697,14 @@ def _connected_components(
 
     nodes: (doc_id,); edges: (doc_a, doc_b), treated as undirected.
     Output: (doc_id, cluster_id) with cluster_id = min doc_id reachable."""
+    # LAZY checkpoint (r13 opt §5): the plan is truncated at call time
+    # either way (the Dataset wraps the checkpoint RDD immediately); eager
+    # only adds a separate materialization job. The n_e count() below is
+    # the first action, so it materializes the checkpoint AND returns the
+    # size in ONE job instead of two.
     sym0 = edges.unionAll(
         edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # only edge-incident nodes can get a non-self label; everything else is
     # a singleton cluster emitted directly — on a mostly-unique corpus the
     # star loop then runs over a small fraction of N
@@ -712,13 +717,15 @@ def _connected_components(
     for _ in range(max_rounds):
         # one large-star + one small-star per materialization round; the
         # phases compose lazily (no self-referencing subtree, unlike the
-        # old pointer-jump), so only the round result is checkpointed
-        e2 = _star_phase(_star_phase(e, large=True), large=False).localCheckpoint(eager=True)
+        # old pointer-jump), so only the round result is checkpointed —
+        # LAZILY: the count() is the round's single materializing job
+        # (eager checkpoint + count was two driver-sequential jobs/round)
+        e2 = _star_phase(_star_phase(e, large=True), large=False).localCheckpoint(eager=False)
         # convergence: both sets are distinct, so equal size + empty
-        # one-sided difference ⇒ equal sets (counts are cheap post-
-        # checkpoint; the exceptAll job only runs when sizes match)
+        # one-sided difference ⇒ equal sets (the exceptAll job only runs
+        # when sizes match; isEmpty short-circuits on the first diff row)
         n_e2 = e2.count()
-        changed = n_e2 != n_e or e2.exceptAll(e).count() > 0
+        changed = n_e2 != n_e or not e2.exceptAll(e).isEmpty()
         e, n_e = e2, n_e2
         if not changed:
             break

@@ -908,7 +908,10 @@ def _sample_df(spark: SparkSession, sf_dir: str, sample_n: int) -> tuple[DataFra
         # whole fit). Results are partitioning-independent: assignment is
         # per-row, updates sort by idx inside each group.
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
+        # LAZY (r13 §5, same fold as _connected_components): the count()
+        # below is the first action, so it materializes the checkpoint AND
+        # returns n in one job instead of eager-materialize + count
+        .localCheckpoint(eager=False)
     )
     return xdf, xdf.count()
 
