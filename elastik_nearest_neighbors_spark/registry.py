@@ -79,7 +79,11 @@ _QUERIES: dict[str, QueryFn] = {
     "seq_pack": textops.seq_pack,
     "source_cap": textops.source_cap,
     "stratified_sample": textops.stratified_sample,
-    "source_stats": analytics.source_stats,
+    # r13 Change 16 (CC lazy-checkpoint fold) changed dup_clusters' code
+    # path mid-round → rotated in per the changed-keys-first rule,
+    # displacing source_stats (r9-green but UNTOUCHED all round — the
+    # stalest unchanged key in the window) to the r14 queue head:
+    "dup_clusters": dedup.dup_clusters,
     "knn_graph_multiprobe": graph.knn_graph_multiprobe,
     "ann_search_graph": graph.ann_search_graph_q,
     "ann_recall_graph_sweep": graph.ann_recall_graph_sweep,
@@ -104,6 +108,9 @@ _QUERIES: dict[str, QueryFn] = {
     # -- r14 rotation queue, stalest latest-green first (r10, then r11,
     # then r12-era; within a tier, registry order). Promote any key whose
     # code changes mid-round ahead of this queue. --
+    # -- latest driver green r9 (displaced by the Change-16 rotation;
+    # untouched code, stalest green below the boundary) --
+    "source_stats": analytics.source_stats,
     # -- latest driver green r10 --
     "streaming_sessionize_check": ingest.streaming_sessionize_check,
     "streaming_sessionize_append": ingest.streaming_sessionize_append,
@@ -133,7 +140,6 @@ _QUERIES: dict[str, QueryFn] = {
     "ann_search_lsh": knn.ann_search_lsh_q,
     "knn_exact_euclidean": knn.knn_exact_euclidean_q,
     "knn_exact_cosine": knn.knn_exact_cosine_q,
-    "dup_clusters": dedup.dup_clusters,
     "aknn_search_api": api.aknn_search_api,
     "ann_recall_sweep": knn.ann_recall_sweep,
     "bucketed_join_revenue": analytics.bucketed_join_revenue,

@@ -26,7 +26,10 @@ GATE_WINDOW_SIZE = 50
 # (4) the 16 remaining r9-era greens, (5) the 7 keys whose code paths the
 # r13 optimization round changed (driver-job caches: bm25 query constants,
 # phrase probes, graph-store seeds) — displacing the streaming family
-# (unchanged this round, r10-green) to the r14 queue head.
+# (unchanged this round, r10-green) to the r14 queue head. Third resumed
+# session: Change 16 (CC lazy-checkpoint fold) changed dup_clusters →
+# rotated in, displacing source_stats (r9-green, untouched all round) to
+# the r14 queue head; embedding_clusters (also Change 16) was already in.
 EXPECTED_GATE_WINDOW = [
     "ivf_index",
     "ann_search_ivf",
@@ -64,7 +67,7 @@ EXPECTED_GATE_WINDOW = [
     "seq_pack",
     "source_cap",
     "stratified_sample",
-    "source_stats",
+    "dup_clusters",
     "knn_graph_multiprobe",
     "ann_search_graph",
     "ann_recall_graph_sweep",
