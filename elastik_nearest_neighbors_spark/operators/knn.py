@@ -975,12 +975,15 @@ def ann_recall_families(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import os as _os
 
-        # default 8: interleaved A/B at sf0.1 (3 pairs, isolated cold runs)
-        # beat 4 workers in every pair (54.7->38.7, 59.8->50.6, 36.2->28.9 s)
-        # — each family is a chain of short jobs, so 8 in flight still
-        # under-subscribes 32 cores. Env-tunable for other cluster shapes
-        # (rule of thumb: ~slots/4, the per-family peak task width).
-        workers = max(1, int(_os.environ.get("ENN_FAMILY_RECALL_THREADS", "8")))
+        # default 12: interleaved A/B at sf0.1, isolated cold runs — 8 beat
+        # 4 in every pair (54.7->38.7, 59.8->50.6, 36.2->28.9 s), then 12
+        # beat 8 in 5 of 6 pairs across two load phases with floors 23.0 vs
+        # 45.1 s (plans/r13/ab/fam12*): each family is a chain of short
+        # jobs, so even 12 in flight under-subscribes 32 cores, and the
+        # wider pool also rides out single-job host stalls. Env-tunable for
+        # other cluster shapes (rule of thumb: ~slots/3, the per-family
+        # peak task width).
+        workers = max(1, int(_os.environ.get("ENN_FAMILY_RECALL_THREADS", "12")))
         with ThreadPoolExecutor(max_workers=workers) as tp:
             list(tp.map(_build, missing))
     parts = []
