@@ -166,6 +166,40 @@ def normalize_ts(df: DataFrame, field: str) -> DataFrame:
     return df
 
 
+# path -> inferred parquet schema. A schema-less spark.read.parquet pays a
+# driver-blocking Spark job on EVERY call (ParquetUtils.inferSchema launches
+# a one-task mergeSchemasInParallel job that spins up a fresh thread pool
+# and reads a footer); the bench session makes ~1000 such reads. The inputs
+# are immutable testdata tables and engine-written stores whose schema is
+# fixed by the writer, so the first read's inferred schema is authoritative
+# for the process lifetime (guide §5: the driver should do almost no data
+# work). The cache holds the RAW read schema — inference-identical because
+# the first entry IS an inference result under the same session confs.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def read_parquet(spark: SparkSession, path: str, base: str | None = None, dirs: list[str] | None = None) -> DataFrame:
+    """spark.read.parquet with the inferred schema memoized per store root.
+
+    `base`/`dirs` mirror the partition-pruned store read (basePath + an
+    explicit directory list, so tbl/bucket stay partition columns); the
+    schema — including the discovered partition columns — is keyed on the
+    store root and is identical for any directory subset. ONLY for paths
+    whose schema is process-constant (engine store layouts, testdata);
+    arbitrary user-mapped server indexes must not use it."""
+    key = base or path
+    schema = _SCHEMA_CACHE.get(key)
+    reader = spark.read
+    if base is not None:
+        reader = reader.option("basePath", base)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.parquet(*(dirs if dirs is not None else [path]))
+    if schema is None:
+        _SCHEMA_CACHE[key] = df.schema
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> DataFrame:
     """Load a table. `widen=True` round-robin-repartitions SMALL inputs to
     the session's core count: parquet splits at row-group granularity, so a
@@ -177,7 +211,7 @@ def table(spark: SparkSession, sf_dir: str, name: str, widen: bool = False) -> D
     configure(spark)
     sep = "" if sf_dir.endswith("/") else "/"
     path = f"{sf_dir}{sep}{name}.parquet"
-    df = spark.read.parquet(path)
+    df = read_parquet(spark, path)
     for field in ("ts", "o_orderdate", "l_shipdate"):
         if field in df.columns:
             df = normalize_ts(df, field)

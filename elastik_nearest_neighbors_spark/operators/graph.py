@@ -652,14 +652,14 @@ def _purge_edges(spark: SparkSession, store: str, doomed_edge) -> None:
 
     touched = sorted(
         int(r.bucket)
-        for r in spark.read.parquet(store)
+        for r in io.read_parquet(spark, store)
         .where(doomed_edge)
         .select("bucket")
         .distinct()
         .collect()
     )
     existing = (
-        spark.read.parquet(store)
+        io.read_parquet(spark, store)
         .where(F.col("bucket").isin(touched))
         .select("vec_a", "vec_b", "distance", "bucket")
     )

@@ -2095,7 +2095,7 @@ def ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
         existing = (
-            spark.read.parquet(store)
+            io.read_parquet(spark, store)
             .where(F.col("list_id").isin(parts))
             .select("vec_id", "list_id", "center_dist")
         )
@@ -2142,7 +2142,7 @@ def ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         doomed = build_ivf_index(emb.where(doomed_pred), model)
         parts = [int(r.list_id) for r in doomed.select("list_id").distinct().collect()]
         existing = (
-            spark.read.parquet(store)
+            io.read_parquet(spark, store)
             .where(F.col("list_id").isin(parts))
             .select("vec_id", "list_id", "center_dist")
         )

@@ -796,7 +796,7 @@ def index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # load_lsh_partitions' literal list would build here — a ~6% delta
         # × T tables touches most buckets at this scale
         existing = (
-            spark.read.parquet(store)
+            io.read_parquet(spark, store)
             .where(partition_key_filter(["tbl", "bucket"], parts))
             .select("vec_id", "tbl", "hash", "bucket")
         )
@@ -855,7 +855,7 @@ def index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             (r.tbl, r.bucket) for r in doomed.select("tbl", "bucket").distinct().collect()
         ]
         existing = (
-            spark.read.parquet(store)
+            io.read_parquet(spark, store)
             .where(partition_key_filter(["tbl", "bucket"], parts))
             .select("vec_id", "tbl", "hash", "bucket")
         )
@@ -975,15 +975,18 @@ def ann_recall_families(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         import os as _os
 
-        # default 12: interleaved A/B at sf0.1, isolated cold runs — 8 beat
-        # 4 in every pair (54.7->38.7, 59.8->50.6, 36.2->28.9 s), then 12
-        # beat 8 in 5 of 6 pairs across two load phases with floors 23.0 vs
-        # 45.1 s (plans/r13/ab/fam12*): each family is a chain of short
-        # jobs, so even 12 in flight under-subscribes 32 cores, and the
-        # wider pool also rides out single-job host stalls. Env-tunable for
-        # other cluster shapes (rule of thumb: ~slots/3, the per-family
-        # peak task width).
-        workers = max(1, int(_os.environ.get("ENN_FAMILY_RECALL_THREADS", "12")))
+        # default 2 (r14): the r13 default of 12 was tuned under co-tenant
+        # load and refuted by the driver's own 32-core run (19.8 s ->
+        # 160.0 s — twelve concurrent job chains multiply shuffle/write
+        # churn exactly when the host shows I/O pressure, and each chain's
+        # stall multiplies the others'). r14 idle-host A/B at 32 cores
+        # (fresh session per run, 3 interleaved pairs): 12 is ~10% faster
+        # cold (16.6/19.5/18.7 s vs 19.0/21.8/20.5 s for 2) — a small
+        # upside against a catastrophic loaded-host downside. Two in
+        # flight is the guide's §2.6 recommendation: one family's
+        # straggler tail back-fills with the next family's tasks, with
+        # bounded concurrent churn. Env-tunable for other cluster shapes.
+        workers = max(1, int(_os.environ.get("ENN_FAMILY_RECALL_THREADS", "2")))
         with ThreadPoolExecutor(max_workers=workers) as tp:
             list(tp.map(_build, missing))
     parts = []

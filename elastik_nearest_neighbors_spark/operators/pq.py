@@ -437,7 +437,7 @@ def ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(new_a, "vec_id")
         )
         existing = (
-            spark.read.parquet(store)
+            io.read_parquet(spark, store)
             .where(F.col("list_id").isin(parts))
             .select("vec_id", "m", "code", "list_id")
         )
@@ -522,7 +522,7 @@ def ivfpq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         ]
         existing = (
-            spark.read.parquet(store)
+            io.read_parquet(spark, store)
             .where(F.col("list_id").isin(parts))
             .select("vec_id", "m", "code", "list_id")
         )

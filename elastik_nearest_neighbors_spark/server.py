@@ -145,6 +145,13 @@ class AknnHttpServer:
         # the entries.
         self._docs_cache: dict[str, DataFrame] = {}
         self._terms_cache: dict[str, DataFrame] = {}
+        # base path -> parquet schema for _pruned_dirs_df: a schema-less
+        # read pays a one-task footer-inference Spark job per call, which
+        # on the msearch point-update path is pure driver latency (guide
+        # §5). Keyed by store base path; popped with the sibling caches on
+        # every mutation/drop, so a recreated index with a different
+        # mapping can never see a stale schema.
+        self._pruned_schema: dict[str, object] = {}
         # next batch_seq per index for refresh=false staging; a cache miss
         # re-derives it from the staged parquet (max+1), so staged batches
         # survive a server restart with their order intact
@@ -374,6 +381,8 @@ class AknnHttpServer:
             self._mutating.discard(index)
             self._docs_cache.pop(index, None)
             self._terms_cache.pop(index, None)
+            for k in [k for k in self._pruned_schema if self._index_path(index) in k]:
+                del self._pruned_schema[k]
             for k in [k for k in self._doc_cache if k[0] == index]:
                 del self._doc_cache[k]
         io.fs_delete(self.spark, marker)
@@ -402,7 +411,14 @@ class AknnHttpServer:
                 dirs.append(d)
         if not dirs:
             return None
-        return self.spark.read.option("basePath", base).parquet(*dirs)
+        schema = self._pruned_schema.get(base)
+        reader = self.spark.read.option("basePath", base)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.parquet(*dirs)
+        if schema is None:
+            self._pruned_schema[base] = df.schema
+        return df
 
     def _replace_flat(self, index: str, ids: list, hashed: DataFrame) -> None:
         """Flat-mode replace-on-index, FUSED (r12): one overwrite writes
@@ -854,6 +870,8 @@ class AknnHttpServer:
             self._id_type_cache.pop(index, None)
             self._docs_cache.pop(index, None)
             self._terms_cache.pop(index, None)
+            for k in [k for k in self._pruned_schema if self._index_path(index) in k]:
+                del self._pruned_schema[k]
             for k in [k for k in self._doc_cache if k[0] == index]:
                 del self._doc_cache[k]
         return existed

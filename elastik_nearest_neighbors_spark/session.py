@@ -39,13 +39,43 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()))
+        # r14: pip-installed Spark has no libhadoop, so the default
+        # checksummed LocalFileSystem pays TWO chmod subprocess forks per
+        # created file (data + .crc twin — RawLocalFileSystem.setPermission
+        # falls back to Shell.execCommand). A partitioned store build
+        # creates hundreds of files; thread dumps of stalled bench runs
+        # caught tasks blocked in that fork for tens of seconds under I/O
+        # pressure. RawLocalFileSystem keeps identical write/rename/read
+        # semantics minus the .crc twins: half the creates, half the forks,
+        # half the metadata churn. (Must be set at session build: the
+        # FileSystem cache binds the file:// scheme on first use.)
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
         .getOrCreate()
     )
+
+
+# sessions already configured by this process, keyed by applicationId —
+# configure() is called from every io.table() load (hundreds of times per
+# bench session) and each conf.set is a synchronous py4j round-trip; the
+# confs are process-constant, so repeat calls only REVALIDATE the two
+# correctness-critical entries (3 round-trips instead of ~17; guide §5:
+# keep the driver out of per-query work) and fall back to the full
+# fail-loud path if anything drifted mid-session.
+_CONFIGURED: set[str] = set()
+_CRITICAL = (
+    ("spark.sql.session.timeZone", "UTC"),
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+)
 
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs safe to set on an existing session (e.g. the
     driver's). Timestamp semantics must be UTC for oracle parity."""
+    app = getattr(getattr(spark, "sparkContext", None), "applicationId", None)
+    if app is not None and app in _CONFIGURED:
+        if all(spark.conf.get(k, None) == v for k, v in _CRITICAL):
+            return spark
+        _CONFIGURED.discard(app)
     conf = {
         "spark.sql.session.timeZone": "UTC",
         # testdata parquet stores TIMESTAMP(NANOS) which Spark rejects;
@@ -72,6 +102,16 @@ def configure(spark: SparkSession) -> SparkSession:
         # vector columns are wide; keep Arrow batches modest so Python
         # workers never hold more than a few MB per batch
         "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        # r14 (guide §6): zstd beats snappy's size at similar read speed —
+        # engine-written stores dirty fewer pages, and at 100 TB the same
+        # conf is simply smaller output
+        "spark.sql.parquet.compression.codec": "zstd",
+        # r14 (guide §5): the pruned store reads pass up to Q·T explicit
+        # partition directories; above this threshold Spark LISTS them via
+        # a distributed job — a driver-blocking round trip that costs more
+        # than the listing itself for KB-sized local directories. Keep
+        # listing on the driver's thread pool for these bounded dir lists.
+        "spark.sql.sources.parallelPartitionDiscovery.threshold": "512",
     }
     for k, v in conf.items():
         try:
@@ -89,4 +129,6 @@ def configure(spark: SparkSession) -> SparkSession:
                 f"session conf {k!r} did not apply (got {got!r}, need "
                 f"{conf[k]!r}); event-time results would be wrong — refusing"
             )
+    if app is not None:
+        _CONFIGURED.add(app)
     return spark

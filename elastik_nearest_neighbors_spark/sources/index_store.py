@@ -153,8 +153,10 @@ def load_lsh_bucket(
 ) -> DataFrame:
     """Candidates for one (tbl, hash) term — partition-pruned to a single
     (tbl, bucket) directory, then exact hash-matched inside it."""
+    from .. import io
+
     return (
-        spark.read.parquet(path)
+        io.read_parquet(spark, path)
         .where(
             (F.col("tbl") == tbl)
             & (F.col("bucket") == hash_val % n_buckets)
@@ -191,8 +193,7 @@ def load_lsh_partitions(
     if not dirs:
         return spark.createDataFrame([], "vec_id bigint, tbl int, hash bigint")
     return (
-        spark.read.option("basePath", path)
-        .parquet(*dirs)
+        io.read_parquet(spark, path, base=path, dirs=dirs)
         .where(pred)
         .select("vec_id", "tbl", "hash")
     )
@@ -257,7 +258,9 @@ def save_ivf_index(assigned: DataFrame, path: str) -> None:
 def load_ivf_lists(spark: SparkSession, path: str, list_ids: list[int]) -> DataFrame:
     """Vectors in the probed lists — scan prunes to len(list_ids) of nlist
     directories."""
-    return spark.read.parquet(path).where(F.col("list_id").isin(list_ids))
+    from .. import io
+
+    return io.read_parquet(spark, path).where(F.col("list_id").isin(list_ids))
 
 
 GRAPH_EDGE_BUCKETS = 64
@@ -283,8 +286,10 @@ def load_graph_buckets(
 ) -> DataFrame:
     """Edges in the seeds' buckets — scan prunes to len(buckets) of
     n_buckets directories (literal PartitionFilters)."""
+    from .. import io
+
     return (
-        spark.read.parquet(path)
+        io.read_parquet(spark, path)
         .where(F.col("bucket").isin(buckets))
         .select("vec_a", "vec_b", "distance")
     )

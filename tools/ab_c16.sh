@@ -11,6 +11,9 @@ export SPARK_GRAFT_CPUS=32
 export SPARK_GRAFT_BENCH_KEYS="$KEYS"
 cp elastik_nearest_neighbors_spark/operators/dedup.py /tmp/dedup_A.py
 git show HEAD:elastik_nearest_neighbors_spark/operators/dedup.py > /tmp/dedup_B.py
+# ADVICE r13: an interruption between the variant-B copy and the final
+# restore must not leave B live in the working tree
+trap 'cp /tmp/dedup_A.py elastik_nearest_neighbors_spark/operators/dedup.py' EXIT
 for i in 1 2 3; do
   for v in A B; do
     cp /tmp/dedup_${v}.py elastik_nearest_neighbors_spark/operators/dedup.py
