@@ -887,11 +887,11 @@ class AknnHttpServer:
         touched directory per batch — the compaction story is
         streaming_index_compact's, unchanged."""
         from .operators.lsh import explode_hashes
-        from .sources.index_store import DEFAULT_HASH_BUCKETS
+        from .sources.index_store import DEFAULT_HASH_BUCKETS, clustered
 
         path = self._index_path(index)
         (
-            hashed.repartition("id_bucket")
+            clustered(hashed, "id_bucket")
             .write.mode("append")
             .partitionBy("id_bucket")
             .parquet(os.path.join(path, "docs"))
@@ -900,7 +900,7 @@ class AknnHttpServer:
             hashed.select(ID_FIELD, "hashes"), ID_FIELD, "vec_id"
         ).withColumn("bucket", F.pmod(F.col("hash"), F.lit(DEFAULT_HASH_BUCKETS)))
         (
-            terms.repartition("tbl", "bucket")
+            clustered(terms, "tbl", "bucket")
             .write.mode("append")
             .partitionBy("tbl", "bucket")
             .parquet(os.path.join(path, "terms"))

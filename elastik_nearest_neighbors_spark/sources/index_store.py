@@ -38,6 +38,27 @@ DEFAULT_HASH_BUCKETS = 64
 PACKED_KEY_RADIX = 100_000
 
 
+def clustered(df: DataFrame, *part_cols: str) -> DataFrame:
+    """Cluster `df` by the partition columns with an EXPLICIT partition
+    count (r14). A bare `repartition(*cols)` is AQE-coalescible, and for
+    the KB-sized store writes here AQE folds the exchange to ONE partition
+    — a single DynamicPartitionDataSingleWriter task then creates every
+    partition directory and file SERIALLY, each create paying Hadoop's
+    local-FS chmod subprocess fork twice (mkdir + file). Thread dumps of
+    stalled bench runs show exactly that task shape burning 40-60 s of
+    wall clock per store build. Pinning the count keeps the write spread
+    over the session's task slots (hash clustering still lands each
+    directory's rows in exactly one task, so the one-file-per-directory
+    layout is unchanged); at cluster scale the same expression follows
+    spark.sql.shuffle.partitions."""
+    spark = df.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    return df.repartition(n, *[F.col(c) for c in part_cols])
+
+
 def _norm_keys(keys) -> list[tuple[int, ...]]:
     return [
         tuple(int(x) for x in (k if isinstance(k, (tuple, list)) else (k,)))
@@ -112,7 +133,7 @@ def pruned_dynamic_overwrite(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            patched.repartition(*part_cols)
+            clustered(patched, *part_cols)
             .write.mode("overwrite")
             .partitionBy(*part_cols)
             .parquet(path)
@@ -140,8 +161,11 @@ def save_lsh_index(exploded: DataFrame, path: str, n_buckets: int = DEFAULT_HASH
     8× faster build; it is also exactly the write-side shuffle a 100 TB
     deployment wants (each reducer owns whole buckets)."""
     (
-        exploded.withColumn("bucket", F.pmod(F.col("hash"), F.lit(n_buckets)))
-        .repartition("tbl", "bucket")
+        clustered(
+            exploded.withColumn("bucket", F.pmod(F.col("hash"), F.lit(n_buckets))),
+            "tbl",
+            "bucket",
+        )
         .write.mode("overwrite")
         .partitionBy("tbl", "bucket")
         .parquet(path)
@@ -208,7 +232,7 @@ def compact_lsh_store(spark: SparkSession, src_path: str, dst_path: str) -> None
     compacted store is content- and layout-identical to a batch-built one."""
     df = spark.read.parquet(src_path)  # tbl/bucket come back as partition cols
     (
-        df.repartition("tbl", "bucket")
+        clustered(df, "tbl", "bucket")
         .write.mode("overwrite")
         .partitionBy("tbl", "bucket")
         .parquet(dst_path)
@@ -230,7 +254,7 @@ def clustered_overwrite_swap(
 
     tmp = path.rstrip("/") + ".new"
     (
-        df.repartition(*part_cols)
+        clustered(df, *part_cols)
         .write.mode("overwrite")
         .partitionBy(*part_cols)
         .parquet(tmp)
@@ -250,7 +274,7 @@ def save_ivf_index(assigned: DataFrame, path: str) -> None:
     """Persist an IVF index (vec_id, list_id, center_dist) partitioned by
     list_id. Clustered by list_id before the write for one file per list
     directory (see save_lsh_index)."""
-    assigned.repartition("list_id").write.mode("overwrite").partitionBy(
+    clustered(assigned, "list_id").write.mode("overwrite").partitionBy(
         "list_id"
     ).parquet(path)
 
@@ -273,8 +297,9 @@ def save_graph_edges(edges: DataFrame, path: str, n_buckets: int = GRAPH_EDGE_BU
     buckets its seed ids land in, and hop lookups stay lossless because
     vec_a equality is still checked in the scan filter."""
     (
-        edges.withColumn("bucket", F.pmod(F.col("vec_a"), F.lit(n_buckets)))
-        .repartition("bucket")
+        clustered(
+            edges.withColumn("bucket", F.pmod(F.col("vec_a"), F.lit(n_buckets))), "bucket"
+        )
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(path)

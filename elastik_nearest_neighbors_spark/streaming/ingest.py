@@ -159,8 +159,10 @@ def _ensure_stream_store(spark: SparkSession, sf_dir: str) -> str:
     )
 
     def _append(bdf: DataFrame, _bid: int) -> None:
+        from ..sources.index_store import clustered
+
         (
-            bdf.repartition("tbl", "bucket")
+            clustered(bdf, "tbl", "bucket")
             .write.mode("append")
             .partitionBy("tbl", "bucket")
             .parquet(store)

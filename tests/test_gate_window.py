@@ -17,40 +17,18 @@ from elastik_nearest_neighbors_spark import registry
 
 GATE_WINDOW_SIZE = 50
 
-# The r13 window, in driver gate order (#163 aknn_http_doc_get displaced
-# streaming_index_store to the r14 queue mid-round): (1) the full ivf.py surface (the
-# sharded-IVF rewrite landed below the gate mid-r12, and r13 adds the
-# log-depth coarse-membership fit), (2) the pq family (probe_pairs /
-# list_assignments consumers of the same code), (3) the six r13-changed
-# serving keys (search job-count, wire compaction, distributed refresh),
-# (4) the 16 remaining r9-era greens, (5) the 7 keys whose code paths the
-# r13 optimization round changed (driver-job caches: bm25 query constants,
-# phrase probes, graph-store seeds) — displacing the streaming family
-# (unchanged this round, r10-green) to the r14 queue head. Third resumed
-# session: Change 16 (CC lazy-checkpoint fold) changed dup_clusters →
-# rotated in, displacing source_stats (r9-green, untouched all round) to
-# the r14 queue head; embedding_clusters (also Change 16) was already in.
+# The r14 window, in driver gate order: (1) the serving keys (server.py
+# changed: pruned-read schema cache, clustered appends), (2) every store
+# maintenance / persisted-store search key (index_store.py clustered()
+# writes + schema-cached loaders), (3) the r13 verdict item-4 list — the
+# surfaces r13 changed but never driver-gated (dedup _docs family, LSH
+# similarity join, exact-kNN fold removal, family-recall dashboard),
+# (4) the CC keys, (5) schema-cached read-path representatives across the
+# remaining operator files. Displaced: 12 r13-green keys whose own
+# operators r14 left untouched (sq8 trio, boilerplate_scrub, matryoshka,
+# decontaminate, seq_pack, source_cap, stratified_sample,
+# ann_recall_graph_beam, bm25_doc_search_char, phrase_match).
 EXPECTED_GATE_WINDOW = [
-    "ivf_index",
-    "ann_search_ivf",
-    "ann_recall_ivf",
-    "ann_search_ivf_filtered",
-    "ann_search_ivf_store",
-    "dedup_semantic",
-    "knn_graph",
-    "index_stats",
-    "ivf_upsert",
-    "ivf_delete",
-    "pq_codes",
-    "ann_search_pq",
-    "ann_recall_pq",
-    "ann_search_ivfpq",
-    "ann_search_ivfpq_refined",
-    "ann_recall_ivfpq",
-    "ann_recall_ivfpq_refined",
-    "ann_search_ivfpq_store",
-    "ivfpq_upsert",
-    "ivfpq_delete",
     "aknn_http_search_store",
     "aknn_http_upsert",
     "aknn_http_delete",
@@ -58,29 +36,49 @@ EXPECTED_GATE_WINDOW = [
     "aknn_http_search",
     "aknn_http_doc_get",
     "streaming_index_compact",
-    "sq8_quantize",
-    "ann_search_sq8",
-    "ann_recall_sq8",
-    "boilerplate_scrub",
-    "ann_search_matryoshka",
-    "decontaminate",
-    "seq_pack",
-    "source_cap",
-    "stratified_sample",
-    "dup_clusters",
-    "knn_graph_multiprobe",
-    "ann_search_graph",
-    "ann_recall_graph_sweep",
-    "embedding_clusters",
-    "ann_search_graph_beam",
-    "ann_recall_graph_beam",
-    "bm25_doc_search",
-    "bm25_doc_search_char",
-    "hybrid_search_rrf",
-    "phrase_match",
+    "index_upsert",
+    "index_delete",
+    "ann_search_lsh_store",
+    "lsh_index",
+    "ivf_upsert",
+    "ivf_delete",
+    "ann_search_ivf_store",
+    "ivfpq_upsert",
+    "ivfpq_delete",
+    "ann_search_ivfpq_store",
     "ann_search_graph_store",
     "graph_delete",
     "graph_rebuild",
+    "dedup_minhash_canonical",
+    "dedup_exact",
+    "dedup_simhash",
+    "similarity_join_lsh",
+    "knn_exact_euclidean",
+    "ann_recall_families",
+    "dup_clusters",
+    "embedding_clusters",
+    "ann_search_lsh",
+    "semantic_doc_search",
+    "ivf_index",
+    "ann_search_ivf",
+    "ann_recall_ivf",
+    "ann_search_ivf_filtered",
+    "dedup_semantic",
+    "knn_graph",
+    "index_stats",
+    "pq_codes",
+    "ann_search_pq",
+    "ann_recall_pq",
+    "ann_search_ivfpq",
+    "ann_search_ivfpq_refined",
+    "ann_recall_ivfpq",
+    "ann_recall_ivfpq_refined",
+    "ann_search_graph",
+    "ann_search_graph_beam",
+    "ann_recall_graph_sweep",
+    "knn_graph_multiprobe",
+    "bm25_doc_search",
+    "hybrid_search_rrf",
 ]
 
 
