@@ -445,15 +445,20 @@ def ann_search_graph_beam(
         .localCheckpoint(eager=True)
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("distance"), F.asc("neighbor_id"))
+    # r14: the beam membership test is a WINDOW over the checkpointed pool,
+    # not a self-join. Ranking within (query_id, expanded) groups gives the
+    # not-yet-expanded rows exactly the rank the old filtered window gave
+    # them (same ordering, same tie-breaks), so `rn <= WIDTH AND ~expanded`
+    # IS the beam — both the hop side and the flag update read it from one
+    # projection, which drops the old per-round pool⋈beam broadcast join
+    # (one BroadcastExchange barrier per round) from the plan.
+    w_grp = Window.partitionBy("query_id", "expanded").orderBy(
+        F.asc("distance"), F.asc("neighbor_id")
+    )
     for _ in range(BEAM_ROUNDS):
-        # beam: cheap window over the checkpointed pool — re-evaluated by its
-        # consumers inside the one round job rather than checkpointed itself
-        beam = (
-            pool.where(~F.col("expanded"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= BEAM_WIDTH)
-            .select("query_id", "neighbor_id")
-        )
+        ranked = pool.withColumn("rn", F.row_number().over(w_grp))
+        in_beam = ~F.col("expanded") & (F.col("rn") <= BEAM_WIDTH)
+        beam = ranked.where(in_beam).select("query_id", "neighbor_id")
         hop = (
             edges.select(F.col("vec_a").alias("neighbor_id"), "vec_b")
             .join(F.broadcast(beam), "neighbor_id")
@@ -472,19 +477,9 @@ def ann_search_graph_beam(
                 F.lit(False).alias("expanded"),
             )
         )
-        marked = (
-            pool.join(
-                F.broadcast(beam.withColumn("in_beam", F.lit(True))),
-                ["query_id", "neighbor_id"],
-                "left",
-            )
-            .withColumn(
-                "expanded", F.col("expanded") | F.coalesce(F.col("in_beam"), F.lit(False))
-            )
-            .drop("in_beam")
-        )
+        marked = ranked.withColumn("expanded", F.col("expanded") | in_beam).drop("rn")
         # localCheckpoint per round: the pool stays KB-sized but its lineage
-        # would otherwise deepen by ~5 joins per round
+        # would otherwise deepen by ~4 joins per round
         pool = marked.unionByName(scored_new).localCheckpoint(eager=True)
     return (
         pool.withColumn("rn", F.row_number().over(w))
