@@ -50,6 +50,14 @@ def get_spark(
         # half the metadata churn. (Must be set at session build: the
         # FileSystem cache binds the file:// scheme on first use.)
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        # committer v2: task commit renames output straight into the final
+        # directory, so the hundreds of per-partition-directory renames +
+        # mkdirs (each mkdir = one more chmod fork) of a partitioned store
+        # build run in parallel across tasks instead of serially on the
+        # driver at job commit. The v1 safety argument (job-commit
+        # atomicity) protects multi-writer tables; these stores are
+        # single-writer and rebuilt from parquet inputs on any failure.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .getOrCreate()
     )
 
